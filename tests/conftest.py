@@ -1,0 +1,17 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the environment before jax is imported anywhere (multi-chip sharding
+tests rely on xla_force_host_platform_device_count; bench/__graft_entry__ use
+the real TPU instead).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Repo root on sys.path so `import gridnext_tpu` works without installation.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
