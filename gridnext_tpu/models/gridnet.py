@@ -1,0 +1,198 @@
+"""GridNet family: spot classifier f composed with grid corrector g.
+
+TPU-first re-design of the reference's gridnet_models.py:
+
+* Tensors are channels-last. 1-D spot features arrive as (B, H, W, F); image
+  grids as (B, H, W, P, P, 3). Outputs are (B, H, W, n_classes).
+* Hex correctors operate natively on Visium odd-right layout (see
+  ops.hexconv) -- the reference's rot90/flip round-trip into hexagdly's
+  odd-down addressing (gridnet_models.py:173-187) does not exist here, so
+  there is no separate ``GridNetHexOddr``: :class:`GridNetHex` *is* the
+  odd-right model.
+* ``patch_chunk`` is the analog of the reference's ``atonce_patch_limit``
+  (gridnet_models.py:85-104): f is applied over the flattened spot axis in
+  fixed-size chunks under ``nn.scan`` + ``nn.remat``, trading recompute for
+  activation memory exactly like the torch gradient-checkpoint path. With
+  ``patch_chunk=None`` f runs as one big batched call (best MXU utilization).
+* f always runs with ``train=False`` inside GridNet: the reference forces
+  ``patch_classifier.eval()`` during gridwise training (training.py:126), so
+  BatchNorm uses running stats and dropout is off even when f's *weights*
+  are being fine-tuned through a second optimizer. Gradients still flow.
+
+The ``foreground_classifier``/``bg_const`` machinery of the reference is
+dead code (all patches go through f; background is masked at loss time --
+SURVEY.md section 8) and is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gridnext_tpu.models.layers import HexConv
+
+_xavier = nn.initializers.xavier_uniform()
+_conv_kw = dict(kernel_init=_xavier, bias_init=nn.initializers.zeros)
+
+
+class _CartesianCorrector(nn.Module):
+    """3/5/5/3 Conv2d stack of the square-lattice GridNet (gridnet_models.py:51-66)."""
+
+    n_classes: int
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(h):
+            if self.use_bn:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5)(h)
+            return h
+
+        x = nn.Conv(self.n_classes, (3, 3), padding=1, **_conv_kw)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(self.n_classes, (5, 5), padding=2, **_conv_kw)(x)
+        x = nn.relu(bn(x))
+        x = nn.Conv(self.n_classes, (5, 5), padding=2, **_conv_kw)(x)
+        x = nn.relu(bn(x))
+        return nn.Conv(self.n_classes, (3, 3), padding=1, **_conv_kw)(x)
+
+
+class _HexCorrector(nn.Module):
+    """Six radius-1 hex convs: f_dim->32->32 [BN,ReLU] ->32->32 [BN,ReLU] ->n_classes.
+
+    Mirrors gridnet_models.py:128-148 but odd-right native.
+    """
+
+    n_classes: int
+    use_bn: bool = True
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(h):
+            if self.use_bn:
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5)(h)
+            return h
+
+        x = HexConv(self.width)(x)
+        x = HexConv(self.width)(x)
+        x = nn.relu(bn(x))
+        x = HexConv(self.width)(x)
+        x = HexConv(self.width)(x)
+        x = nn.relu(bn(x))
+        return HexConv(self.n_classes)(x)
+
+
+def apply_f_chunked(f: nn.Module, flat: jnp.ndarray, chunk: Optional[int]):
+    """Apply spot classifier ``f`` over a flattened spot batch.
+
+    With ``chunk=None``: one batched call. Otherwise the batch is processed
+    in fixed-size chunks under ``nn.scan`` + ``nn.remat`` -- the
+    ``atonce_patch_limit`` gradient-checkpoint semantics of the reference
+    (gridnet_models.py:85-104) in XLA-friendly form. f always runs in eval
+    mode (training.py:126 semantics); gradients still flow to its params.
+    """
+    if chunk is None:
+        return f(flat, train=False)
+    n = flat.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)], axis=0)
+    chunks = flat.reshape((-1, chunk) + flat.shape[1:])
+
+    def body(mdl, carry, xc):
+        return carry, mdl(xc, train=False)
+
+    scan = nn.scan(
+        nn.remat(body, prevent_cse=False),
+        variable_broadcast=["params", "batch_stats"],
+        split_rngs={"params": False, "dropout": False},
+        in_axes=0, out_axes=0,
+    )
+    _, out = scan(f, None, chunks)
+    out = out.reshape((-1, out.shape[-1]))
+    return out[:n] if pad else out
+
+
+class _GridNetBase(nn.Module):
+    """Shared f-application machinery; subclasses define the corrector."""
+
+    patch_classifier: nn.Module
+    n_classes: int
+    f_dim: Optional[int] = None
+    use_bn: bool = True
+    patch_chunk: Optional[int] = None
+
+    def patch_predictions(self, x, train: bool = False):
+        """(B, H, W, *spot_shape) -> (B, H, W, f_dim) grid of f outputs."""
+        b, h, w = x.shape[:3]
+        flat = x.reshape((b * h * w,) + x.shape[3:])
+        out = apply_f_chunked(self.patch_classifier, flat, self.patch_chunk)
+        return out.reshape(b, h, w, out.shape[-1])
+
+    def __call__(self, x, train: bool = False):
+        ppred = self.patch_predictions(x, train=train)
+        return self.corrector(ppred, train=train)
+
+
+class GridNet(_GridNetBase):
+    """Square-lattice (non-Visium) GridNet: Cartesian conv corrector."""
+
+    def setup(self):
+        self.corrector = _CartesianCorrector(self.n_classes, self.use_bn)
+
+
+class GridNetHex(_GridNetBase):
+    """Visium GridNet with a hexagonal corrector, odd-right native.
+
+    Supersedes both ``GridNetHex`` and ``GridNetHexOddr`` of the reference:
+    inputs are odd-right grids (the only layout this package uses) and the
+    hex stencil understands row parity directly.
+    """
+
+    def setup(self):
+        self.corrector = _HexCorrector(self.n_classes, self.use_bn)
+
+
+class GridNetHexMM(nn.Module):
+    """Multimodal GridNet: separate f per modality, channel-concat fusion.
+
+    ``__call__((x_image, x_count))`` with x_image (B, H, W, P, P, 3) and
+    x_count (B, H, W, F). Per-modality f outputs are concatenated on the
+    feature axis -- count first, then image, matching the reference's
+    ``torch.cat((ppg_count, ppg_image), dim=1)`` (gridnet_models.py:235) --
+    before the shared hex corrector. No mode-switching mutation is needed
+    (the reference's ``_set_mode`` hack, gridnet_models.py:212-222).
+    """
+
+    image_classifier: nn.Module
+    count_classifier: nn.Module
+    n_classes: int
+    image_f_dim: Optional[int] = None
+    count_f_dim: Optional[int] = None
+    use_bn: bool = True
+    patch_chunk: Optional[int] = None
+
+    def setup(self):
+        self.corrector = _HexCorrector(self.n_classes, self.use_bn)
+
+    def _branch(self, f, x):
+        b, h, w = x.shape[:3]
+        flat = x.reshape((b * h * w,) + x.shape[3:])
+        out = apply_f_chunked(f, flat, self.patch_chunk)
+        return out.reshape(b, h, w, out.shape[-1])
+
+    def patch_predictions(self, x, train: bool = False):
+        x_image, x_count = x
+        ppg_count = self._branch(self.count_classifier, x_count)
+        ppg_image = self._branch(self.image_classifier, x_image)
+        return jnp.concatenate([ppg_count, ppg_image], axis=-1)
+
+    def __call__(self, x, train: bool = False):
+        ppred = self.patch_predictions(x, train=train)
+        return self.corrector(ppred, train=train)

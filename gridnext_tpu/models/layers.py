@@ -1,0 +1,40 @@
+"""Shared flax layers: hex convolution module and init helpers."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gridnext_tpu.ops.hexconv import hex_conv, num_taps
+
+
+class HexConv(nn.Module):
+    """Hexagonal convolution layer over odd-right grids.
+
+    Drop-in analog of ``hexagdly.Conv2d(in, out, kernel_size=radius)`` used by
+    the reference correctors (gridnet_models.py:130-147), but operating
+    natively on Visium odd-right layout and NHWC tensors. ``radius=1`` is the
+    7-cell stencil; weights are per-tap full matrices (T, C_in, C_out).
+
+    Init parity: xavier-uniform weights / zero bias, matching the reference's
+    ``init_weights`` (gridnet_models.py:14-20).
+    """
+
+    features: int
+    radius: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+    precision: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        t = num_taps(self.radius)
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(in_axis=(0, 1), out_axis=2),
+            (t, c_in, self.features), self.dtype or x.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.dtype or x.dtype)
+        return hex_conv(x, kernel, bias, radius=self.radius, precision=self.precision)

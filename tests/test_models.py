@@ -1,0 +1,169 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridnext_tpu.models import CountMLP, DenseNet, GridNet, GridNetHex, GridNetHexMM
+
+
+def test_count_mlp_shapes():
+    m = CountMLP(n_classes=7)
+    x = jnp.ones((4, 250))
+    vars_ = m.init(jax.random.key(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (4, 7)
+    # train mode mutates batch stats
+    y2, mut = m.apply(vars_, x, train=True, mutable=["batch_stats"])
+    assert y2.shape == (4, 7)
+    assert "batch_stats" in mut
+
+
+def test_densenet_small_shapes():
+    m = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                 num_classes=5, small_inputs=True)
+    x = jnp.ones((2, 32, 32, 3))
+    vars_ = m.init(jax.random.key(0), x)
+    y = m.apply(vars_, x)
+    assert y.shape == (2, 5)
+
+
+def test_densenet_feature_mode():
+    m = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                 num_classes=5, small_inputs=True, classify=False)
+    x = jnp.ones((2, 32, 32, 3))
+    vars_ = m.init(jax.random.key(0), x)
+    y = m.apply(vars_, x)
+    # feature dim: 8 + 2*4 = 16 -> transition 8 -> + 2*4 = 16
+    assert y.shape == (2, 16)
+
+
+def test_gridnet_hex_count_pipeline():
+    f = CountMLP(n_classes=7)
+    g = GridNetHex(patch_classifier=f, n_classes=7)
+    x = jnp.ones((2, 12, 10, 50))  # (B, H, W, n_genes)
+    vars_ = g.init(jax.random.key(0), x)
+    y = g.apply(vars_, x)
+    assert y.shape == (2, 12, 10, 7)
+
+
+def test_gridnet_cartesian():
+    f = CountMLP(n_classes=4)
+    g = GridNet(patch_classifier=f, n_classes=4)
+    x = jnp.ones((1, 9, 9, 20))
+    vars_ = g.init(jax.random.key(0), x)
+    y = g.apply(vars_, x)
+    assert y.shape == (1, 9, 9, 4)
+
+
+def test_gridnet_patch_chunk_equivalence():
+    f = CountMLP(n_classes=3, batch_norm=False)
+    x = jax.random.normal(jax.random.key(1), (1, 8, 6, 30))
+
+    g_full = GridNetHex(patch_classifier=f, n_classes=3, patch_chunk=None)
+    vars_ = g_full.init(jax.random.key(0), x)
+    y_full = g_full.apply(vars_, x)
+
+    # chunk that doesn't divide 48 exercises the padding path
+    g_chunk = GridNetHex(patch_classifier=f, n_classes=3, patch_chunk=20)
+    y_chunk = g_chunk.apply(vars_, x)
+    np.testing.assert_allclose(np.asarray(y_full), np.asarray(y_chunk),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gridnet_patch_chunk_grads_flow_to_f():
+    f = CountMLP(n_classes=3, batch_norm=False)
+    x = jax.random.normal(jax.random.key(1), (1, 6, 6, 10))
+    g = GridNetHex(patch_classifier=f, n_classes=3, patch_chunk=12)
+    vars_ = g.init(jax.random.key(0), x)
+
+    def loss(params):
+        out = g.apply({"params": params, "batch_stats": vars_["batch_stats"]}, x)
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(vars_["params"])
+    f_grads = grads["patch_classifier"]
+    leaf = jax.tree_util.tree_leaves(f_grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaf)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaf)
+
+
+def test_gridnet_image_grid():
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=6, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=6, patch_chunk=16)
+    x = jnp.ones((1, 4, 4, 16, 16, 3))  # (B, H, W, P, P, C)
+    vars_ = g.init(jax.random.key(0), x)
+    y = g.apply(vars_, x)
+    assert y.shape == (1, 4, 4, 6)
+
+
+def test_gridnet_mm_concat():
+    f_img = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                     num_classes=6, small_inputs=True)
+    f_cnt = CountMLP(n_classes=6)
+    g = GridNetHexMM(image_classifier=f_img, count_classifier=f_cnt, n_classes=6)
+    x_img = jnp.ones((1, 4, 4, 16, 16, 3))
+    x_cnt = jnp.ones((1, 4, 4, 25))
+    vars_ = g.init(jax.random.key(0), (x_img, x_cnt))
+    pp = g.apply(vars_, (x_img, x_cnt), method="patch_predictions")
+    assert pp.shape == (1, 4, 4, 12)  # count 6 + image 6, count first
+    y = g.apply(vars_, (x_img, x_cnt))
+    assert y.shape == (1, 4, 4, 6)
+
+
+# ---------------------------------------------------------------------------
+# Torch parity (torch CPU is available in the environment)
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+
+
+def _torch_densenet(num_classes=5):
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from gridnext.densenet import DenseNet as TorchDenseNet
+    return TorchDenseNet(growth_rate=4, block_config=(2, 2), compression=0.5,
+                         num_init_features=8, bn_size=4, drop_rate=0,
+                         num_classes=num_classes, small_inputs=False, efficient=False)
+
+
+def test_densenet_torch_parity():
+    tm = _torch_densenet()
+    tm.eval()
+    sd = tm.state_dict()
+
+    from gridnext_tpu.compat.torch_convert import densenet_from_torch
+    variables = densenet_from_torch(sd, block_config=(2, 2), small_inputs=False)
+
+    m = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                 bn_size=4, num_classes=5, small_inputs=False)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_count_mlp_torch_parity():
+    tn = torch.nn.Sequential(
+        torch.nn.Linear(40, 500), torch.nn.Linear(500, 100),
+        torch.nn.BatchNorm1d(100), torch.nn.ReLU(),
+        torch.nn.Linear(100, 100), torch.nn.Linear(100, 50),
+        torch.nn.BatchNorm1d(50), torch.nn.ReLU(),
+        torch.nn.Linear(50, 7))
+    tn.eval()
+
+    from gridnext_tpu.compat.torch_convert import count_mlp_from_torch
+    variables = count_mlp_from_torch(tn.state_dict())
+    m = CountMLP(n_classes=7)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 40)).astype(np.float32)
+    with torch.no_grad():
+        want = tn(torch.from_numpy(x)).numpy()
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
