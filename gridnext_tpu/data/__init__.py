@@ -1,0 +1,9 @@
+from gridnext_tpu.data.datasets import (  # noqa: F401
+    CountGridDataset,
+    CountSpotDataset,
+    MMStackDataset,
+    PatchGridDataset,
+    PatchSpotDataset,
+    create_visium_dataset,
+)
+from gridnext_tpu.data.simulate import simulate_spaceranger_dir  # noqa: F401

@@ -1,0 +1,419 @@
+"""Array-backed dataset classes and the ``create_visium_dataset`` factory.
+
+Same roles as the reference's torch Datasets (count_datasets.py,
+image_datasets.py, multimodal_datasets.py, visium_datasets.py:21-132) but
+returning numpy arrays shaped for TPU consumption:
+
+* count grids   (H, W, n_genes)  float32, odd-right, channels-LAST
+* patch grids   (H, W, P, P, 3)  float32 in [0, 1]
+* label grids   (H, W)           int64, 0 = background, 1..N foreground
+* spot datasets (n_genes,) / (P, P, 3) per item with labels in [0, N)
+
+``materialize()`` stacks a whole dataset into (inputs, labels) array pairs --
+the form the jitted train loops consume. ``__getitem__`` stays lazy per
+array/spot for parity with the reference's map-style access.
+
+File-format cache contracts preserved: ``<array>.unified.tsv.gz`` count files
+(visium_datasets.py:69) and ``<array>_patches{N}px|{N}um`` patch dirs
+(visium_datasets.py:78-88) with ``{name}_{array_col}_{array_row}.jpg`` spot
+patches.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import re
+from pathlib import Path
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from gridnext_tpu import geometry
+from gridnext_tpu.io.annotations import (
+    encode_annot_grid,
+    encode_labels,
+    read_annotated_starray,
+    read_annotfile,
+    union_classes,
+)
+from gridnext_tpu.io.spaceranger import find_position_file
+from gridnext_tpu.io.unify import prepare_count_files
+
+
+def _check_lengths(files, annot_files, position_files, Visium):
+    if annot_files is not None and len(files) != len(annot_files):
+        raise ValueError("Length of data files and annot_files must match.")
+    if Visium and annot_files is not None:
+        if position_files is None:
+            raise ValueError(
+                "Must provide Spaceranger position files mapping barcodes to array locations.")
+        if len(position_files) != len(annot_files):
+            raise ValueError(
+                "Number of Spaceranger position files does not match number of annotation files.")
+
+
+class _GridDatasetBase:
+    """Common: per-array lazy access + stacked materialization."""
+
+    def __len__(self):
+        return self._n_arrays
+
+    def materialize(self):
+        xs, ys = [], []
+        for i in range(len(self)):
+            x, y = self[i]
+            xs.append(x)
+            ys.append(y)
+        return np.stack(xs), np.stack(ys)
+
+
+@functools.lru_cache(maxsize=2)
+def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
+    import pandas as pd
+
+    return pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
+
+
+class CountGridDataset(_GridDatasetBase):
+    """Per-array (H, W, n_genes) count grids + (H, W) label grids."""
+
+    def __init__(self, count_files: Sequence, annot_files: Optional[Sequence] = None,
+                 position_files: Optional[Sequence] = None, Visium: bool = True,
+                 select_genes: Optional[Sequence[str]] = None,
+                 h_st: int = geometry.VISIUM_H_ST, w_st: int = geometry.VISIUM_W_ST,
+                 cfile_delim: str = "\t", afile_delim: str = "\t"):
+        _check_lengths(count_files, annot_files, position_files, Visium)
+        self.count_files = list(count_files)
+        self.annot_files = list(annot_files) if annot_files is not None else None
+        self.position_files = list(position_files) if position_files is not None else None
+        self.select_genes = select_genes
+        self.h_st, self.w_st = h_st, w_st
+        self.Visium = Visium
+        self.cfile_delim = cfile_delim
+        self.afile_delim = afile_delim
+        self._n_arrays = len(self.count_files)
+
+        self.classes = None
+        if Visium and annot_files is not None:
+            self.classes = union_classes(self.annot_files, self.position_files)
+
+    def __getitem__(self, idx):
+        af = self.annot_files[idx] if self.annot_files is not None else None
+        pf = self.position_files[idx] if self.position_files is not None else None
+        counts, annots = read_annotated_starray(
+            self.count_files[idx], af, select_genes=self.select_genes,
+            h_st=self.h_st, w_st=self.w_st, Visium=self.Visium,
+            position_file=pf, cfile_delim=self.cfile_delim,
+            afile_delim=self.afile_delim)
+        if annots.dtype.kind not in "iu":
+            annots = encode_annot_grid(annots, self.classes)
+        return counts.astype(np.float32), annots.astype(np.int64)
+
+
+class CountSpotDataset:
+    """Flattened annotated spots: (n_genes,) vectors with labels in [0, N).
+
+    Reference parity: CountDataset (count_datasets.py:77-213), but backed by
+    a whole-file read with a small LRU cache instead of one TSV scan per spot
+    (the reference's pathological per-__getitem__ pd.read_csv,
+    count_datasets.py:185-187).
+    """
+
+    def __init__(self, count_files: Sequence, annot_files: Optional[Sequence] = None,
+                 position_files: Optional[Sequence] = None, Visium: bool = True,
+                 select_genes: Optional[Sequence[str]] = None,
+                 cfile_delim: str = "\t", afile_delim: str = ","):
+        _check_lengths(count_files, annot_files, position_files, Visium)
+        self.count_files = list(count_files)
+        self.select_genes = select_genes
+        self.cfile_delim = cfile_delim
+
+        self.classes = None
+        self._index = []  # (file, coord_str)
+        self.annotations = []
+
+        if annot_files is not None and Visium:
+            self.classes = union_classes(annot_files, position_files, afile_delim)
+
+        rxp = re.compile(r"\d+_\d+")
+        for i, cf in enumerate(self.count_files):
+            frame = _read_count_frame(cf, cfile_delim)
+            if annot_files is not None:
+                if Visium:
+                    coord_strs, annot_strs = read_annotfile(
+                        annot_files[i], position_file=position_files[i])
+                    annot_lbls = encode_labels(annot_strs, self.classes)
+                else:
+                    coord_strs, annot_lbls = read_annotfile(
+                        annot_files[i], Visium=False, afile_delim=afile_delim)
+                adict = dict(zip(coord_strs, annot_lbls))
+                for cstr in frame.columns:
+                    if cstr in adict:
+                        self._index.append((cf, cstr))
+                        self.annotations.append(int(adict[cstr]))
+            else:
+                for cstr in frame.columns:
+                    if rxp.match(cstr):
+                        self._index.append((cf, cstr))
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, idx):
+        cf, cstr = self._index[idx]
+        frame = _read_count_frame(cf, self.cfile_delim)
+        col = frame[cstr]
+        if self.select_genes is not None:
+            col = col.loc[self.select_genes]
+        label = self.annotations[idx] if self.annotations else 0
+        return col.values.astype(np.float32), np.int64(label)
+
+    def materialize(self):
+        xs = np.stack([self[i][0] for i in range(len(self))])
+        ys = np.array(self.annotations if self.annotations
+                      else np.zeros(len(self)), dtype=np.int64)
+        return xs, ys
+
+
+_PATCH_RXP_TMPL = r".*_(\d+)_(\d+)\.%s"
+
+
+def _load_patch(path, transform: Optional[Callable]):
+    from PIL import Image
+
+    img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    if transform is not None:
+        img = transform(img)
+    return img
+
+
+class PatchGridDataset(_GridDatasetBase):
+    """Per-array (H, W, P, P, 3) patch grids + (H, W) label grids.
+
+    Patches load from ``{imgdir}/*_{array_col}_{array_row}.{ext}`` files
+    (image_datasets.py:125-232 contract), float32 in [0, 1], channels-last.
+    """
+
+    def __init__(self, img_dirs: Sequence, annot_files: Optional[Sequence] = None,
+                 position_files: Optional[Sequence] = None, Visium: bool = True,
+                 img_transforms: Optional[Callable] = None, afile_delim: str = ",",
+                 img_ext: str = "jpg", h_st: int = geometry.VISIUM_H_ST,
+                 w_st: int = geometry.VISIUM_W_ST):
+        _check_lengths(img_dirs, annot_files, position_files, Visium)
+        self.img_dirs = list(img_dirs)
+        self.annot_files = list(annot_files) if annot_files is not None else None
+        self.position_files = list(position_files) if position_files is not None else None
+        self.Visium = Visium
+        self.transform = img_transforms
+        self.afile_delim = afile_delim
+        self.img_ext = img_ext
+        self.h_st, self.w_st = h_st, w_st
+        self._n_arrays = len(self.img_dirs)
+
+        self.classes = None
+        if Visium and annot_files is not None:
+            self.classes = union_classes(self.annot_files, self.position_files,
+                                         afile_delim)
+
+    def __getitem__(self, idx):
+        adict = None
+        if self.annot_files is not None:
+            if self.Visium:
+                coord_strs, annot_strs = read_annotfile(
+                    self.annot_files[idx], position_file=self.position_files[idx],
+                    Visium=True, afile_delim=self.afile_delim)
+                annot_lbls = encode_labels(annot_strs, self.classes)
+            else:
+                coord_strs, annot_lbls = read_annotfile(
+                    self.annot_files[idx], Visium=False, afile_delim=self.afile_delim)
+            adict = dict(zip(coord_strs, annot_lbls))
+
+        annots = np.zeros((self.h_st, self.w_st), dtype=np.int64)
+        patch_grid = None
+        rxp = re.compile(_PATCH_RXP_TMPL % self.img_ext)
+        for f in sorted(os.listdir(str(self.img_dirs[idx]))):
+            m = rxp.match(f)
+            if m is None:
+                continue
+            a_x, a_y = int(m.group(1)), int(m.group(2))
+            patch = _load_patch(os.path.join(str(self.img_dirs[idx]), f),
+                                self.transform)
+            if patch_grid is None:
+                patch_grid = np.zeros((self.h_st, self.w_st) + patch.shape,
+                                      dtype=np.float32)
+            x, y = (geometry.pseudo_hex_to_oddr(a_x, a_y) if self.Visium
+                    else (a_x, a_y))
+            if adict is not None:
+                cstr = f"{a_x}_{a_y}"
+                if cstr in adict:
+                    annots[y, x] = adict[cstr] + 1  # 0 reserved for background
+            patch_grid[y, x] = patch
+        if patch_grid is None:
+            raise ValueError(f"No patches found in {self.img_dirs[idx]}")
+        return patch_grid, annots
+
+
+class PatchSpotDataset:
+    """Individual spot patches with labels in [0, N) (image_datasets.py:20-122)."""
+
+    def __init__(self, img_dirs: Sequence, annot_files: Optional[Sequence] = None,
+                 position_files: Optional[Sequence] = None, Visium: bool = True,
+                 img_transforms: Optional[Callable] = None, afile_delim: str = ",",
+                 img_ext: str = "jpg"):
+        _check_lengths(img_dirs, annot_files, position_files, Visium)
+        self.transform = img_transforms
+        self.imgpath_mapping = []
+        self.annotations = []
+        self.classes = None
+
+        if annot_files is not None:
+            if Visium:
+                self.classes = union_classes(annot_files, position_files, afile_delim)
+            for i, (imdir, afile) in enumerate(zip(img_dirs, annot_files)):
+                if Visium:
+                    coord_strs, annot_strs = read_annotfile(
+                        afile, position_file=position_files[i], Visium=True,
+                        afile_delim=afile_delim)
+                    annot_lbls = encode_labels(annot_strs, self.classes)
+                else:
+                    coord_strs, annot_lbls = read_annotfile(
+                        afile, Visium=False, afile_delim=afile_delim)
+                adict = dict(zip(coord_strs, annot_lbls))
+                for imfile in sorted(glob.glob(os.path.join(str(imdir), "*." + img_ext))):
+                    cstr = "_".join(Path(imfile).stem.split("_")[-2:])
+                    if cstr in adict:
+                        self.annotations.append(int(adict[cstr]))
+                        self.imgpath_mapping.append(imfile)
+        else:
+            for imdir in img_dirs:
+                self.imgpath_mapping.extend(
+                    sorted(glob.glob(os.path.join(str(imdir), "*." + img_ext))))
+
+    def __len__(self):
+        return len(self.imgpath_mapping)
+
+    def __getitem__(self, idx):
+        img = _load_patch(self.imgpath_mapping[idx], self.transform)
+        label = self.annotations[idx] if self.annotations else 0
+        return img, np.int64(label)
+
+    def materialize(self):
+        xs = np.stack([self[i][0] for i in range(len(self))])
+        ys = np.array(self.annotations if self.annotations
+                      else np.zeros(len(self)), dtype=np.int64)
+        return xs, ys
+
+
+class MMStackDataset(_GridDatasetBase):
+    """Pairs an image and a count grid dataset; zeroes label disagreements.
+
+    (multimodal_datasets.py:21-37 semantics.) Items are ((x_image, x_count), y).
+    """
+
+    def __init__(self, image_dataset, count_dataset):
+        if len(image_dataset) != len(count_dataset):
+            raise ValueError("Datasets must be of the same length!")
+        self.image_dataset = image_dataset
+        self.count_dataset = count_dataset
+        self._n_arrays = len(image_dataset)
+        self.classes = getattr(image_dataset, "classes", None)
+
+    def __getitem__(self, idx):
+        x1, y1 = self.image_dataset[idx]
+        x2, y2 = self.count_dataset[idx]
+        y = np.where(y1 != y2, 0, y1)
+        return (x1, x2), y
+
+    def materialize(self):
+        xi, xc, ys = [], [], []
+        for i in range(len(self)):
+            (x1, x2), y = self[i]
+            xi.append(x1)
+            xc.append(x2)
+            ys.append(y)
+        return (np.stack(xi), np.stack(xc)), np.stack(ys)
+
+
+def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
+                          use_image: bool = True, spatial: bool = True,
+                          annot_files: Optional[Sequence] = None,
+                          fullres_image_files: Optional[Sequence] = None,
+                          count_suffix: str = ".unified.tsv.gz",
+                          minimum_detection_rate: Optional[float] = 0.02,
+                          patch_size_px: Optional[int] = None,
+                          patch_size_um: Optional[float] = 100.0,
+                          img_transforms: Optional[Callable] = None,
+                          select_genes: Optional[Sequence[str]] = None,
+                          save_patches_to=None):
+    """Top-level dataset factory (visium_datasets.py:21-132 parity).
+
+    Generates missing ``.unified.tsv.gz`` count caches and ``_patches*`` image
+    caches, then dispatches on (spatial, modality) to the dataset classes.
+    """
+    if not (use_count or use_image):
+        raise ValueError("Must utilize at least one data modality")
+    if use_image and not (patch_size_px or patch_size_um):
+        raise ValueError("Must specify patch size in pixels (int) or um (float)")
+
+    spaceranger_dirs = [str(s) for s in spaceranger_dirs]
+
+    count_files = None
+    if use_count:
+        count_files = [os.path.join(srd, Path(srd).name + count_suffix)
+                       for srd in spaceranger_dirs]
+        if not all(os.path.exists(cf) for cf in count_files):
+            print(f"No unified countfiles detected (*{count_suffix}) -- generating...")
+            prepare_count_files(spaceranger_dirs, count_suffix, minimum_detection_rate)
+
+    patch_dirs = None
+    if use_image:
+        from gridnext_tpu.pipeline import distance_um_to_px, save_visium_patches
+
+        patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
+                        else f"_patches{int(patch_size_um)}um")
+        if save_patches_to is None:
+            patch_dirs = [os.path.join(srd, Path(srd).name + patch_suffix)
+                          for srd in spaceranger_dirs]
+        else:
+            os.makedirs(save_patches_to, exist_ok=True)
+            patch_dirs = [os.path.join(str(save_patches_to), Path(srd).name + patch_suffix)
+                          for srd in spaceranger_dirs]
+        if not all(os.path.exists(pd_) for pd_ in patch_dirs):
+            print(f"No extracted image patches detected (*{patch_suffix}) -- generating...")
+            if fullres_image_files is None:
+                raise ValueError("Must provide fullres_image_files to extract image patches")
+            for imfile, pdir, srd in zip(fullres_image_files, patch_dirs, spaceranger_dirs):
+                if not os.path.exists(imfile):
+                    raise ValueError(f"Could not find image file: {imfile}")
+                ps = (patch_size_px if patch_size_px is not None
+                      else distance_um_to_px(srd, patch_size_um))
+                save_visium_patches(imfile, srd, pdir, patch_size=ps)
+
+    position_files = [find_position_file(srd) for srd in spaceranger_dirs]
+
+    if spatial:
+        dat_image = dat_count = None
+        if use_image:
+            dat_image = PatchGridDataset(patch_dirs, annot_files=annot_files,
+                                         position_files=position_files, Visium=True,
+                                         img_transforms=img_transforms)
+        if use_count:
+            dat_count = CountGridDataset(count_files, annot_files=annot_files,
+                                         position_files=position_files, Visium=True,
+                                         select_genes=select_genes)
+        if use_image and use_count:
+            return MMStackDataset(dat_image, dat_count)
+        return dat_image if use_image else dat_count
+
+    if use_image and use_count:
+        raise NotImplementedError(
+            "Need to ensure indexing matches between spots in datasets")
+    if use_image:
+        return PatchSpotDataset(patch_dirs, annot_files=annot_files,
+                                position_files=position_files, Visium=True,
+                                img_transforms=img_transforms)
+    return CountSpotDataset(count_files, annot_files=annot_files,
+                            position_files=position_files, Visium=True,
+                            select_genes=select_genes)

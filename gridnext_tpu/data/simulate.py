@@ -1,0 +1,154 @@
+"""Pseudo-Visium simulation: fabricate complete Spaceranger-shaped fixtures.
+
+Generalizes the reference's ``pseudo_visium_spots`` (imgprocess.py:294-349),
+which fills packaged templates. We *generate* the full 78x64 lattice instead
+of shipping a barcode template: synthetic barcodes, v2-format
+``tissue_positions.csv``, ``scalefactors_json.json``, a sparse MEX count
+matrix, a Loupe annotation CSV, and (optionally) a fullres tissue image whose
+color varies smoothly with position -- enough to exercise every io/data/model
+path in this package with zero downloads.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from gridnext_tpu import geometry
+
+
+def lattice_positions(h_st: int = geometry.VISIUM_H_ST,
+                      w_st: int = geometry.VISIUM_W_ST):
+    """All (barcode, array_col, array_row) for the full lattice."""
+    rows = np.repeat(np.arange(h_st), w_st)
+    cols_oddr = np.tile(np.arange(w_st), h_st)
+    col, row = geometry.oddr_to_pseudo_hex(cols_oddr, rows)
+    barcodes = np.array([f"SYN{c:03d}X{r:03d}-1" for c, r in zip(col, row)])
+    return barcodes, col, row
+
+
+def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
+                             seed: int = 0, tissue_fraction: float = 0.6,
+                             image: bool = False, spot_spacing_px: int = 12,
+                             spaceranger_version: int = 2):
+    """Create ``dest_dir`` as a fake Spaceranger output directory.
+
+    The simulated tissue is an ellipse; annotation classes are concentric
+    bands within it (spatially coherent, so a corrector has signal to use).
+    Per-class gene expression is drawn from class-specific Poisson rates so a
+    spot classifier can learn, too.
+
+    Returns a dict with paths and the ground-truth label grid.
+    """
+    rng = np.random.default_rng(seed)
+    dest = Path(dest_dir)
+    spatial = dest / "outs" / "spatial"
+    matdir = dest / "outs" / "filtered_feature_bc_matrix"
+    spatial.mkdir(parents=True, exist_ok=True)
+    matdir.mkdir(parents=True, exist_ok=True)
+
+    h_st, w_st = geometry.VISIUM_H_ST, geometry.VISIUM_W_ST
+    barcodes, col, row = lattice_positions()
+    xs, ys = geometry.pseudo_to_true_hex(col, row)
+
+    # Elliptical tissue mask around the array center.
+    cx, cy = np.mean(xs), np.mean(ys)
+    rx = (xs.max() - xs.min()) / 2 * tissue_fraction
+    ry = (ys.max() - ys.min()) / 2 * tissue_fraction
+    r2 = ((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2
+    in_tissue = (r2 <= 1.0).astype(int)
+
+    # Concentric annotation bands 1..n_classes (0 reserved for background).
+    band = np.minimum((np.sqrt(r2) * n_classes).astype(int), n_classes - 1)
+    labels = np.where(in_tissue == 1, band + 1, 0)
+
+    # Pixel coordinates on a fake fullres image.
+    margin = 2 * spot_spacing_px
+    px_col = np.rint(xs * spot_spacing_px + margin).astype(int)
+    px_row = np.rint(ys * spot_spacing_px + margin).astype(int)
+
+    # --- tissue_positions file -------------------------------------------
+    import pandas as pd
+
+    pos = pd.DataFrame({
+        "barcode": barcodes, "in_tissue": in_tissue,
+        "array_row": row, "array_col": col,
+        "pxl_row_in_fullres": px_row, "pxl_col_in_fullres": px_col,
+    })
+    if spaceranger_version >= 2:
+        pos_path = spatial / "tissue_positions.csv"
+        pos.to_csv(pos_path, index=False)
+    else:
+        pos_path = spatial / "tissue_positions_list.csv"
+        pos.to_csv(pos_path, index=False, header=False)
+
+    # --- scalefactors ------------------------------------------------------
+    scale = {"spot_diameter_fullres": spot_spacing_px * 0.55,
+             "fiducial_diameter_fullres": spot_spacing_px * 0.85,
+             "tissue_hires_scalef": 0.1, "tissue_lowres_scalef": 0.03}
+    with open(spatial / "scalefactors_json.json", "w") as fh:
+        json.dump(scale, fh)
+
+    # --- MEX count matrix (in-tissue barcodes only, like Spaceranger) ------
+    keep = in_tissue == 1
+    kept_barcodes = barcodes[keep]
+    rates = rng.gamma(2.0, 2.0, size=(n_classes, n_genes))  # class signatures
+    counts = rng.poisson(rates[labels[keep] - 1])  # (n_spots, n_genes)
+
+    gene_ids = [f"ENSG{i:05d}" for i in range(n_genes)]
+    gene_names = [f"Gene{i}" for i in range(n_genes)]
+    with gzip.open(matdir / "features.tsv.gz", "wt") as fh:
+        for gid, gname in zip(gene_ids, gene_names):
+            fh.write(f"{gid}\t{gname}\tGene Expression\n")
+    with gzip.open(matdir / "barcodes.tsv.gz", "wt") as fh:
+        fh.write("\n".join(kept_barcodes) + "\n")
+
+    nz = np.nonzero(counts.T)  # MEX is (genes x barcodes)
+    with gzip.open(matdir / "matrix.mtx.gz", "wt") as fh:
+        fh.write("%%MatrixMarket matrix coordinate integer general\n%\n")
+        fh.write(f"{n_genes} {len(kept_barcodes)} {len(nz[0])}\n")
+        for g, b in zip(*nz):
+            fh.write(f"{g + 1} {b + 1} {counts[b, g]}\n")
+
+    # --- Loupe annotation CSV ----------------------------------------------
+    class_names = [f"Layer{i + 1}" for i in range(n_classes)]
+    annot_path = dest / "annotations.csv"
+    with open(annot_path, "w") as fh:
+        fh.write("Barcode,AARs\n")
+        for b, l in zip(barcodes[keep], labels[keep]):
+            fh.write(f"{b},{class_names[l - 1]}\n")
+
+    # --- optional fullres image ---------------------------------------------
+    img_path = None
+    if image:
+        from PIL import Image
+
+        W = int(px_col.max() + margin)
+        H = int(px_row.max() + margin)
+        img = np.full((H, W, 3), 255, dtype=np.uint8)
+        # paint class-colored discs at spot centers
+        palette = (np.stack([rng.permutation(256)[:n_classes] for _ in range(3)], 1)
+                   ).astype(np.uint8)
+        rad = spot_spacing_px // 2
+        for x0, y0, l in zip(px_col[keep], px_row[keep], labels[keep]):
+            img[max(0, y0 - rad):y0 + rad, max(0, x0 - rad):x0 + rad] = palette[l - 1]
+        img_path = dest / "fullres.jpg"
+        Image.fromarray(img).save(img_path, "JPEG", quality=95)
+
+    label_grid = np.zeros((h_st, w_st), dtype=np.int64)
+    ox, oy = geometry.pseudo_hex_to_oddr(col, row)
+    label_grid[oy, ox] = labels
+
+    return {
+        "spaceranger_dir": str(dest),
+        "position_file": str(pos_path),
+        "annot_file": str(annot_path),
+        "image_file": str(img_path) if img_path else None,
+        "label_grid": label_grid,
+        "class_names": class_names,
+        "n_genes": n_genes,
+    }

@@ -1,0 +1,100 @@
+"""Inference / registration path: foreground predictions and Loupe export.
+
+Parity targets: ``all_fgd_predictions`` (utils.py:20-57) and
+``to_loupe_annots`` (utils.py:169-193) of the reference. This is the
+"register a slide" serving path benchmarked by bench.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
+                        batch_size: int = 1):
+    """Run a grid model over a dataset and collect foreground predictions.
+
+    Args:
+      data: (inputs, labels) pair -- inputs (N, H, W, ...) array (or tuple of
+        arrays for multimodal), labels (N, H, W) with 0 = background.
+      model: GridNet-family module.
+      variables: flax variables for ``model``.
+      f_only: use ``patch_predictions`` (f outputs) instead of the corrected
+        grid, like the reference's flag (utils.py:33-36).
+
+    Returns:
+      (y_true, y_pred, y_smax): int labels in [0, N), argmax predictions and
+      softmax matrices, flattened over all foreground spots of all arrays.
+    """
+    inputs, labels = data
+    multi = isinstance(inputs, (tuple, list))
+    n = len(labels)
+
+    method = "patch_predictions" if f_only else None
+
+    @jax.jit
+    def forward(x):
+        if method:
+            return model.apply(variables, x, train=False, method=method)
+        return model.apply(variables, x, train=False)
+
+    true_vals, pred_vals, pred_smax = [], [], []
+    for i in range(0, n, batch_size):
+        if multi:
+            x = tuple(jnp.asarray(np.asarray(a)[i:i + batch_size]) for a in inputs)
+        else:
+            x = jnp.asarray(np.asarray(inputs)[i:i + batch_size])
+        y = np.asarray(labels)[i:i + batch_size]
+
+        logits = np.asarray(forward(x))                 # (b, H, W, C)
+        logits = logits.reshape(-1, logits.shape[-1])
+        y = y.reshape(-1)
+        fg = y > 0
+        logits = logits[fg]
+        y_fg = y[fg] - 1  # re-scale foreground labels to [0, N)
+
+        true_vals.append(y_fg)
+        pred_vals.append(np.argmax(logits, axis=1))
+        pred_smax.append(np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1)))
+
+    return (np.concatenate(true_vals), np.concatenate(pred_vals),
+            np.concatenate(pred_smax))
+
+
+def to_loupe_annots(annot_grid, position_file, output_file,
+                    annot_names: Optional[Sequence[str]] = None,
+                    zero_bg: bool = True):
+    """Write a Loupe-format (Barcode, AARs) CSV from an odd-right label grid.
+
+    ``annot_grid`` is (H, W) integer labels (foreground 1..N when
+    ``zero_bg``, else 0..N-1). Unlabeled in-tissue spots export as ''.
+    Matches utils.py:169-193.
+    """
+    import pandas as pd
+
+    from gridnext_tpu import geometry
+    from gridnext_tpu.io.spaceranger import read_positions_file
+
+    positions = read_positions_file(position_file)
+    annot_grid = np.asarray(annot_grid).squeeze()
+
+    barcodes, annotations = [], []
+    in_tissue = positions[positions["in_tissue"].astype(int) == 1]
+    x, y = geometry.pseudo_hex_to_oddr(in_tissue["array_col"].values,
+                                       in_tissue["array_row"].values)
+    for bc, xi, yi in zip(in_tissue.index, np.atleast_1d(x), np.atleast_1d(y)):
+        a = int(annot_grid[yi, xi]) - int(zero_bg)
+        if a < 0:
+            annotations.append("")
+        elif annot_names is not None:
+            annotations.append(annot_names[a])
+        else:
+            annotations.append(a)
+        barcodes.append(bc)
+
+    pd.DataFrame({"Barcode": barcodes, "AARs": annotations}).to_csv(
+        output_file, sep=",", index=False)

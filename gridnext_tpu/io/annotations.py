@@ -1,0 +1,177 @@
+"""Annotation-file readers (Loupe and Splotch formats) and grid assembly.
+
+* Loupe format: ``Barcode,<annotation>`` CSV exported from Loupe Browser;
+  joined against a positions file to get array coordinates (utils.py:220-233).
+* Splotch format: (annotations x '{x}_{y}' spot coords) binary one-hot TSV;
+  spots with column-sum != 1 are dropped (utils.py:235-244).
+
+``read_annotated_starray`` builds the (H, W, n_genes) count grid and (H, W)
+annotation grid for one array, exactly mirroring the dtype contract of the
+reference (utils.py:88-166): string grid (bg='') for Loupe annotations,
+int grid (bg=0, labels 1..N) for Splotch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from gridnext_tpu import geometry
+from gridnext_tpu.io.spaceranger import read_positions_file
+
+
+def read_annotfile(afile, position_file=None, afile_delim: str = ",",
+                   Visium: bool = True):
+    """Return paired (coord_strings, annotations) lists for one array.
+
+    Loupe path (``Visium=True``): annotations come back as *strings* (class
+    encoding must wait until the union over all arrays is known). Splotch
+    path: integer argmax labels over the one-hot matrix.
+    """
+    if Visium:
+        adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
+        pdat = read_positions_file(position_file)
+        adat = adat[adat.iloc[:, 0] != ""]
+        adat = adat.join(pdat, how="left").dropna()
+        coord_strs = [f"{int(x)}_{int(y)}" for x, y in
+                      zip(adat["array_col"], adat["array_row"])]
+        return coord_strs, adat.iloc[:, 0].values
+
+    adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
+    adat = adat.loc[:, adat.sum(axis=0) == 1]  # drop mis-annotated spots
+    return list(adat.columns), np.argmax(adat.values, axis=0)
+
+
+def union_classes(annot_files: Sequence, position_files: Sequence,
+                  afile_delim: str = ",") -> np.ndarray:
+    """Sorted union of annotation names across arrays.
+
+    This IS the label encoding of the reference: sklearn LabelEncoder fit on
+    np.union1d over arrays (count_datasets.py:117-125) assigns codes in
+    sorted order, which np.union1d already returns.
+    """
+    all_annots = np.array([])
+    for afile, pfile in zip(annot_files, position_files):
+        _, annot_strs = read_annotfile(afile, position_file=pfile,
+                                       afile_delim=afile_delim, Visium=True)
+        all_annots = np.union1d(all_annots, annot_strs)
+    return all_annots
+
+
+def encode_labels(values, classes: np.ndarray) -> np.ndarray:
+    """Map annotation strings to integer codes per ``classes`` order."""
+    idx = np.searchsorted(classes, values)
+    if np.any(classes[np.clip(idx, 0, len(classes) - 1)] != np.asarray(values)):
+        missing = set(np.asarray(values)) - set(classes)
+        raise ValueError(f"labels not in class list: {missing}")
+    return idx
+
+
+def read_annotated_starray(count_file, annot_file=None, select_genes=None,
+                           h_st: int = geometry.VISIUM_H_ST,
+                           w_st: int = geometry.VISIUM_W_ST,
+                           Visium: bool = True, position_file=None,
+                           cfile_delim: str = "\t", afile_delim: str = "\t"):
+    """Read one array's unified count file (+ annotations) into dense grids.
+
+    Returns:
+      counts_grid: (h_st, w_st, n_genes) float array, odd-right indexed.
+      annots_grid: (h_st, w_st) -- string array (bg '') for Loupe annotations
+        (Visium + position_file), int array (bg 0) for Splotch.
+    """
+    cmat = pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
+    if select_genes is not None:
+        cmat = cmat.loc[select_genes, :]
+    n_genes = cmat.shape[0]
+
+    adict = None
+    if annot_file is not None:
+        if position_file is not None:
+            coord_strs, annot_strs = read_annotfile(
+                annot_file, position_file=position_file, Visium=True)
+            str_len = max((len(a) for a in annot_strs), default=1)
+            annots_grid = np.empty((h_st, w_st), dtype=f"U{str_len}")
+            annots_grid[:] = ""
+            adict = dict(zip(coord_strs, annot_strs))
+        else:
+            coord_strs, annot_lbls = read_annotfile(
+                annot_file, Visium=False, afile_delim=afile_delim)
+            annots_grid = np.zeros((h_st, w_st), dtype=int)
+            adict = dict(zip(coord_strs, annot_lbls))
+    else:
+        annots_grid = np.zeros((h_st, w_st), dtype=int)
+
+    counts_grid = np.zeros((h_st, w_st, n_genes), dtype=float)
+
+    # Vectorized placement over the column coordinate strings.
+    coords = np.array([list(map(float, c.split("_"))) for c in cmat.columns])
+    if Visium:
+        x, y = geometry.pseudo_hex_to_oddr(coords[:, 0].astype(int),
+                                           coords[:, 1].astype(int))
+    else:
+        x = np.rint(coords[:, 0]).astype(int)
+        y = np.rint(coords[:, 1]).astype(int)
+
+    values = cmat.values.T  # (spots, genes)
+    for i, cstr in enumerate(cmat.columns):
+        if adict is not None:
+            if cstr in adict:
+                counts_grid[y[i], x[i]] = values[i]
+                if annots_grid.dtype.kind in "iu":
+                    annots_grid[y[i], x[i]] = adict[cstr] + 1  # 0 = background
+                else:
+                    annots_grid[y[i], x[i]] = adict[cstr]
+        else:
+            counts_grid[y[i], x[i]] = values[i]
+
+    return counts_grid, annots_grid
+
+
+def encode_annot_grid(annots_grid: np.ndarray, classes: np.ndarray) -> np.ndarray:
+    """String annotation grid -> int grid with bg 0, classes 1..N.
+
+    (count_datasets.py:296-300 semantics.)
+    """
+    if annots_grid.dtype.kind in "iu":
+        return annots_grid.astype(np.int64)
+    flat = annots_grid.ravel()
+    out = np.zeros(flat.shape, dtype=np.int64)
+    fg = flat != ""
+    out[fg] = encode_labels(flat[fg], classes) + 1
+    return out.reshape(annots_grid.shape)
+
+
+def to_splotch_annots(loupe_annotations: Sequence, spaceranger_dirs: Sequence,
+                      dest_dir, include_annots: Optional[Sequence[str]] = None):
+    """Convert Loupe annotation CSVs to Splotch one-hot TSVs (imgprocess.py:115-155)."""
+    import os
+    from pathlib import Path
+
+    from gridnext_tpu.io.spaceranger import read_positions
+
+    if include_annots is None:
+        annot_list = []
+        for afile in loupe_annotations:
+            adat = pd.read_csv(afile, header=0, sep=",")
+            col = adat[adat.columns[1]]
+            keep = [isinstance(a, str) and len(a) > 0 and a.lower() != "undefined"
+                    for a in col]
+            annot_list.append(col[keep])
+        include_annots = list(np.unique(np.concatenate(annot_list)))
+
+    for afile, srd in zip(loupe_annotations, spaceranger_dirs):
+        annots = pd.read_csv(afile, header=0, sep=",")
+        positions = read_positions(srd)
+        mat = np.zeros((len(include_annots), len(annots["Barcode"])), dtype=int)
+        coord_strs = []
+        for i, b in enumerate(annots["Barcode"]):
+            coord_strs.append("%d_%d" % (positions.loc[b, "array_col"],
+                                         positions.loc[b, "array_row"]))
+            a = annots.iloc[i, 1]
+            if a in include_annots:
+                mat[include_annots.index(a), i] = 1
+        frame = pd.DataFrame(mat, index=include_annots, columns=coord_strs)
+        outfile = os.path.join(str(dest_dir), Path(afile).name).replace("csv", "tsv")
+        frame.to_csv(outfile, sep="\t")

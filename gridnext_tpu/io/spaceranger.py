@@ -1,0 +1,125 @@
+"""Host-side Spaceranger output readers.
+
+File-format contracts preserved from the reference (these ARE the product):
+
+* position files -- Spaceranger v1 headerless CSV (`tissue_positions_list.csv`),
+  v2 headered CSV (`tissue_positions.csv`), and Visium HD parquet under
+  ``outs/binned_outputs/<binning>/spatial`` (utils.py:247-287).
+* feature-barcode matrix -- MEX triplet {matrix.mtx.gz, features.tsv.gz,
+  barcodes.tsv.gz} discovered anywhere below the directory
+  (utils.py:290-313, visium_datasets.py:178-205).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import gzip
+import os
+from pathlib import Path
+from typing import Mapping, Optional
+
+import numpy as np
+import pandas as pd
+
+_V1_COLUMNS = ["in_tissue", "array_row", "array_col",
+               "pxl_row_in_fullres", "pxl_col_in_fullres"]
+
+
+def find_position_file(spaceranger_dir, hd_binning: Optional[str] = None) -> str:
+    """Locate the tissue-positions file for an array (v1/v2/HD)."""
+    if hd_binning is not None:
+        pos_path = os.path.join(spaceranger_dir, "outs", "binned_outputs",
+                                hd_binning, "spatial", "tissue_positions.parquet")
+        if not os.path.exists(pos_path):
+            raise ValueError(
+                f"Cannot locate position file for {hd_binning} binning of {spaceranger_dir}")
+        return pos_path
+
+    for pos_path in glob.glob(os.path.join(str(spaceranger_dir), "**", "*.csv"),
+                              recursive=True):
+        if "tissue_positions" in os.path.basename(pos_path):
+            return pos_path
+    raise ValueError(f"Cannot locate position file for {spaceranger_dir}")
+
+
+def read_positions_file(position_file) -> pd.DataFrame:
+    """Read a positions file into a barcode-indexed DataFrame.
+
+    Columns: in_tissue, array_row, array_col, pxl_row_in_fullres,
+    pxl_col_in_fullres. Spaceranger version is sniffed from the header
+    (utils.py:253-270).
+    """
+    position_file = str(position_file)
+    if position_file.endswith(".parquet"):
+        return pd.read_parquet(position_file).set_index("barcode")
+
+    with open(position_file, "r") as fh:
+        first = fh.readline()
+    if first.startswith("barcode"):  # Spaceranger >= 2.0
+        return pd.read_csv(position_file, index_col=0, header=0)
+    return pd.read_csv(position_file, index_col=0, header=None, names=_V1_COLUMNS)
+
+
+def read_positions(spaceranger_dir, hd_binning: Optional[str] = None) -> pd.DataFrame:
+    return read_positions_file(find_position_file(spaceranger_dir, hd_binning))
+
+
+def find_feature_matrix_files(spaceranger_dir, hd_binning: Optional[str] = None) -> dict:
+    """Locate {matrix, features, barcodes} MEX files below a directory."""
+    values = {"matrix": "matrix.mtx.gz", "features": "features.tsv.gz",
+              "barcodes": "barcodes.tsv.gz"}
+    found = {}
+    if hd_binning is not None:
+        mat_dir = os.path.join(spaceranger_dir, "outs", "binned_outputs",
+                               hd_binning, "filtered_feature_bc_matrix")
+        for k, v in values.items():
+            p = os.path.join(mat_dir, v)
+            if os.path.exists(p):
+                found[k] = p
+    else:
+        paths = glob.glob(os.path.join(str(spaceranger_dir), "**"), recursive=True)
+        for k, v in values.items():
+            for p in paths:
+                if v in p:
+                    found[k] = p
+                    break
+    if all(k in found for k in values):
+        return found
+    raise ValueError(f"Cannot locate matrix files for {spaceranger_dir}")
+
+
+def read_feature_matrix(spaceranger_dir=None, individual_files: Optional[Mapping] = None,
+                        hd_binning: Optional[str] = None) -> pd.DataFrame:
+    """Read a Spaceranger run into a dense (genes x barcodes) DataFrame.
+
+    visium_datasets.py:178-205 analog; returns a dense frame (the sparse
+    pandas accessor buys nothing downstream since unification densifies).
+    """
+    import scipy.io
+
+    if individual_files is None:
+        individual_files = find_feature_matrix_files(spaceranger_dir, hd_binning)
+
+    mat = scipy.io.mmread(individual_files["matrix"]).tocsr()
+    with gzip.open(individual_files["features"], "rt") as fh:
+        feature_ids = [row[0] for row in csv.reader(fh, delimiter="\t")]
+    with gzip.open(individual_files["barcodes"], "rt") as fh:
+        barcodes = [row[0] for row in csv.reader(fh, delimiter="\t")]
+    return pd.DataFrame(mat.toarray(), index=feature_ids, columns=barcodes)
+
+
+def read_feature_names(spaceranger_dir=None, individual_files: Optional[Mapping] = None,
+                       hd_binning: Optional[str] = None) -> pd.DataFrame:
+    """ENSEMBL -> gene_symbol mapping from features.tsv.gz (visium_datasets.py:209-217)."""
+    if individual_files is None:
+        individual_files = find_feature_matrix_files(spaceranger_dir, hd_binning)
+    return pd.read_csv(individual_files["features"], header=None, index_col=0,
+                       sep="\t", names=["ENSEMBL", "gene_symbol"], usecols=[0, 1])
+
+
+def positions_to_coord_strings(positions: pd.DataFrame, barcodes) -> list:
+    """Barcodes -> '{array_col}_{array_row}' coordinate strings."""
+    sub = positions.loc[barcodes]
+    return [f"{int(x)}_{int(y)}" for x, y in
+            zip(sub["array_col"].values, sub["array_row"].values)]

@@ -1,0 +1,67 @@
+"""Cross-array gene unification: the `.unified.tsv.gz` cache contract.
+
+``prepare_count_files`` reads every array's MEX matrix, renames barcodes to
+'{array_col}_{array_row}' coordinate strings, outer-joins the gene axis
+across arrays (missing genes filled with 0), drops genes detected in fewer
+than ``minimum_detection_rate`` of all spots, and writes one
+``<array>.unified.tsv.gz`` per Spaceranger directory
+(visium_datasets.py:136-174 semantics, including the gene sort from
+pd.concat(sort=True)).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from gridnext_tpu.io.spaceranger import (
+    read_feature_matrix,
+    read_positions,
+    positions_to_coord_strings,
+)
+
+
+def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.gz",
+                        minimum_detection_rate: Optional[float] = 0.02,
+                        verbose: bool = True) -> list:
+    """Generate unified count files; returns the list of written paths."""
+    frames, out_stems = [], []
+    for srd in spaceranger_dirs:
+        df = read_feature_matrix(srd)
+        positions = read_positions(srd)
+        df.columns = positions_to_coord_strings(positions, df.columns)
+        frames.append(df)
+        out_stems.append(os.path.join(str(srd), Path(srd).name))
+
+    for stem, frame in zip(out_stems, frames):
+        frame.columns = pd.MultiIndex.from_product(
+            [[stem], frame.columns], names=["Sample", "Coordinate"])
+        frame.index.name = "Gene"
+
+    result = pd.concat(frames, axis=1, sort=True)
+    if verbose:
+        print(f"We have detected {result.shape[0]} genes across all samples")
+    result = result.fillna(0).astype(int)
+
+    if minimum_detection_rate is not None:
+        keep = ((result > 0).sum(axis=1) / float(result.shape[1])) > minimum_detection_rate
+        result = result[keep]
+        if verbose:
+            print("We keep %d genes after discarding the lowly expressed genes "
+                  "(detected in less than %.2f%% of the ST spots)"
+                  % (result.shape[0], 100.0 * minimum_detection_rate))
+
+    if verbose:
+        print("The median sequencing depth across the ST spots is %d"
+              % np.median(result.sum(axis=0)))
+
+    written = []
+    for stem in result.columns.levels[0]:
+        path = stem + suffix
+        result[stem].to_csv(path, sep="\t", index=True)
+        written.append(path)
+    return written

@@ -1,0 +1,305 @@
+"""Training loops: jitted optax steps with reference-parity semantics.
+
+Re-design of the reference's torch epoch loops (training.py:11-209):
+
+* ``train_spotwise`` -- spot classifier f, plain CE over (B, n_classes).
+* ``train_gridwise`` -- grid corrector g (optionally fine-tuning f through a
+  second learning rate): outputs (B, H, W, C) are flattened, background
+  (label 0) is masked out, foreground labels are shifted to [0, N)
+  (training.py:152-157 mask-and-shift semantics preserved exactly), loss is
+  the mean CE over foreground spots.
+* best-validation-loss snapshotting of params (+opt state), restored before
+  return (training.py:79-97,184-208) -- the snapshot lives in host RAM and is
+  optionally serialized to ``outfile`` via flax.serialization.
+* gradient accumulation via ``optax.MultiSteps`` (the ``accum_iters`` analog).
+* separate f/g optimizers as one ``optax.multi_transform`` keyed on the
+  top-level param collection name -- f params are frozen unless ``f_lr`` is
+  given, matching the tutorials (Tutorial_visium_count.ipynb cell 22 freezes
+  f; register_concat fine-tunes it with its own Adam).
+
+Everything inside the step is fixed-shape: background masking is a
+``where``-mask reduction, never boolean indexing, so one XLA program serves
+every array. Metrics come back as a small device scalar dict per step and
+are reduced on host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable, Mapping, Optional
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+# f-network param collections inside GridNet* modules (models/gridnet.py)
+_F_KEYS = ("patch_classifier", "image_classifier", "count_classifier")
+
+
+def _param_labels(params):
+    # optax.multi_transform wants a label tree congruent with params: label
+    # every leaf under an f-network collection "f", everything else "g".
+    return {
+        k: jax.tree.map(lambda _: "f" if k in _F_KEYS else "g", v)
+        for k, v in params.items()
+    }
+
+
+def make_gridwise_optimizer(lr: float = 1e-3, f_lr: Optional[float] = None,
+                            accum_iters: int = 1) -> optax.GradientTransformation:
+    """g-optimizer (+optional f fine-tune optimizer) with grad accumulation."""
+    f_tx = optax.adam(f_lr) if f_lr is not None else optax.set_to_zero()
+    tx = optax.multi_transform({"g": optax.adam(lr), "f": f_tx}, _param_labels)
+    if accum_iters > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_iters)
+    return tx
+
+
+def create_train_state(model: nn.Module, rng, sample_input, tx,
+                       train_init: bool = False) -> TrainState:
+    variables = model.init(rng, sample_input, train=train_init)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray):
+    """Foreground-masked CE.
+
+    Args:
+      logits: (..., C) raw scores.
+      labels: (...,) integer labels with 0 = background, 1..C = foreground.
+
+    Returns:
+      (loss, n_correct, n_foreground): mean CE over foreground, plus
+      accuracy numerator/denominator.
+    """
+    logits = logits.reshape(-1, logits.shape[-1])
+    labels = labels.reshape(-1)
+    mask = labels > 0
+    fg_labels = jnp.maximum(labels - 1, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, fg_labels)
+    n_fg = jnp.sum(mask)
+    loss = jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.maximum(n_fg, 1)
+    preds = jnp.argmax(logits, axis=-1)
+    n_correct = jnp.sum(jnp.where(mask, preds == fg_labels, False))
+    return loss, n_correct, n_fg
+
+
+def _spot_loss(logits, labels):
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    n_correct = jnp.sum(jnp.argmax(logits, -1) == labels)
+    return jnp.mean(ce), n_correct, labels.shape[0]
+
+
+def _make_steps(model: nn.Module, tx, loss_kind: str):
+    """Build jitted (train_step, eval_step) closures for a model + optimizer."""
+
+    loss_fn = masked_cross_entropy if loss_kind == "grid" else _spot_loss
+
+    def forward(params, batch_stats, x, train, mutable):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if mutable:
+            return model.apply(variables, x, train=train, mutable=["batch_stats"])
+        return model.apply(variables, x, train=train), {}
+
+    @jax.jit
+    def train_step(state: TrainState, x, y):
+        def compute(params):
+            logits, mut = forward(params, state.batch_stats, x, True,
+                                  state.batch_stats is not None)
+            loss, n_corr, n = loss_fn(logits, y)
+            return loss, (n_corr, n, mut)
+
+        (loss, (n_corr, n, mut)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_bs = mut.get("batch_stats", state.batch_stats)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  batch_stats=new_bs, step=state.step + 1)
+        return new_state, {"loss": loss, "n_correct": n_corr, "n": n}
+
+    @jax.jit
+    def eval_step(state: TrainState, x, y):
+        logits, _ = forward(state.params, state.batch_stats, x, False, False)
+        loss, n_corr, n = loss_fn(logits, y)
+        return {"loss": loss, "n_correct": n_corr, "n": n}
+
+    return train_step, eval_step
+
+
+def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
+    """Yield (x, y) numpy minibatches from an (inputs, labels) array pair.
+
+    ``inputs`` may be a single array or a tuple of arrays (multimodal)."""
+    inputs, labels = data
+    multi = isinstance(inputs, (tuple, list))
+    n = len(labels)
+    order = rng.permutation(n) if rng is not None else np.arange(n)
+    for i in range(0, n, batch_size):
+        idx = order[i:i + batch_size]
+        if multi:
+            yield tuple(np.asarray(a)[idx] for a in inputs), np.asarray(labels)[idx]
+        else:
+            yield np.asarray(inputs)[idx], np.asarray(labels)[idx]
+
+
+def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
+                  batch_size, outfile, shuffle_seed, verbose):
+    train_step, eval_step = _make_steps(model, tx, loss_kind)
+    rng = np.random.default_rng(shuffle_seed)
+
+    best_loss = np.inf
+    best_params = jax.device_get(state.params)
+    best_bs = jax.device_get(state.batch_stats)
+    train_history, val_history = [], []
+    since = time.time()
+
+    for epoch in range(num_epochs):
+        if verbose:
+            print(f"Epoch {epoch}/{num_epochs - 1}", flush=True)
+            print("-" * 10, flush=True)
+        for phase in ("train", "val"):
+            if phase not in dataloaders or dataloaders[phase] is None:
+                continue
+            tot_loss, tot_corr, tot_n, n_batches_items = 0.0, 0, 0, 0
+            batches = _iter_batches(dataloaders[phase], batch_size,
+                                    rng if phase == "train" else None)
+            for x, y in batches:
+                if phase == "train":
+                    state, m = train_step(state, x, y)
+                else:
+                    m = eval_step(state, x, y)
+                bsz = len(y)
+                tot_loss += float(m["loss"]) * bsz
+                tot_corr += int(m["n_correct"])
+                tot_n += int(m["n"])
+                n_batches_items += bsz
+            epoch_loss = tot_loss / max(n_batches_items, 1)
+            epoch_acc = tot_corr / max(tot_n, 1)
+            if verbose:
+                print(f"{phase} Loss: {epoch_loss:.4f} Acc: {epoch_acc:.4f}", flush=True)
+            if phase == "val":
+                val_history.append(epoch_loss)
+                if epoch_loss < best_loss:
+                    best_loss = epoch_loss
+                    best_params = jax.device_get(state.params)
+                    best_bs = jax.device_get(state.batch_stats)
+                    if outfile is not None:
+                        save_checkpoint(outfile, state)
+            else:
+                train_history.append(epoch_loss)
+
+    if verbose:
+        dt = time.time() - since
+        print(f"Training complete in {dt // 60:.0f}m {dt % 60:.0f}s", flush=True)
+        print(f"Best val loss: {best_loss:4f}", flush=True)
+
+    # restore best weights (training.py:96-97,207-208 semantics)
+    state = state.replace(params=best_params, batch_stats=best_bs)
+    return state, val_history, train_history
+
+
+def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-4,
+                   num_epochs: int = 10, batch_size: int = 128, outfile=None,
+                   state: Optional[TrainState] = None, tx=None, rng=None,
+                   shuffle_seed: int = 0, verbose: bool = True):
+    """Train a spot classifier f.
+
+    ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
+    with integer labels already in [0, n_classes).
+    """
+    if tx is None:
+        tx = optax.adam(learning_rate)
+    if state is None:
+        rng = rng if rng is not None else jax.random.key(0)
+        sample = jnp.asarray(dataloaders["train"][0][:1])
+        state = create_train_state(model, rng, sample, tx, train_init=False)
+    return _run_training(model, state, tx, dataloaders, "spot", num_epochs,
+                         batch_size, outfile, shuffle_seed, verbose)
+
+
+def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-3,
+                   f_lr: Optional[float] = None, accum_iters: int = 1,
+                   num_epochs: int = 10, batch_size: int = 1, outfile=None,
+                   state: Optional[TrainState] = None, tx=None, rng=None,
+                   shuffle_seed: int = 0, verbose: bool = True):
+    """Train a grid model g (GridNet family) with foreground-masked CE.
+
+    ``dataloaders`` maps 'train'/'val' to (inputs, labels) pairs where inputs
+    is (N, H, W, ...) -- or a tuple of such arrays for GridNetHexMM -- and
+    labels is (N, H, W) with 0 = background, 1..C foreground.
+
+    ``f_lr`` enables joint fine-tuning of the f-network params with their own
+    Adam (the reference's ``f_opt``); otherwise f is frozen.
+    """
+    if tx is None:
+        tx = make_gridwise_optimizer(learning_rate, f_lr, accum_iters)
+    if state is None:
+        rng = rng if rng is not None else jax.random.key(0)
+        inputs = dataloaders["train"][0]
+        if isinstance(inputs, (tuple, list)):
+            sample = tuple(jnp.asarray(a[:1]) for a in inputs)
+        else:
+            sample = jnp.asarray(inputs[:1])
+        state = create_train_state(model, rng, sample, tx, train_init=False)
+    return _run_training(model, state, tx, dataloaders, "grid", num_epochs,
+                         batch_size, outfile, shuffle_seed, verbose)
+
+
+def load_f_params(state: TrainState, f_variables: Mapping,
+                  key: str = "patch_classifier") -> TrainState:
+    """Load pretrained f-network variables into a GridNet train state.
+
+    The tutorial workflow: train f spotwise, then compose it into g
+    (Tutorial_visium_count.ipynb cells 13->21). ``f_variables`` is the
+    {'params', 'batch_stats'} dict of the f model (e.g. ``state.variables()``
+    from train_spotwise, or a converted torch checkpoint).
+    """
+    params = dict(state.params)
+    params[key] = f_variables["params"]
+    batch_stats = state.batch_stats
+    if f_variables.get("batch_stats") is not None:
+        batch_stats = dict(batch_stats or {})
+        batch_stats[key] = f_variables["batch_stats"]
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (flax.serialization; msgpack on disk)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path, state: TrainState):
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "step": int(state.step),
+    }
+    with open(path, "wb") as fh:
+        fh.write(flax.serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path):
+    with open(path, "rb") as fh:
+        return flax.serialization.msgpack_restore(fh.read())

@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from gridnext_tpu import geometry as G
+from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+from gridnext_tpu.io import (
+    find_position_file,
+    prepare_count_files,
+    read_feature_matrix,
+    read_feature_names,
+    read_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def sim_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("visium")
+    sims = [simulate_spaceranger_dir(root / f"array{i}", seed=i, n_genes=40,
+                                     n_classes=3,
+                                     spaceranger_version=2 if i % 2 == 0 else 1)
+            for i in range(3)]
+    return sims
+
+
+def test_positions_roundtrip(sim_dirs):
+    for sim in sim_dirs:
+        pos = read_positions(sim["spaceranger_dir"])
+        assert len(pos) == G.VISIUM_N_SPOTS
+        assert set(["in_tissue", "array_row", "array_col",
+                    "pxl_row_in_fullres", "pxl_col_in_fullres"]) <= set(pos.columns)
+        assert pos["in_tissue"].sum() > 1000
+
+
+def test_position_file_discovery_v1_v2(sim_dirs):
+    # even sims are v2 (tissue_positions.csv), odd v1 (tissue_positions_list.csv)
+    assert find_position_file(sim_dirs[0]["spaceranger_dir"]).endswith("tissue_positions.csv")
+    assert find_position_file(sim_dirs[1]["spaceranger_dir"]).endswith("tissue_positions_list.csv")
+
+
+def test_feature_matrix(sim_dirs):
+    sim = sim_dirs[0]
+    df = read_feature_matrix(sim["spaceranger_dir"])
+    assert df.shape[0] == sim["n_genes"]
+    assert (df.values >= 0).all()
+    names = read_feature_names(sim["spaceranger_dir"])
+    assert names.loc["ENSG00000", "gene_symbol"] == "Gene0"
+
+
+def test_prepare_count_files_unifies_genes(sim_dirs):
+    dirs = [s["spaceranger_dir"] for s in sim_dirs]
+    written = prepare_count_files(dirs, minimum_detection_rate=None, verbose=False)
+    assert len(written) == 3
+    import pandas as pd
+    frames = [pd.read_csv(w, sep="\t", index_col=0) for w in written]
+    # same genes, same order, across all arrays
+    for f in frames[1:]:
+        assert list(f.index) == list(frames[0].index)
+    # coordinate-string columns
+    assert all("_" in c for c in frames[0].columns)
+
+
+def test_count_grid_dataset_end_to_end(sim_dirs):
+    dirs = [s["spaceranger_dir"] for s in sim_dirs]
+    annots = [s["annot_file"] for s in sim_dirs]
+    gdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=True, annot_files=annots,
+                                 minimum_detection_rate=None)
+    assert len(gdat) == 3
+    assert list(gdat.classes) == sim_dirs[0]["class_names"]
+    x, y = gdat[0]
+    assert x.shape[:2] == (G.VISIUM_H_ST, G.VISIUM_W_ST)
+    assert x.shape[2] == sim_dirs[0]["n_genes"]
+    # label grid must match the simulator's ground truth exactly
+    np.testing.assert_array_equal(y, sim_dirs[0]["label_grid"])
+    # counts only on foreground
+    assert x[y == 0].sum() == 0
+    assert x[y > 0].sum() > 0
+
+    X, Y = gdat.materialize()
+    assert X.shape == (3, G.VISIUM_H_ST, G.VISIUM_W_ST, sim_dirs[0]["n_genes"])
+    assert Y.shape == (3, G.VISIUM_H_ST, G.VISIUM_W_ST)
+
+
+def test_count_spot_dataset(sim_dirs):
+    dirs = [s["spaceranger_dir"] for s in sim_dirs]
+    annots = [s["annot_file"] for s in sim_dirs]
+    pdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=False, annot_files=annots,
+                                 minimum_detection_rate=None)
+    n_fg = sum((s["label_grid"] > 0).sum() for s in sim_dirs)
+    assert len(pdat) == n_fg
+    x, y = pdat[0]
+    assert x.shape == (sim_dirs[0]["n_genes"],)
+    assert 0 <= y < 3
+    X, Y = pdat.materialize()
+    assert X.shape == (n_fg, sim_dirs[0]["n_genes"])
+    assert set(np.unique(Y)) <= {0, 1, 2}
+
+
+def test_select_genes_subsetting(sim_dirs):
+    dirs = [s["spaceranger_dir"] for s in sim_dirs]
+    gdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=True, annot_files=None,
+                                 select_genes=["ENSG00003", "ENSG00007"],
+                                 minimum_detection_rate=None)
+    x, _ = gdat[0]
+    assert x.shape[-1] == 2
