@@ -1,0 +1,75 @@
+"""Device-mesh / sharding helpers: the distributed tier of the framework.
+
+The reference is single-process, single-device (SURVEY.md section 2.3); this
+module is the TPU-native replacement: single-controller JAX over a
+``jax.sharding.Mesh``, with sharding-annotated inputs letting XLA's SPMD
+partitioner insert the collectives (psum for gradient reduction, halo
+collective-permutes for spatially-sharded hex convolution).
+
+Axes:
+  * ``data`` -- batch of Visium arrays (pure DP; gradients all-reduce).
+  * ``spot`` -- the grid row axis (H). f applies per-spot so this is
+    embarrassingly parallel; the hex corrector's shifted-slice taps induce
+    halo exchanges that XLA lowers to neighbor ``ppermute`` over ICI.
+
+For the model sizes of this domain (DenseNet-121 / Performer-200d), TP/PP
+are unnecessary -- the weights replicate; scaling is over spots and arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape: Optional[Mapping[str, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh; default 1-D ``data`` over all devices.
+
+    ``mesh_shape`` e.g. {'data': 4, 'spot': 2}; axis sizes must multiply to
+    the device count used.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if mesh_shape is None:
+        mesh_shape = {"data": len(devices)}
+    names = tuple(mesh_shape.keys())
+    sizes = tuple(mesh_shape.values())
+    n = int(np.prod(sizes))
+    dev_array = np.asarray(devices[:n]).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def default_mesh_shape(n_devices: int) -> dict:
+    """data x spot factorization: prefer 2-way spot sharding when possible."""
+    if n_devices % 2 == 0 and n_devices > 1:
+        return {"data": n_devices // 2, "spot": 2}
+    return {"data": n_devices, "spot": 1}
+
+
+def shard_grid_batch(tree, mesh: Mesh, data_axis: str = "data",
+                     spot_axis: Optional[str] = "spot"):
+    """Place a batch of grids: batch dim over ``data``, H dim over ``spot``.
+
+    Works on (B, H, ...) arrays and pytrees thereof; 1-D label/batch arrays
+    shard on batch only.
+    """
+    spot = spot_axis if spot_axis in mesh.axis_names else None
+
+    def place(x):
+        if x.ndim >= 2 and spot is not None:
+            spec = P(data_axis, spot)
+        else:
+            spec = P(data_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
