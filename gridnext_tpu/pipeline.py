@@ -1,0 +1,212 @@
+"""WSI -> per-spot patch-grid extraction: the preprocessing hot path.
+
+The reference loops PIL crop/resize over ~5k spots per array
+(imgprocess.py:162-238, the per-spot HOT LOOP of SURVEY.md section 3.1). Here
+extraction is a single **composed gather**: per-spot pixel boxes and the
+resize index maps are precomputed, so crop + nearest sampling collapse into
+one fancy-index (host) or one XLA gather (device) producing the whole
+(H_ST, W_ST, P, P, 3) grid at once.
+
+Resize parity notes:
+* the tutorials call ``grid_from_wsi_visium`` with ``window_size=None`` =>
+  window == patch_size => pure crop, bit-exact on both paths.
+* when ``window_size != patch_size`` the reference resizes with PIL's
+  default filter (bicubic + antialias). The host path defers to PIL per
+  patch for exact parity; the device path uses ``jax.image.resize`` (cubic,
+  no antialias) -- a documented approximation.
+
+Also here: µm->px resolution inference (imgprocess.py:89-109), the JPEG
+patch cache writer (imgprocess.py:242-291), and SpaCell color-cast removal
+(imgprocess.py:49-67).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from gridnext_tpu import geometry
+from gridnext_tpu.geometry import VISIUM_H_ST, VISIUM_W_ST, pairwise_distances
+from gridnext_tpu.io.spaceranger import read_positions
+
+# ImageNet normalization used with pretrained DenseNet
+# (Tutorial_visium_image.ipynb cell 4)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def imagenet_normalize(img):
+    """Normalize a float [0,1] channels-last image (or batch)."""
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def distance_um_to_px(spaceranger_dir, distance_um: float) -> int:
+    """Pixels spanning ``distance_um`` on the fullres image of an array.
+
+    Inferred from the ratio of pixel to lattice distances over a 10-spot
+    sample, exactly like imgprocess.py:89-109 (spots are 100 µm apart).
+    """
+    positions = read_positions(spaceranger_dir)
+    if len(positions) > 10:
+        positions = positions.sample(n=10)
+
+    cart = np.stack(geometry.pseudo_to_true_hex(
+        positions["array_col"].values, positions["array_row"].values), axis=1)
+    px = np.stack([positions["pxl_col_in_fullres"].values,
+                   positions["pxl_row_in_fullres"].values], axis=1).astype(float)
+
+    d100 = np.mean(pairwise_distances(px) / pairwise_distances(cart))
+    return int(np.rint(distance_um * d100 / 100))
+
+
+def _spot_pixel_boxes(positions, window: int):
+    """Foreground spots -> (oddr_x, oddr_y, x_px, y_px) int arrays.
+
+    Pixel coords are rounded (fractional coords occur rarely,
+    imgprocess.py:212-214) and offset by the edge padding of ``window//2``.
+    """
+    df = positions[positions["in_tissue"].astype(int) == 1]
+    x_ind, y_ind = geometry.pseudo_hex_to_oddr(df["array_col"].values,
+                                               df["array_row"].values)
+    x_px = np.rint(df["pxl_col_in_fullres"].values.astype(float)).astype(int) + window // 2
+    y_px = np.rint(df["pxl_row_in_fullres"].values.astype(float)).astype(int) + window // 2
+    return np.asarray(x_ind), np.asarray(y_ind), x_px, y_px
+
+
+def extract_patches(img: np.ndarray, y_px: np.ndarray, x_px: np.ndarray,
+                    window: int, patch_size: int) -> np.ndarray:
+    """Gather (N, patch_size, patch_size, C) patches centered at pixel coords.
+
+    ``img`` must already be edge-padded by ``window//2``; centers already
+    offset. Crop and nearest-subsample compose into one gather; bicubic
+    resize (PIL-parity) is applied per patch only when needed.
+    """
+    n = len(y_px)
+    if window == patch_size:
+        offs = np.arange(window) - window // 2
+        rows = y_px[:, None] + offs
+        cols = x_px[:, None] + offs
+        return img[rows[:, :, None], cols[:, None, :]]
+
+    from PIL import Image
+
+    out = np.empty((n, patch_size, patch_size, img.shape[-1]), dtype=img.dtype)
+    half = window // 2
+    for i in range(n):
+        crop = img[y_px[i] - half:y_px[i] + half, x_px[i] - half:x_px[i] + half]
+        out[i] = np.asarray(Image.fromarray(crop).resize((patch_size, patch_size)))
+    return out
+
+
+def extract_patches_device(img, y_px, x_px, window: int, patch_size: int):
+    """XLA patch gather: one jit-able op from a device-resident WSI.
+
+    Same contract as :func:`extract_patches` but runs on TPU; the
+    window != patch_size path resizes with ``jax.image.resize`` (cubic).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    offs = jnp.arange(window) - window // 2
+    rows = jnp.asarray(y_px)[:, None] + offs          # (N, w)
+    cols = jnp.asarray(x_px)[:, None] + offs
+    crops = img[rows[:, :, None], cols[:, None, :]]    # (N, w, w, C)
+    if window == patch_size:
+        return crops
+    return jax.image.resize(
+        crops.astype(jnp.float32),
+        (crops.shape[0], patch_size, patch_size, crops.shape[-1]),
+        method="cubic")
+
+
+def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256,
+                         window_size: Optional[int] = None,
+                         h_st: int = VISIUM_H_ST, w_st: int = VISIUM_W_ST,
+                         dtype=np.float32) -> np.ndarray:
+    """Extract the odd-right (H_ST, W_ST, P, P, 3) patch grid for one array.
+
+    Values are raw pixel intensities 0..255 (cast to ``dtype``), matching the
+    reference's tensor contract (imgprocess.py:206-238) up to the
+    channels-LAST layout used throughout this package.
+    """
+    from PIL import Image
+
+    Image.MAX_IMAGE_PIXELS = None
+    img = np.asarray(Image.open(fullres_imgfile))
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+
+    if window_size is None:
+        w = patch_size
+    elif isinstance(window_size, float):
+        w = int(window_size * img.shape[1])
+    elif isinstance(window_size, int):
+        w = window_size
+    else:
+        raise ValueError("Window size must be a float or int")
+
+    img = np.pad(img, [(w // 2, w // 2), (w // 2, w // 2), (0, 0)], mode="edge")
+
+    positions = read_positions(spaceranger_dir)
+    x_ind, y_ind, x_px, y_px = _spot_pixel_boxes(positions, w)
+
+    in_bounds = (y_ind < h_st) & (x_ind < w_st)
+    if not in_bounds.all():
+        for xi, yi in zip(np.asarray(x_ind)[~in_bounds], np.asarray(y_ind)[~in_bounds]):
+            print(f"Warning: column {xi} row {yi} outside bounds of Visium array")
+    x_ind, y_ind = x_ind[in_bounds], y_ind[in_bounds]
+    x_px, y_px = x_px[in_bounds], y_px[in_bounds]
+
+    patches = extract_patches(img, y_px, x_px, w, patch_size)
+
+    grid = np.zeros((h_st, w_st, patch_size, patch_size, 3), dtype=dtype)
+    grid[y_ind, x_ind] = patches[..., :3].astype(dtype)
+    return grid
+
+
+def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 256,
+                        window_size: Optional[int] = None):
+    """Write per-spot JPEGs named ``{array}_{col}_{row}.jpg`` (cache contract).
+
+    Foreground = any nonzero pixel in the patch (imgprocess.py:270-278).
+    """
+    from PIL import Image
+
+    grid = grid_from_wsi_visium(img_file, spaceranger_dir,
+                                patch_size=patch_size, window_size=window_size)
+    os.makedirs(dest_dir, exist_ok=True)
+    slide = str(Path(spaceranger_dir).stem)
+
+    fg = grid.reshape(grid.shape[0], grid.shape[1], -1).max(axis=-1) > 0
+    for oy, ox in zip(*np.nonzero(fg)):
+        x_vis, y_vis = geometry.oddr_to_pseudo_hex(int(ox), int(oy))
+        patch = grid[oy, ox].astype(np.uint8)
+        Image.fromarray(patch).save(
+            os.path.join(str(dest_dir), f"{slide}_{x_vis}_{y_vis}.jpg"), "JPEG")
+
+
+def save_visium_patches_all(wsi_files, spaceranger_dirs, dest_dir,
+                            patch_size: int = 256, window_size=None):
+    """Multi-array analog; one sub-directory per array (imgprocess.py:281-291)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    for img_file, srd in zip(wsi_files, spaceranger_dirs):
+        print(f"{img_file} : {srd} ...")
+        slide = str(Path(img_file).stem)
+        save_visium_patches(img_file, srd, os.path.join(str(dest_dir), slide),
+                            patch_size, window_size)
+
+
+def remove_color_cast(img: np.ndarray) -> np.ndarray:
+    """SpaCell color-cast removal: scale channels so the 99th percentile
+    maps to white (imgprocess.py:49-67). uint8 in, uint8 out."""
+    img = np.asarray(img)
+    out = np.empty_like(img)
+    for c in range(3):
+        p = np.percentile(img[..., c].ravel(), q=99)
+        # PIL Image.point applies the lut with int truncation
+        out[..., c] = np.minimum(img[..., c].astype(np.float64) * (255.0 / p),
+                                 255).astype(np.uint8)
+    return out

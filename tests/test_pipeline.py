@@ -1,0 +1,132 @@
+import numpy as np
+import pytest
+
+from gridnext_tpu import geometry as G
+from gridnext_tpu import pipeline
+from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+
+
+@pytest.fixture(scope="module")
+def sim_img(tmp_path_factory):
+    root = tmp_path_factory.mktemp("visium_img")
+    sims = [simulate_spaceranger_dir(root / f"a{i}", seed=i, n_genes=20,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=12) for i in range(2)]
+    return sims
+
+
+def _reference_extraction(imgfile, srd, patch_size):
+    """Literal per-spot PIL loop mirroring imgprocess.py:162-238."""
+    from PIL import Image
+
+    from gridnext_tpu.io.spaceranger import read_positions
+
+    img = np.asarray(Image.open(imgfile))
+    w = patch_size
+    img = np.pad(img, [(w // 2, w // 2), (w // 2, w // 2), (0, 0)], mode="edge")
+    df = read_positions(srd)
+    df = df[df["in_tissue"] == 1]
+    out = np.zeros((G.VISIUM_H_ST, G.VISIUM_W_ST, patch_size, patch_size, 3),
+                   np.float32)
+    for i in range(len(df)):
+        row = df.iloc[i]
+        x_ind, y_ind = G.pseudo_hex_to_oddr(int(row["array_col"]), int(row["array_row"]))
+        x_px = int(np.rint(row["pxl_col_in_fullres"])) + w // 2
+        y_px = int(np.rint(row["pxl_row_in_fullres"])) + w // 2
+        patch = img[(y_px - w // 2):(y_px + w // 2), (x_px - w // 2):(x_px + w // 2)]
+        out[y_ind, x_ind] = patch
+    return out
+
+
+def test_grid_from_wsi_matches_reference_loop(sim_img):
+    sim = sim_img[0]
+    got = pipeline.grid_from_wsi_visium(sim["image_file"], sim["spaceranger_dir"],
+                                        patch_size=10)
+    want = _reference_extraction(sim["image_file"], sim["spaceranger_dir"], 10)
+    np.testing.assert_array_equal(got, want)
+    # tissue spots have non-empty patches
+    fg = sim["label_grid"] > 0
+    patch_max = got.reshape(got.shape[0], got.shape[1], -1).max(-1)
+    assert (patch_max[fg] > 0).mean() > 0.95
+
+
+def test_extract_patches_device_matches_host(sim_img):
+    import jax.numpy as jnp
+
+    from PIL import Image
+
+    sim = sim_img[0]
+    img = np.asarray(Image.open(sim["image_file"]))
+    w = 8
+    img_p = np.pad(img, [(w // 2, w // 2), (w // 2, w // 2), (0, 0)], mode="edge")
+    rng = np.random.default_rng(0)
+    y = rng.integers(w, img.shape[0] - w, 50)
+    x = rng.integers(w, img.shape[1] - w, 50)
+    host = pipeline.extract_patches(img_p, y + w // 2, x + w // 2, w, w)
+    dev = np.asarray(pipeline.extract_patches_device(
+        jnp.asarray(img_p), y + w // 2, x + w // 2, w, w))
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_distance_um_to_px(sim_img):
+    # simulator places spots spot_spacing_px apart = 100um
+    px = pipeline.distance_um_to_px(sim_img[0]["spaceranger_dir"], 100.0)
+    assert px == 12
+    assert pipeline.distance_um_to_px(sim_img[0]["spaceranger_dir"], 50.0) == 6
+
+
+def test_save_and_load_patch_dataset(sim_img, tmp_path):
+    dirs = [s["spaceranger_dir"] for s in sim_img]
+    annots = [s["annot_file"] for s in sim_img]
+    imgs = [s["image_file"] for s in sim_img]
+
+    gdat = create_visium_dataset(dirs, use_count=False, use_image=True,
+                                 spatial=True, annot_files=annots,
+                                 fullres_image_files=imgs, patch_size_px=8)
+    assert len(gdat) == 2
+    x, y = gdat[0]
+    assert x.shape == (G.VISIUM_H_ST, G.VISIUM_W_ST, 8, 8, 3)
+    assert x.dtype == np.float32 and x.max() <= 1.0
+    np.testing.assert_array_equal(y, sim_img[0]["label_grid"])
+
+    # spot-level dataset over the same cache
+    pdat = create_visium_dataset(dirs, use_count=False, use_image=True,
+                                 spatial=False, annot_files=annots,
+                                 fullres_image_files=imgs, patch_size_px=8)
+    n_fg = sum((s["label_grid"] > 0).sum() for s in sim_img)
+    assert len(pdat) == n_fg
+    img0, lbl0 = pdat[0]
+    assert img0.shape == (8, 8, 3) and 0 <= lbl0 < 3
+
+
+def test_multimodal_stack(sim_img):
+    dirs = [s["spaceranger_dir"] for s in sim_img]
+    annots = [s["annot_file"] for s in sim_img]
+    imgs = [s["image_file"] for s in sim_img]
+    mm = create_visium_dataset(dirs, use_count=True, use_image=True,
+                               spatial=True, annot_files=annots,
+                               fullres_image_files=imgs, patch_size_px=8,
+                               minimum_detection_rate=None)
+    (xi, xc), y = mm[0]
+    assert xi.shape[:2] == (G.VISIUM_H_ST, G.VISIUM_W_ST)
+    assert xc.shape[:2] == (G.VISIUM_H_ST, G.VISIUM_W_ST)
+    assert y.shape == (G.VISIUM_H_ST, G.VISIUM_W_ST)
+    # agreement masking can only remove labels
+    assert ((y > 0) <= (sim_img[0]["label_grid"] > 0)).all()
+
+
+def test_remove_color_cast():
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 200, size=(64, 64, 3))).astype(np.uint8)  # dim image
+    out = pipeline.remove_color_cast(img)
+    assert out.dtype == np.uint8
+    # 99th percentile should now be (near) white in each channel
+    for c in range(3):
+        assert np.percentile(out[..., c], 99) >= 250
+
+
+def test_imagenet_normalize():
+    img = np.ones((4, 4, 3), np.float32)
+    out = pipeline.imagenet_normalize(img)
+    np.testing.assert_allclose(out[0, 0], (1 - pipeline.IMAGENET_MEAN) / pipeline.IMAGENET_STD,
+                               rtol=1e-6)
