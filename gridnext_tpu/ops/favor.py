@@ -1,0 +1,157 @@
+"""FAVOR+ linear attention primitives (Performer), einsum-native for TPU.
+
+Functional parity with the reference's torch transcription
+(llm/performer_pytorch.py:77-204, itself derived from the google-research
+JAX original): softmax and generalized random-feature kernels, Gaussian
+orthogonal projections, and non-causal linear attention. The causal path --
+CUDA ``fast_transformers`` in the reference (llm/performer_pytorch.py:164-183)
+-- is a chunked ``lax.scan`` here: O(n) memory, MXU-shaped per-chunk einsums,
+no custom kernel needed.
+
+Shapes: (..., heads, seq, dim) throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def orthogonal_gaussian_matrix(key, nb_rows: int, nb_columns: int,
+                               scaling: int = 0) -> jnp.ndarray:
+    """Stacked orthogonal blocks of Gaussian directions (QR per block).
+
+    ``scaling=0``: rows rescaled to chi-distributed norms of true Gaussians;
+    ``scaling=1``: all rows scaled to sqrt(nb_columns)
+    (llm/performer_pytorch.py:127-150 semantics).
+    """
+    n_full = nb_rows // nb_columns
+    keys = jax.random.split(key, n_full + 2)
+
+    blocks = []
+    for i in range(n_full):
+        unstructured = jax.random.normal(keys[i], (nb_columns, nb_columns))
+        q, _ = jnp.linalg.qr(unstructured)
+        blocks.append(q.T)
+    rem = nb_rows - n_full * nb_columns
+    if rem > 0:
+        unstructured = jax.random.normal(keys[n_full], (nb_columns, nb_columns))
+        q, _ = jnp.linalg.qr(unstructured)
+        blocks.append(q.T[:rem])
+    final = jnp.concatenate(blocks, axis=0)
+
+    if scaling == 0:
+        multiplier = jnp.linalg.norm(
+            jax.random.normal(keys[-1], (nb_rows, nb_columns)), axis=1)
+    elif scaling == 1:
+        multiplier = math.sqrt(float(nb_columns)) * jnp.ones((nb_rows,))
+    else:
+        raise ValueError(f"Invalid scaling {scaling}")
+    return multiplier[:, None] * final
+
+
+def softmax_kernel_features(data: jnp.ndarray, projection: jnp.ndarray,
+                            is_query: bool, normalize_data: bool = True,
+                            eps: float = 1e-4) -> jnp.ndarray:
+    """Positive random features phi(x) approximating the softmax kernel.
+
+    (llm/performer_pytorch.py:77-102; queries subtract a per-row max, keys a
+    global max, for numerical stability.)
+    """
+    data_normalizer = data.shape[-1] ** -0.25 if normalize_data else 1.0
+    ratio = projection.shape[0] ** -0.5
+
+    data_dash = jnp.einsum("...id,jd->...ij", data_normalizer * data, projection)
+    diag_data = jnp.sum(data ** 2, axis=-1, keepdims=True) / 2.0 * data_normalizer ** 2
+
+    if is_query:
+        stab = jnp.max(data_dash, axis=-1, keepdims=True)
+    else:
+        stab = jnp.max(data_dash, axis=tuple(range(data_dash.ndim - 2, data_dash.ndim)),
+                       keepdims=True)
+        # reference uses a global max over the whole tensor; per (batch, head)
+        # max is equivalent stabilization and SPMD-friendly
+    return ratio * (jnp.exp(data_dash - diag_data - stab) + eps)
+
+
+def generalized_kernel_features(data: jnp.ndarray, projection=None,
+                                kernel_fn=jax.nn.relu,
+                                kernel_epsilon: float = 1e-3,
+                                normalize_data: bool = True) -> jnp.ndarray:
+    """Generalized (e.g. ReLU) random features (llm/performer_pytorch.py:104-117)."""
+    data_normalizer = data.shape[-1] ** -0.25 if normalize_data else 1.0
+    if projection is None:
+        return kernel_fn(data_normalizer * data) + kernel_epsilon
+    data_dash = jnp.einsum("...id,jd->...ij", data_normalizer * data, projection)
+    return kernel_fn(data_dash) + kernel_epsilon
+
+
+def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Non-causal linear attention over feature maps (O(n*r*d)).
+
+    q, k: (..., n, r) feature maps; v: (..., n, d).
+    (llm/performer_pytorch.py:155-160.)
+    """
+    k_sum = jnp.sum(k, axis=-2)                              # (..., r)
+    d_inv = 1.0 / jnp.einsum("...nd,...d->...n", q, k_sum)
+    context = jnp.einsum("...nd,...ne->...de", k, v)          # (..., r, d)
+    return jnp.einsum("...de,...nd,...n->...ne", context, q, d_inv)
+
+
+def causal_linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            chunk_size: int = 128, eps: float = 1e-6) -> jnp.ndarray:
+    """Causal linear attention as a chunked prefix scan.
+
+    Replaces the reference's fast_transformers CUDA causal product
+    (llm/performer_pytorch.py:164-204): the running context Σ k v^T and key
+    sum are carried across chunks by ``lax.scan``; within a chunk the causal
+    interaction is a small triangular-masked einsum. O(n) memory, O(n r d)
+    compute, static shapes.
+    """
+    n = q.shape[-2]
+    pad = (-n) % chunk_size
+    if pad:
+        qp = jnp.pad(q, [(0, 0)] * (q.ndim - 2) + [(0, pad), (0, 0)])
+        kp = jnp.pad(k, [(0, 0)] * (k.ndim - 2) + [(0, pad), (0, 0)])
+        vp = jnp.pad(v, [(0, 0)] * (v.ndim - 2) + [(0, pad), (0, 0)])
+    else:
+        qp, kp, vp = q, k, v
+    n_chunks = qp.shape[-2] // chunk_size
+
+    # move chunk axis to front for scan: (C, ..., chunk, r/d)
+    def chunked(x):
+        x = x.reshape(x.shape[:-2] + (n_chunks, chunk_size, x.shape[-1]))
+        return jnp.moveaxis(x, -3, 0)
+
+    qc, kc, vc = chunked(qp), chunked(kp), chunked(vp)
+    r, d = q.shape[-1], v.shape[-1]
+    batch_shape = q.shape[:-2]
+
+    tri = jnp.tril(jnp.ones((chunk_size, chunk_size), bool))
+
+    def body(carry, inputs):
+        ctx, ksum = carry            # (..., r, d), (..., r)
+        qi, ki, vi = inputs          # (..., chunk, r/d)
+        # within-chunk causal part
+        scores = jnp.einsum("...nr,...mr->...nm", qi, ki)
+        scores = jnp.where(tri, scores, 0.0)
+        intra = jnp.einsum("...nm,...md->...nd", scores, vi)
+        intra_den = jnp.einsum(
+            "...nm,...mr,...nr->...n", tri.astype(qi.dtype), ki, qi)
+        # contribution of all previous chunks
+        inter = jnp.einsum("...nr,...rd->...nd", qi, ctx)
+        inter_den = jnp.einsum("...nr,...r->...n", qi, ksum)
+        out = (intra + inter) / (intra_den + inter_den + eps)[..., None]
+        new_ctx = ctx + jnp.einsum("...mr,...md->...rd", ki, vi)
+        new_ksum = ksum + jnp.sum(ki, axis=-2)
+        return (new_ctx, new_ksum), out
+
+    init = (jnp.zeros(batch_shape + (r, d), q.dtype),
+            jnp.zeros(batch_shape + (r,), q.dtype))
+    _, out = jax.lax.scan(body, init, (qc, kc, vc))
+    out = jnp.moveaxis(out, 0, -3)
+    out = out.reshape(batch_shape + (n_chunks * chunk_size, d))
+    return out[..., :n, :] if pad else out

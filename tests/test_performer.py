@@ -1,0 +1,183 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridnext_tpu.models.performer import (
+    Performer,
+    PerformerLM,
+    SelfAttention,
+    local_block_attention,
+    redraw_projections,
+)
+from gridnext_tpu.models.scbert import (
+    AttentionClassifier,
+    finetune_param_labels,
+    preprocess_scbert,
+    scBERT,
+)
+
+
+def test_self_attention_shapes():
+    m = SelfAttention(dim=32, heads=4, dim_head=8)
+    x = jax.random.normal(jax.random.key(0), (2, 20, 32))
+    v = m.init(jax.random.key(1), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 20, 32)
+    assert "favor" in v  # projection matrix collection exists
+
+
+def test_self_attention_local_global_mix():
+    m = SelfAttention(dim=32, heads=4, dim_head=8, local_heads=2,
+                      local_window_size=8)
+    x = jax.random.normal(jax.random.key(0), (2, 20, 32))
+    v = m.init(jax.random.key(1), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 20, 32)
+
+
+def test_local_block_attention_matches_windowed_softmax():
+    # With window >= n and non-causal, local attention == full softmax attention.
+    key = jax.random.key(0)
+    q, k, v = (jax.random.normal(k_, (1, 2, 10, 8))
+               for k_ in jax.random.split(key, 3))
+    got = np.asarray(local_block_attention(q, k, v, window=16))
+    scores = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    want = np.einsum("bhnm,bhmd->bhnd",
+                     np.asarray(jax.nn.softmax(scores, -1)), np.asarray(v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_local_block_attention_causal_respects_order():
+    key = jax.random.key(1)
+    q, k, v = (jax.random.normal(k_, (1, 1, 12, 4))
+               for k_ in jax.random.split(key, 3))
+    out1 = np.asarray(local_block_attention(q, k, v, window=4, causal=True))
+    # changing future tokens must not alter past outputs
+    k2 = k.at[:, :, 8:].set(0.0)
+    v2 = v.at[:, :, 8:].set(0.0)
+    out2 = np.asarray(local_block_attention(q, k2, v2, window=4, causal=True))
+    np.testing.assert_allclose(out1[:, :, :8], out2[:, :, :8], rtol=1e-5, atol=1e-6)
+
+
+def test_performer_forward_and_remat_equivalence():
+    x = jax.random.normal(jax.random.key(0), (2, 16, 24))
+    m = Performer(dim=24, depth=2, heads=3, dim_head=8)
+    v = m.init(jax.random.key(1), x)
+    y = m.apply(v, x)
+
+    m_remat = Performer(dim=24, depth=2, heads=3, dim_head=8, remat=True)
+    y_remat = m_remat.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_remat),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_performer_scalenorm_rezero():
+    x = jax.random.normal(jax.random.key(0), (1, 8, 16))
+    for kw in ({"use_scalenorm": True}, {"use_rezero": True}):
+        m = Performer(dim=16, depth=1, heads=2, dim_head=8, **kw)
+        v = m.init(jax.random.key(1), x)
+        y = m.apply(v, x)
+        assert y.shape == x.shape
+    # rezero starts as identity (gates zero-init)
+    m = Performer(dim=16, depth=1, heads=2, dim_head=8, use_rezero=True)
+    v = m.init(jax.random.key(1), x)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(x),
+                               rtol=1e-6)
+
+
+def test_performer_lm_tied_and_untied():
+    x = jnp.ones((2, 12), jnp.int32)
+    lm = PerformerLM(num_tokens=7, max_seq_len=16, dim=16, depth=1, heads=2,
+                     dim_head=8)
+    v = lm.init(jax.random.key(0), x)
+    y = lm.apply(v, x)
+    assert y.shape == (2, 12, 7)
+
+    lm_tied = PerformerLM(num_tokens=7, max_seq_len=16, dim=16, depth=1,
+                          heads=2, dim_head=8, tie_embed=True)
+    v2 = lm_tied.init(jax.random.key(0), x)
+    y2 = lm_tied.apply(v2, x)
+    assert y2.shape == (2, 12, 7)
+
+    enc = lm.apply(v, x, return_encodings=True)
+    assert enc.shape == (2, 12, 16)
+
+
+def test_redraw_projections_changes_favor_only():
+    x = jax.random.normal(jax.random.key(0), (1, 8, 16))
+    m = Performer(dim=16, depth=2, heads=2, dim_head=8)
+    v = m.init(jax.random.key(1), x)
+    v2 = redraw_projections(v, jax.random.key(42))
+    p_old = jax.tree_util.tree_leaves(v["favor"])
+    p_new = jax.tree_util.tree_leaves(v2["favor"])
+    assert all(a.shape == b.shape for a, b in zip(p_old, p_new))
+    assert not any(np.allclose(a, b) for a, b in zip(p_old, p_new))
+    # params untouched
+    for a, b in zip(jax.tree_util.tree_leaves(v["params"]),
+                    jax.tree_util.tree_leaves(v2["params"])):
+        np.testing.assert_array_equal(a, b)
+    # output changes but remains finite
+    y2 = m.apply(v2, x)
+    assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_scbert_classifier_forward():
+    n_genes = 64
+    m = scBERT(n_genes=n_genes, bin_num=5, dim=16, depth=2, heads=2,
+               n_classes=3)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 8, (2, n_genes)),
+                    jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 3)
+
+    labels = finetune_param_labels(v["params"], depth=2)
+    vals = set(jax.tree_util.tree_leaves(labels))
+    assert vals == {"train", "frozen"}
+    # head must be trainable, first-layer attention frozen
+    flat = {"/".join(str(getattr(p, "key", p)) for p in path): lbl
+            for path, lbl in jax.tree_util.tree_flatten_with_path(labels)[0]}
+    assert all(v_ == "train" for k, v_ in flat.items() if k.startswith("to_out"))
+    # torch layers[-2] == layers_0 at depth 2 is trainable; the LAST layer is frozen
+    assert all(v_ == "frozen" for k, v_ in flat.items() if "layers_1_" in k)
+    assert all(v_ == "train" for k, v_ in flat.items() if "layers_0_" in k)
+    assert flat["performer_lm/token_emb/embedding"] == "frozen"
+
+
+def test_scbert_pretraining_head():
+    m = scBERT(n_genes=32, bin_num=5, dim=16, depth=1, heads=2)
+    x = jnp.zeros((1, 32), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 33, 7)  # per-token logits over bin_num+2 tokens
+
+
+def test_scbert_gene2vec_positional():
+    g2v = np.random.default_rng(0).normal(size=(32, 16)).astype(np.float32)
+    m = scBERT(n_genes=32, bin_num=5, dim=16, depth=1, heads=2, n_classes=2,
+               g2v_weights=g2v)
+    x = jnp.zeros((1, 32), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (1, 2)
+
+
+def test_preprocess_scbert():
+    X = np.array([[2, 0, 4], [0, 0, 0], [1, 1, 1]], dtype=float)
+    var = ["GeneB", "GeneX", "GeneA"]
+    target = ["GeneA", "GeneB", "GeneC"]
+    out, keep = preprocess_scbert(X, var, target_genes=target, min_depth=1)
+    assert keep.tolist() == [True, False, True]
+    assert out.shape == (2, 3)
+    # row 0: GeneA=4, GeneB=2, GeneC=0 -> depth 6 -> [4,2,0]/6*1e4 -> log2(1+x)
+    want0 = np.log2(1 + np.array([4, 2, 0]) / 6 * 1e4)
+    np.testing.assert_allclose(out[0], want0, rtol=1e-5)
+
+
+def test_attention_classifier_shapes():
+    m = AttentionClassifier(seq_len=20, out_dim=4)
+    x = jax.random.normal(jax.random.key(0), (3, 20, 16))
+    v = m.init(jax.random.key(1), x)
+    y = m.apply(v, x)
+    assert y.shape == (3, 4)
