@@ -1,0 +1,156 @@
+"""Visium arrays as graphs: jraph-style padded arrays instead of
+torch_geometric.Data (graph_datasets.py of the reference).
+
+A graph is a plain dict of numpy arrays (TPU-friendly static shapes when
+padded): ``nodes`` (N, n_genes), ``edges`` (2, E) sender/receiver index
+pairs, ``pos`` (N, 2) Visium array coordinates, ``y`` labels (per node or
+per graph) and ``n_node``/``n_edge`` segment counts for multi-array batches.
+
+Adjacency is derived O(N) from the hex lattice (neighbor-table intersection)
+rather than the reference's O(N^2) pairwise-distance threshold
+(graph_datasets.py:152-157 and its own TODO at :153).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from gridnext_tpu import geometry
+from gridnext_tpu.io.spaceranger import (
+    find_feature_matrix_files,
+    read_feature_matrix,
+    read_positions,
+)
+
+
+def hex_adjacency(arr_coords: np.ndarray) -> np.ndarray:
+    """(2, E) directed edge list between hex-adjacent pseudo-hex coordinates.
+
+    O(N): enumerate each spot's 6 candidate neighbors and intersect with the
+    coordinates present (the improvement the reference's TODO asks for).
+    Both (u, v) and (v, u) are emitted, matching the reference's symmetric
+    edge list.
+    """
+    coords = np.asarray(arr_coords, dtype=np.int64)
+    index = {(int(c), int(r)): i for i, (c, r) in enumerate(coords)}
+    # pseudo-hex neighbor offsets: E, W and the four diagonals
+    offsets = [(2, 0), (-2, 0), (1, 1), (-1, 1), (1, -1), (-1, -1)]
+    send, recv = [], []
+    for i, (c, r) in enumerate(coords):
+        for dc, dr in offsets:
+            j = index.get((int(c) + dc, int(r) + dr))
+            if j is not None:
+                send.append(i)
+                recv.append(j)
+    return np.asarray([send, recv], dtype=np.int64)
+
+
+def read_visium_graph(spaceranger_dir, annot_file=None):
+    """One array -> (x, edges, arr_coords, y) (graph_datasets.py:84-159).
+
+    x: (spots, genes) counts over in-tissue spots; edges: (2, E); arr_coords:
+    (spots, 2) pseudo-hex (col, row); y: str annotations or None.
+    """
+    import pandas as pd
+
+    files = find_feature_matrix_files(spaceranger_dir)
+    df_counts = read_feature_matrix(individual_files=files).T  # (barcodes, genes)
+    df_pos = read_positions(spaceranger_dir)
+
+    df_pos = df_pos.loc[df_pos["in_tissue"].astype(int) == 1]
+    df_counts = df_counts.loc[df_pos.index]
+
+    y = None
+    if annot_file is not None:
+        df_annot = pd.read_csv(annot_file, sep=",", header=0, index_col=0)
+        shared = df_annot.index.intersection(df_pos.index)
+        df_counts = df_counts.loc[shared]
+        df_pos = df_pos.loc[shared]
+        y = df_annot.loc[shared].iloc[:, 0].values
+
+    arr_coords = df_pos[["array_col", "array_row"]].values.astype(np.int64)
+    edges = hex_adjacency(arr_coords)
+    return df_counts.values.astype(np.float32), edges, arr_coords, y
+
+
+def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
+                        pad_to: Optional[int] = None) -> dict:
+    """Multi-array graph batch with node-index offsetting
+    (graph_datasets.py:18-80 semantics, dict-of-arrays container).
+
+    Label encoding matches the reference: graph labels (``array_lbls``)
+    supersede node annotations; classes sort alphanumerically. ``pad_to``
+    optionally pads nodes/edges to a static size for jit.
+    """
+    if isinstance(spaceranger_dirs, str):
+        spaceranger_dirs = [spaceranger_dirs]
+        annot_files = [annot_files] if annot_files is not None else None
+
+    if annot_files is None:
+        annot_files = [None] * len(spaceranger_dirs)
+    assert len(annot_files) == len(spaceranger_dirs)
+
+    xs, es, ps, ys, n_nodes, n_edges = [], [], [], [], [], []
+    offset = 0
+    for srd, afile in zip(spaceranger_dirs, annot_files):
+        x, e, pos, y = read_visium_graph(srd, afile)
+        xs.append(x)
+        es.append(e + offset)
+        ps.append(pos)
+        ys.append(y)
+        n_nodes.append(x.shape[0])
+        n_edges.append(e.shape[1])
+        offset += x.shape[0]
+
+    nodes = np.concatenate(xs, axis=0)
+    edges = np.concatenate(es, axis=1)
+    pos = np.concatenate(ps, axis=0)
+
+    classes = None
+    if array_lbls is not None:
+        classes = np.unique(array_lbls)
+        y_enc = np.searchsorted(classes, array_lbls).astype(np.int64)
+    elif ys[0] is not None:
+        y_all = np.concatenate(ys)
+        classes = np.unique(y_all)
+        y_enc = np.searchsorted(classes, y_all).astype(np.int64)
+    else:
+        y_enc = None
+
+    graph = {
+        "nodes": nodes, "edges": edges, "pos": pos, "y": y_enc,
+        "n_node": np.asarray(n_nodes, np.int64),
+        "n_edge": np.asarray(n_edges, np.int64),
+        "classes": classes,
+    }
+    if pad_to is not None:
+        graph = pad_graph(graph, pad_to)
+    return graph
+
+
+def pad_graph(graph: dict, n_node_pad: int, n_edge_pad: Optional[int] = None) -> dict:
+    """Pad to static sizes (jit-friendly); adds a ``node_mask``.
+
+    Padding edges are self-loops on the first padding node, so message
+    passing over them is a no-op for real nodes.
+    """
+    n = graph["nodes"].shape[0]
+    e = graph["edges"].shape[1]
+    if n_node_pad < n:
+        raise ValueError(f"pad {n_node_pad} < {n} nodes")
+    if n_edge_pad is None:
+        n_edge_pad = ((e + 127) // 128) * 128
+    if n_edge_pad < e:
+        raise ValueError(f"pad {n_edge_pad} < {e} edges")
+
+    out = dict(graph)
+    out["nodes"] = np.pad(graph["nodes"], [(0, n_node_pad - n), (0, 0)])
+    out["pos"] = np.pad(graph["pos"], [(0, n_node_pad - n), (0, 0)])
+    pad_edges = np.full((2, n_edge_pad - e), n, dtype=np.int64)
+    out["edges"] = np.concatenate([graph["edges"], pad_edges], axis=1)
+    if graph["y"] is not None and graph["y"].shape[0] == n:
+        out["y"] = np.pad(graph["y"], (0, n_node_pad - n), constant_values=-1)
+    out["node_mask"] = np.arange(n_node_pad) < n
+    return out

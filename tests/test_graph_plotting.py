@@ -1,0 +1,124 @@
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from gridnext_tpu.data.graph_data import (
+    hex_adjacency,
+    pad_graph,
+    visium_to_graphdata,
+)
+from gridnext_tpu.data.simulate import simulate_spaceranger_dir
+from gridnext_tpu import plotting
+
+
+@pytest.fixture(scope="module")
+def sims(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gviz")
+    return [simulate_spaceranger_dir(root / f"a{i}", seed=i, n_genes=15,
+                                     n_classes=3) for i in range(2)]
+
+
+def test_hex_adjacency_invariants(sims):
+    from gridnext_tpu import geometry as G
+
+    # adjacency over full lattice must match geometry's neighbor table
+    from gridnext_tpu.data.simulate import lattice_positions
+    _, col, row = lattice_positions()
+    edges = hex_adjacency(np.stack([col, row], 1))
+    n = G.VISIUM_N_SPOTS
+    deg = np.bincount(edges[0], minlength=n)
+    assert deg.max() == 6
+    # symmetric, no self edges (the reference's own __main__ invariants)
+    s = set(map(tuple, edges.T))
+    assert all((b, a) in s for a, b in list(s)[:500])
+    assert all(a != b for a, b in s)
+    nbrs, valid = G.hex_neighbor_table()
+    assert len(s) == int(valid.sum())
+
+
+def test_visium_to_graphdata_multi_array(sims):
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    g = visium_to_graphdata(dirs, annot_files=annots)
+    n0 = int((sims[0]["label_grid"] > 0).sum())
+    n1 = int((sims[1]["label_grid"] > 0).sum())
+    assert g["nodes"].shape[0] == n0 + n1
+    assert g["y"].shape == (n0 + n1,)
+    assert list(g["classes"]) == sims[0]["class_names"]
+    # second array's edges are offset past the first array's nodes
+    assert g["edges"][:, g["n_edge"][0]:].min() >= n0
+    assert g["n_node"].tolist() == [n0, n1]
+
+    # graph-level labels supersede node labels
+    g2 = visium_to_graphdata(dirs, annot_files=annots, array_lbls=["t1", "t2"])
+    assert g2["y"].tolist() == [0, 1]
+
+
+def test_pad_graph(sims):
+    g = visium_to_graphdata(sims[0]["spaceranger_dir"],
+                            annot_files=sims[0]["annot_file"])
+    n = g["nodes"].shape[0]
+    gp = pad_graph(g, n + 10)
+    assert gp["nodes"].shape[0] == n + 10
+    assert gp["node_mask"].sum() == n
+    assert (gp["y"][n:] == -1).all()
+    # padding edges are self-loops on the first pad node
+    e = g["edges"].shape[1]
+    assert (gp["edges"][:, e:] == n).all()
+
+
+def test_performance_curves_perfect_predictions():
+    rng = np.random.default_rng(0)
+    true = rng.integers(0, 3, 300)
+    smax = np.eye(3)[true] * 0.98 + 0.01
+    fig, ax, mauroc, mauprc = plotting.performance_curves(
+        true, smax, class_names=["a", "b", "c"])
+    np.testing.assert_allclose(mauroc, [1.0], atol=1e-9)
+    np.testing.assert_allclose(mauprc, [1.0], atol=1e-9)
+
+    # multi-condition overlay
+    fig, ax, mauroc, mauprc = plotting.performance_curves(
+        true, [smax, np.full_like(smax, 1 / 3)], condition_names=["good", "rand"])
+    assert mauroc.shape == (2,)
+    assert mauroc[0] > mauroc[1]
+
+
+def test_plot_confusion_and_label_tensor():
+    y = np.array([0, 0, 1, 1, 2, 2])
+    p = np.array([0, 1, 1, 1, 2, 0])
+    fig, ax = plotting.plot_confusion(y, p, class_names=["a", "b", "c"])
+    assert fig is not None
+
+    grid = np.zeros((6, 5), dtype=int)
+    grid[1, 1] = 1
+    grid[2, 3] = 2
+    ax = plotting.plot_label_tensor(grid, class_names=["x", "y"], Visium=True)
+    assert ax is not None
+
+
+def test_misclass_density_vectorized():
+    smax = np.zeros((2, 2, 3))
+    smax[0, 0] = [0.7, 0.2, 0.1]
+    smax[1, 1] = [0.1, 0.1, 0.8]
+    true = np.array([[1, 0], [0, 3]])
+    mcd = plotting.misclass_density(smax, true)
+    np.testing.assert_allclose(mcd, [[0.3, 0.0], [0.0, 0.2]], atol=1e-9)
+
+
+def test_class_boundaries_and_hexplots():
+    true = np.array([[1, 1, 2], [1, 2, 2], [0, 2, 2]])
+    base = np.random.default_rng(0).uniform(size=true.shape)
+    fig = plotting.plot_class_boundaries(base, true)
+    assert fig is not None
+
+    ax = plotting.plot_hextensor(base, layout="odd-r")
+    assert ax is not None
+    ax = plotting.plot_hextensor(base, layout="odd-q")
+    assert ax is not None
+    ax = plotting.plot_squaretensor(base)
+    assert ax is not None
+    with pytest.raises(ValueError):
+        plotting.plot_hextensor(base, layout="bogus")
