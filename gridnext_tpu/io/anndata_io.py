@@ -1,0 +1,205 @@
+"""AnnData builders (optional tier -- requires the ``anndata`` package).
+
+Parity with visium_datasets.py:221-353: ``create_visium_anndata`` assembles
+annotated multi-array count data into one AnnData (obs: x, y, x_px, y_px,
+array, annotation; var: gene_symbol); ``create_visium_anndata_img`` adds
+per-spot image-patch paths (obs['imgpath']), extracting patches on demand.
+
+anndata is not a hard dependency of this framework; every function raises a
+clear ImportError if it is missing. The array-native dataset layer
+(data.datasets) covers the same workflows without it.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from gridnext_tpu.io.spaceranger import (
+    find_feature_matrix_files,
+    read_feature_matrix,
+    read_feature_names,
+    read_positions,
+)
+
+
+def _require_anndata():
+    try:
+        import anndata as ad
+        return ad
+    except ImportError as e:
+        raise ImportError(
+            "this function requires the optional 'anndata' package") from e
+
+
+def create_visium_anndata(spaceranger_dirs: Sequence, annot_files: Optional[Sequence] = None,
+                          destfile=None, hd_binning: Optional[str] = None):
+    """Annotated multi-array count AnnData (visium_datasets.py:221-272)."""
+    ad = _require_anndata()
+    import pandas as pd
+    from scipy import sparse
+
+    adata_list = []
+    for i, srd in enumerate(spaceranger_dirs):
+        df_counts = read_feature_matrix(srd, hd_binning=hd_binning).T
+        df_pos = read_positions(srd, hd_binning=hd_binning)
+        df_feats = read_feature_names(srd, hd_binning=hd_binning)
+
+        barcodes = df_pos[df_pos["in_tissue"].astype(int) == 1].index
+
+        df_annot = None
+        if annot_files is not None:
+            df_annot = pd.read_csv(annot_files[i], header=0, index_col=0, sep=",")
+            df_annot = df_annot.loc[df_annot.iloc[:, 0] != ""]
+            barcodes = barcodes.intersection(df_annot.index)
+
+        arr = Path(srd).stem
+        obs = pd.DataFrame({
+            "x": df_pos.loc[barcodes, "array_col"],
+            "y": df_pos.loc[barcodes, "array_row"],
+            "x_px": df_pos.loc[barcodes, "pxl_col_in_fullres"],
+            "y_px": df_pos.loc[barcodes, "pxl_row_in_fullres"],
+            "array": arr,
+        })
+        if df_annot is not None:
+            obs["annotation"] = df_annot.loc[barcodes].iloc[:, 0]
+        obs.index = [f"{arr}_{x}_{y}" for x, y in zip(obs["x"], obs["y"])]
+
+        var = pd.DataFrame(
+            {"gene_symbol": df_feats.loc[df_counts.columns, "gene_symbol"]},
+            index=df_counts.columns)
+
+        adata_list.append(ad.AnnData(
+            X=sparse.csr_matrix(df_counts.loc[barcodes, :].values),
+            var=var, obs=obs))
+
+    adata_all = ad.concat(adata_list, axis=0, join="outer", merge="first")
+    if destfile is not None:
+        adata_all.write(destfile, compression="gzip")
+    return adata_all
+
+
+def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
+                              fullres_image_files=None, annot_files=None,
+                              destfile=None, patch_size_px: Optional[int] = None,
+                              patch_size_um: Optional[float] = 100.0,
+                              save_patches_to=None, hd_binning=None):
+    """Count AnnData + per-spot image paths (visium_datasets.py:277-353)."""
+    ad = _require_anndata()
+
+    from gridnext_tpu.pipeline import distance_um_to_px, save_visium_patches
+
+    adata_count = create_visium_anndata(spaceranger_dirs, annot_files=annot_files,
+                                        destfile=None, hd_binning=hd_binning)
+
+    if imgpatch_dirs is None and fullres_image_files is None:
+        raise ValueError("Must provide either patched image directories or fullres images")
+
+    if imgpatch_dirs is None:
+        patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
+                        else f"_patches{int(patch_size_um)}um")
+        if save_patches_to is None:
+            imgpatch_dirs = [os.path.join(str(srd), Path(srd).name + patch_suffix)
+                             for srd in spaceranger_dirs]
+        else:
+            os.makedirs(save_patches_to, exist_ok=True)
+            imgpatch_dirs = [os.path.join(str(save_patches_to),
+                                          Path(srd).name + patch_suffix)
+                             for srd in spaceranger_dirs]
+        for imfile, pdir, srd in zip(fullres_image_files, imgpatch_dirs,
+                                     spaceranger_dirs):
+            if not os.path.exists(pdir):
+                if not os.path.exists(imfile):
+                    raise ValueError(f"Could not find image file: {imfile}")
+                ps = (patch_size_px if patch_size_px is not None
+                      else distance_um_to_px(srd, patch_size_um))
+                save_visium_patches(imfile, srd, pdir, patch_size=ps)
+
+    adata_list = []
+    for srd, pdir in zip(spaceranger_dirs, imgpatch_dirs):
+        arr = Path(srd).stem
+        adata_arr = adata_count[adata_count.obs.array == arr].copy()
+        imfiles = [os.path.join(str(pdir), f"{arr}_{x}_{y}.jpg")
+                   for x, y in zip(adata_arr.obs.x, adata_arr.obs.y)]
+        adata_arr.obs["imgpath"] = imfiles
+        keep = [os.path.exists(im) for im in imfiles]
+        adata_list.append(adata_arr[keep])
+
+    adata_img = ad.concat(adata_list, axis=0, join="outer", merge="first")
+    if destfile is not None:
+        adata_img.write(destfile, compression="gzip")
+    return adata_img
+
+
+def anndata_to_grids(adata, labels, obs_x: str = "x", obs_y: str = "y",
+                     h_st: int = 78, w_st: int = 64, use_pcs=False,
+                     vis_coords: bool = True):
+    """One array's AnnData -> ((h, w, features), (h, w)) grids, channels-last.
+
+    (utils.py:197-217 semantics; labels are shifted +1, 0 = background.)
+    """
+    from scipy import sparse
+
+    from gridnext_tpu import geometry
+
+    if use_pcs:
+        dat = adata.obsm["X_pca"][:, :use_pcs]
+    elif sparse.issparse(adata.X):
+        dat = np.asarray(adata.X.todense())
+    else:
+        dat = np.asarray(adata.X)
+
+    counts_grid = np.zeros((h_st, w_st, dat.shape[1]), np.float32)
+    labels_grid = np.zeros((h_st, w_st), np.int64)
+
+    xs = np.asarray(adata.obs[obs_x], dtype=int)
+    ys = np.asarray(adata.obs[obs_y], dtype=int)
+    if vis_coords:
+        xs, ys = geometry.pseudo_hex_to_oddr(xs, ys)
+    labels_grid[ys, xs] = np.asarray(labels) + 1
+    counts_grid[ys, xs] = dat
+    return counts_grid, labels_grid
+
+
+def anndata_to_spot_arrays(adata, obs_label: str, use_pcs=False):
+    """(X, y, classes) spot arrays from AnnData (anndata_to_tensordataset
+    analog, count_datasets.py:347-376)."""
+    from scipy import sparse
+
+    labels_raw = np.asarray(adata.obs[obs_label])
+    classes = np.unique(labels_raw)
+    y = np.searchsorted(classes, labels_raw).astype(np.int64)
+    X = adata.obsm["X_pca"][:, :use_pcs] if use_pcs else adata.X
+    if sparse.issparse(X):
+        X = np.asarray(X.todense())
+    return np.asarray(X, np.float32), y, classes
+
+
+def anndata_to_grid_arrays(adata, obs_label: str, obs_arr: str, obs_x="x",
+                           obs_y="y", h_st: int = 78, w_st: int = 64,
+                           use_pcs=False, vis_coords: bool = True,
+                           arrays_ordered=None):
+    """(X, Y, classes) stacked grid arrays over all arrays
+    (anndata_arrays_to_tensordataset analog, count_datasets.py:427-477)."""
+    labels_raw = np.asarray(adata.obs[obs_label])
+    classes = np.unique(labels_raw)
+
+    if arrays_ordered is None:
+        arrays_ordered = adata.obs[obs_arr].unique()
+
+    xs, ys = [], []
+    for arr in arrays_ordered:
+        adata_arr = adata[adata.obs[obs_arr] == arr]
+        if len(adata_arr) == 0:
+            print(f"Warning: no spots found for array {arr}")
+            continue
+        lbls = np.searchsorted(classes, np.asarray(adata_arr.obs[obs_label]))
+        cg, lg = anndata_to_grids(adata_arr, lbls, obs_x=obs_x, obs_y=obs_y,
+                                  h_st=h_st, w_st=w_st, use_pcs=use_pcs,
+                                  vis_coords=vis_coords)
+        xs.append(cg)
+        ys.append(lg)
+    return np.stack(xs), np.stack(ys), classes

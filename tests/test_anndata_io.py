@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+from gridnext_tpu.io import anndata_io
+
+
+def test_gated_import_message():
+    try:
+        import anndata  # noqa: F401
+        pytest.skip("anndata installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="anndata"):
+        anndata_io.create_visium_anndata(["/nonexistent"])
+
+
+class _FakeObs(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+
+class _FakeAnnData:
+    """Duck-typed stand-in so grid/spot conversion logic is testable without
+    the anndata package."""
+
+    def __init__(self, X, obs):
+        self.X = X
+        self.obs = obs
+        self.obsm = {}
+
+    def __len__(self):
+        return self.X.shape[0]
+
+    def __getitem__(self, idx):
+        import pandas as pd
+
+        obs = self.obs.iloc[np.atleast_1d(idx)] if hasattr(idx, "__len__") \
+            else self.obs[idx]
+        return _FakeAnnData(self.X[idx], obs)
+
+
+def _fake_adata():
+    import pandas as pd
+
+    X = np.arange(12, dtype=np.float32).reshape(4, 3)
+    obs = pd.DataFrame({
+        "x": [0, 2, 1, 3], "y": [0, 0, 1, 1],
+        "annotation": ["B", "A", "A", "B"],
+        "array": ["a1", "a1", "a2", "a2"],
+    })
+    return _FakeAnnData(X, obs)
+
+
+def test_anndata_to_grids_semantics():
+    ad = _fake_adata()
+    labels = np.array([1, 0, 0, 1])
+    counts, lbls = anndata_io.anndata_to_grids(ad, labels, h_st=4, w_st=4)
+    # (x=0,y=0) -> oddr (0,0); (x=2,y=0) -> (1,0); (x=1,y=1) -> (0,1); (x=3,y=1) -> (1,1)
+    assert lbls[0, 0] == 2 and lbls[0, 1] == 1
+    assert lbls[1, 0] == 1 and lbls[1, 1] == 2
+    np.testing.assert_array_equal(counts[0, 0], [0, 1, 2])
+    np.testing.assert_array_equal(counts[1, 1], [9, 10, 11])
+    assert counts.shape == (4, 4, 3)
+
+
+def test_anndata_to_spot_arrays():
+    ad = _fake_adata()
+    X, y, classes = anndata_io.anndata_to_spot_arrays(ad, "annotation")
+    assert list(classes) == ["A", "B"]
+    np.testing.assert_array_equal(y, [1, 0, 0, 1])
+    np.testing.assert_array_equal(X, ad.X)
+
+
+def test_anndata_to_grid_arrays():
+    ad = _fake_adata()
+    X, Y, classes = anndata_io.anndata_to_grid_arrays(
+        ad, "annotation", "array", h_st=4, w_st=4)
+    assert X.shape == (2, 4, 4, 3)
+    assert Y.shape == (2, 4, 4)
+    assert list(classes) == ["A", "B"]
+    # array a1: spots at (0,0) lbl B->2, (1,0) lbl A->1
+    assert Y[0, 0, 0] == 2 and Y[0, 0, 1] == 1
+    assert Y[1].sum() > 0
