@@ -1,0 +1,8 @@
+from gridnext_tpu.workflows.pca import (  # noqa: F401
+    filtered_norm_logcounts,
+    fit_cohort_scaler,
+    fit_pca,
+    n_pcs_for_variance,
+    pca_transform,
+    scale_logcounts,
+)

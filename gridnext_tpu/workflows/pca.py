@@ -1,0 +1,128 @@
+"""PCA-reduced count registration workflow.
+
+Generalized, path-agnostic port of the reference's
+scripts/fit_pca_unified_cortex.py (which also fixes its missing ``pickle``
+import, fit_pca_unified_cortex.py:98): drop spots under ``min_counts`` UMIs,
+depth-normalize to 1e4, log1p, z-scale each gene by the *training cohort's*
+statistics, clip at 10, fit PCA, and pick the PC count explaining a target
+variance fraction. The PCA transform itself is exposed as a jittable matmul
+so PC featurization can run on-device as part of the registration pipeline
+(register_pca.ipynb workflow).
+
+scanpy-free: the normalize/log1p steps are plain numpy.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _load_counts(count_file) -> "pandas.DataFrame":
+    import pandas as pd
+
+    if hasattr(count_file, "values"):  # already a DataFrame
+        return count_file
+    return pd.read_csv(count_file, header=0, index_col=0, sep="\t")
+
+
+def filtered_norm_logcounts(count_file, min_counts: int = 100,
+                            target_sum: float = 1e4):
+    """(genes x spots) count file -> depth-normalized log1p DataFrame.
+
+    Spots with fewer than ``min_counts`` total UMIs are dropped
+    (fit_pca_unified_cortex.py:33-44 semantics).
+    """
+    df = _load_counts(count_file)
+    depths = df.values.sum(axis=0)
+    keep = depths >= min_counts
+    df = df.loc[:, keep]
+    depths = depths[keep]
+    X = df.values / depths[None, :] * target_sum
+    X = np.log1p(X)
+    import pandas as pd
+
+    return pd.DataFrame(X, index=df.index, columns=df.columns)
+
+
+def fit_cohort_scaler(count_files: Sequence, min_counts: int = 100,
+                      target_sum: float = 1e4) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gene (mean, std) over a training cohort's normalized log counts."""
+    blocks = [filtered_norm_logcounts(cf, min_counts, target_sum).values
+              for cf in count_files]
+    allcounts = np.hstack(blocks)
+    return allcounts.mean(axis=1), allcounts.std(axis=1)
+
+
+def scale_logcounts(df, mean: np.ndarray, std: np.ndarray, clip: float = 10.0):
+    """Z-scale genes by cohort statistics and clip (fit_pca...py:61-66)."""
+    std = np.where(std == 0, 1.0, std)
+    X = (df.values - mean[:, None]) / std[:, None]
+    X = np.minimum(X, clip)
+    import pandas as pd
+
+    return pd.DataFrame(X, index=df.index, columns=df.columns)
+
+
+def fit_pca(X: np.ndarray, n_components: Optional[int] = None,
+            outfile=None):
+    """Fit sklearn PCA on (spots x genes) scaled data; optionally pickle it."""
+    from sklearn.decomposition import PCA
+
+    pca = PCA(n_components=n_components)
+    pca.fit(np.asarray(X, np.float32))
+    if outfile is not None:
+        with open(outfile, "wb") as fh:
+            pickle.dump(pca, fh)
+    return pca
+
+
+def n_pcs_for_variance(pca, fraction: float = 0.5) -> int:
+    """Smallest PC count explaining > ``fraction`` of variance
+    (fit_pca_unified_cortex.py:100-101)."""
+    return int(np.where(np.cumsum(pca.explained_variance_ratio_) > fraction)[0][0]) + 1
+
+
+def pca_transform(X, components: np.ndarray, mean: np.ndarray,
+                  n_pcs: Optional[int] = None):
+    """Jittable PCA projection: (..., genes) -> (..., n_pcs).
+
+    Pass ``pca.components_`` / ``pca.mean_`` from :func:`fit_pca`. Works on
+    numpy or jax arrays and inside jit -- PC featurization of count grids
+    becomes one on-device matmul feeding f.
+    """
+    import jax.numpy as jnp
+
+    comp = jnp.asarray(components if n_pcs is None else components[:n_pcs])
+    return (jnp.asarray(X) - jnp.asarray(mean)) @ comp.T
+
+
+def preprocess_cohorts(train_count_files: Sequence, all_count_files: Sequence,
+                       min_counts: int = 100, target_sum: float = 1e4,
+                       clip: float = 10.0, variance_fraction: float = 0.5,
+                       pca_outfile=None):
+    """The full fit_pca_unified_cortex pipeline, in memory.
+
+    Returns dict with scaler (mean, std), the fitted pca, ``n_pcs`` at the
+    variance target, and per-file scaled DataFrames.
+    """
+    mean, std = fit_cohort_scaler(train_count_files, min_counts, target_sum)
+
+    scaled = {}
+    train_blocks = []
+    for cf in all_count_files:
+        df = scale_logcounts(filtered_norm_logcounts(cf, min_counts, target_sum),
+                             mean, std, clip)
+        scaled[str(cf)] = df
+        if cf in train_count_files:
+            train_blocks.append(df.values.T)
+
+    X_train = np.vstack(train_blocks)
+    pca = fit_pca(X_train, outfile=pca_outfile)
+    return {
+        "mean": mean, "std": std, "pca": pca,
+        "n_pcs": n_pcs_for_variance(pca, variance_fraction),
+        "scaled": scaled,
+    }
