@@ -152,3 +152,50 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         "class_names": class_names,
         "n_genes": n_genes,
     }
+
+
+def pseudo_visium_from_image(fullres_roi, dest_dir, image_width_mm: float = 8,
+                             spot_width_um: float = 55,
+                             spot_spacing_um: float = 100) -> str:
+    """Simulate Visium files for an arbitrary cropped tissue image.
+
+    Writes ``<dest>/<image_stem>/outs/spatial/{tissue_positions.csv,
+    scalefactors_json.json}`` placing the full 78x64 lattice over the image
+    ROI -- the reference's ``pseudo_visium_spots`` (imgprocess.py:294-349),
+    but with a generated barcode lattice instead of packaged templates.
+    Returns the created pseudo-Spaceranger directory.
+    """
+    import pandas as pd
+    from PIL import Image
+
+    img = np.asarray(Image.open(fullres_roi))
+    w_px = img.shape[0]  # reference uses the first dim as width (:321-322)
+
+    px_per_mm = w_px / image_width_mm
+    spot_width_px = px_per_mm * spot_width_um / 1000
+    spot_space_px = px_per_mm * spot_spacing_um / 1000
+
+    ul = int(np.rint(0.75 * px_per_mm + spot_width_px / 2))
+    dx = spot_space_px
+    dy = spot_space_px * np.sqrt(3) / 2
+
+    barcodes, col, row = lattice_positions()
+    pos = pd.DataFrame({
+        "barcode": barcodes,
+        "in_tissue": np.ones(len(barcodes), int),
+        "array_row": row,
+        "array_col": col,
+        "pxl_row_in_fullres": np.rint(ul + row * dy).astype(int),
+        "pxl_col_in_fullres": np.rint(ul + col / 2 * dx).astype(int),
+    })
+
+    arr_name = Path(fullres_roi).stem.replace(" ", "_")
+    out_dir = Path(dest_dir) / arr_name / "outs" / "spatial"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pos.set_index("barcode").to_csv(out_dir / "tissue_positions.csv")
+    scale = {"spot_diameter_fullres": spot_width_px,
+             "fiducial_diameter_fullres": spot_width_px * 85 / 55,
+             "tissue_hires_scalef": 0.1, "tissue_lowres_scalef": 0.03}
+    with open(out_dir / "scalefactors_json.json", "w") as fh:
+        json.dump(scale, fh)
+    return str(Path(dest_dir) / arr_name)

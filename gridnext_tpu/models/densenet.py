@@ -17,14 +17,15 @@ Layout: NHWC (TPU native). Weights convert from torch checkpoints via
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 
-def _bn(train: bool):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)
+def _bn(train: bool, dtype=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype)
 
 
 def _conv_init(key, shape, dtype=jnp.float32):
@@ -44,22 +45,24 @@ class _DenseLayer(nn.Module):
     bn_size: int
     drop_rate: float
     efficient: bool
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bottleneck(h):
-            h = _bn(train)(h)
+            h = _bn(train, self.dtype)(h)
             h = nn.relu(h)
             return nn.Conv(self.bn_size * self.growth_rate, (1, 1),
-                           use_bias=False, kernel_init=_conv_init)(h)
+                           use_bias=False, kernel_init=_conv_init,
+                           dtype=self.dtype)(h)
 
         if self.efficient:
             bottleneck = nn.remat(bottleneck, prevent_cse=False)
         h = bottleneck(x)
-        h = _bn(train)(h)
+        h = _bn(train, self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
-                    kernel_init=_conv_init)(h)
+                    kernel_init=_conv_init, dtype=self.dtype)(h)
         if self.drop_rate > 0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         return h
@@ -67,12 +70,14 @@ class _DenseLayer(nn.Module):
 
 class _Transition(nn.Module):
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = _bn(train)(x)
+        x = _bn(train, self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, kernel_init=_conv_init)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    kernel_init=_conv_init, dtype=self.dtype)(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -93,18 +98,23 @@ class DenseNet(nn.Module):
     small_inputs: bool = True
     efficient: bool = False
     classify: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         assert 0 < self.compression <= 1
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         if self.small_inputs:
             x = nn.Conv(self.num_init_features, (3, 3), strides=1, padding=1,
-                        use_bias=False, kernel_init=_conv_init, name="conv0")(x)
+                        use_bias=False, kernel_init=_conv_init, name="conv0",
+                        dtype=self.dtype)(x)
         else:
             x = nn.Conv(self.num_init_features, (7, 7), strides=2, padding=3,
-                        use_bias=False, kernel_init=_conv_init, name="conv0")(x)
-            x = _bn(train)(x)
+                        use_bias=False, kernel_init=_conv_init, name="conv0",
+                        dtype=self.dtype)(x)
+            x = _bn(train, self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -113,16 +123,18 @@ class DenseNet(nn.Module):
             # Dense block: concatenate each layer's growth_rate new features.
             for _ in range(num_layers):
                 new = _DenseLayer(self.growth_rate, self.bn_size,
-                                  self.drop_rate, self.efficient)(x, train)
+                                  self.drop_rate, self.efficient,
+                                  self.dtype)(x, train)
                 x = jnp.concatenate([x, new], axis=-1)
             num_features += num_layers * self.growth_rate
             if i != len(self.block_config) - 1:
                 num_features = int(num_features * self.compression)
-                x = _Transition(num_features)(x, train)
+                x = _Transition(num_features, self.dtype)(x, train)
 
-        x = _bn(train)(x)
+        x = _bn(train, self.dtype)(x)
         x = nn.relu(x)
         x = jnp.mean(x, axis=(-3, -2))  # adaptive avg pool to (1,1), flattened
+        x = x.astype(jnp.float32)
         if self.classify:
             x = nn.Dense(self.num_classes, name="classifier")(x)
         return x
