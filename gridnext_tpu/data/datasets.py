@@ -73,6 +73,12 @@ class _GridDatasetBase:
 def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
     import pandas as pd
 
+    if cfile_delim == "\t":
+        from gridnext_tpu import native
+
+        frame = native.read_tsv_dataframe(count_file)
+        if frame is not None:
+            return frame
     return pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
 
 

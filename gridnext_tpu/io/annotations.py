@@ -81,7 +81,13 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
       annots_grid: (h_st, w_st) -- string array (bg '') for Loupe annotations
         (Visium + position_file), int array (bg 0) for Splotch.
     """
-    cmat = pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
+    cmat = None
+    if cfile_delim == "\t":
+        from gridnext_tpu import native
+
+        cmat = native.read_tsv_dataframe(count_file)
+    if cmat is None:
+        cmat = pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
     if select_genes is not None:
         cmat = cmat.loc[select_genes, :]
     n_genes = cmat.shape[0]

@@ -1,0 +1,77 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from gridnext_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return True
+
+
+def test_write_read_roundtrip_gz(lib_ok, tmp_path):
+    rng = np.random.default_rng(0)
+    values = rng.poisson(1.0, size=(50, 30)).astype(np.float64)
+    rows = [f"ENSG{i:05d}" for i in range(50)]
+    cols = [f"{i}_{i % 7}" for i in range(30)]
+    path = tmp_path / "arr.unified.tsv.gz"
+
+    assert native.write_tsv_matrix(path, rows, cols, values, force_int=True)
+
+    # pandas must read exactly what we wrote (file-contract compatibility)
+    df = pd.read_csv(path, header=0, index_col=0, sep="\t")
+    assert list(df.index) == rows
+    assert list(df.columns) == cols
+    assert df.index.name == "Gene"
+    np.testing.assert_array_equal(df.values, values)
+
+    # our reader agrees with itself and pandas
+    r2, c2, v2 = native.read_tsv_matrix(path)
+    assert r2 == rows and c2 == cols
+    np.testing.assert_array_equal(v2, values)
+
+
+def test_write_read_floats_plain(lib_ok, tmp_path):
+    rng = np.random.default_rng(1)
+    values = rng.normal(size=(10, 8))
+    rows = [f"G{i}" for i in range(10)]
+    cols = [f"c{i}" for i in range(8)]
+    path = tmp_path / "floats.tsv"  # uncompressed
+    assert native.write_tsv_matrix(path, rows, cols, values)
+    df = pd.read_csv(path, header=0, index_col=0, sep="\t")
+    # pandas' fast float parser is within 1 ulp of strtod
+    np.testing.assert_allclose(df.values, values, rtol=1e-14)
+    _, _, v2 = native.read_tsv_matrix(path)
+    np.testing.assert_allclose(v2, values, rtol=0, atol=0)  # strtod round-trip exact
+
+
+def test_reader_handles_pandas_written_file(lib_ok, tmp_path):
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(rng.poisson(2, size=(20, 10)),
+                      index=[f"G{i}" for i in range(20)],
+                      columns=[f"{i}_{i}" for i in range(10)])
+    df.index.name = "Gene"
+    path = tmp_path / "pandas.tsv.gz"
+    df.to_csv(path, sep="\t")
+    rows, cols, values = native.read_tsv_matrix(path)
+    assert rows == list(df.index) and cols == list(df.columns)
+    np.testing.assert_array_equal(values, df.values)
+
+
+def test_unify_pipeline_uses_native(lib_ok, tmp_path):
+    # end-to-end: prepare_count_files writes via native; datasets read it back
+    from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=25,
+                                     n_classes=3) for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    gdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=True,
+                                 annot_files=[s["annot_file"] for s in sims],
+                                 minimum_detection_rate=None)
+    x, y = gdat[0]
+    np.testing.assert_array_equal(y, sims[0]["label_grid"])
+    assert x[y > 0].sum() > 0
