@@ -41,9 +41,11 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # other variable collections (e.g. the Performer 'favor' projections)
+    extra_vars: Any = flax.struct.field(default_factory=dict)
 
     def variables(self):
-        v = {"params": self.params}
+        v = {"params": self.params, **(self.extra_vars or {})}
         if self.batch_stats is not None:
             v["batch_stats"] = self.batch_stats
         return v
@@ -77,8 +79,11 @@ def create_train_state(model: nn.Module, rng, sample_input, tx,
     variables = model.init(rng, sample_input, train=train_init)
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
+    extra = {k: v for k, v in variables.items()
+             if k not in ("params", "batch_stats")}
     return TrainState(params=params, batch_stats=batch_stats,
-                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32),
+                      extra_vars=extra)
 
 
 def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray):
@@ -115,8 +120,8 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
 
     loss_fn = masked_cross_entropy if loss_kind == "grid" else _spot_loss
 
-    def forward(params, batch_stats, x, train, mutable):
-        variables = {"params": params}
+    def forward(params, batch_stats, extra, x, train, mutable):
+        variables = {"params": params, **(extra or {})}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         if mutable:
@@ -126,8 +131,8 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
     @jax.jit
     def train_step(state: TrainState, x, y):
         def compute(params):
-            logits, mut = forward(params, state.batch_stats, x, True,
-                                  state.batch_stats is not None)
+            logits, mut = forward(params, state.batch_stats, state.extra_vars,
+                                  x, True, state.batch_stats is not None)
             loss, n_corr, n = loss_fn(logits, y)
             return loss, (n_corr, n, mut)
 
@@ -142,7 +147,8 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
 
     @jax.jit
     def eval_step(state: TrainState, x, y):
-        logits, _ = forward(state.params, state.batch_stats, x, False, False)
+        logits, _ = forward(state.params, state.batch_stats, state.extra_vars,
+                            x, False, False)
         loss, n_corr, n = loss_fn(logits, y)
         return {"loss": loss, "n_correct": n_corr, "n": n}
 
@@ -166,9 +172,12 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
 
 
 def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
-                  batch_size, outfile, shuffle_seed, verbose):
+                  batch_size, outfile, shuffle_seed, verbose,
+                  redraw_every: Optional[int] = None, redraw_rng=None):
     train_step, eval_step = _make_steps(model, tx, loss_kind)
     rng = np.random.default_rng(shuffle_seed)
+    if redraw_every:
+        redraw_rng = redraw_rng if redraw_rng is not None else jax.random.key(7)
 
     best_loss = np.inf
     best_params = jax.device_get(state.params)
@@ -189,6 +198,19 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
             for x, y in batches:
                 if phase == "train":
                     state, m = train_step(state, x, y)
+                    # periodic FAVOR+ projection redraw (Performer models;
+                    # llm/performer_pytorch.py:532-546 semantics)
+                    if (redraw_every and state.extra_vars
+                            and "favor" in state.extra_vars
+                            and int(state.step) % redraw_every == 0):
+                        from gridnext_tpu.models.performer import redraw_projections
+
+                        redraw_rng, sub = jax.random.split(redraw_rng)
+                        new_vars = redraw_projections(
+                            {"favor": state.extra_vars["favor"]}, sub)
+                        extra = dict(state.extra_vars)
+                        extra["favor"] = new_vars["favor"]
+                        state = state.replace(extra_vars=extra)
                 else:
                     m = eval_step(state, x, y)
                 bsz = len(y)
@@ -224,11 +246,13 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
 def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-4,
                    num_epochs: int = 10, batch_size: int = 128, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
-                   shuffle_seed: int = 0, verbose: bool = True):
+                   shuffle_seed: int = 0, verbose: bool = True,
+                   redraw_every: Optional[int] = None):
     """Train a spot classifier f.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
-    with integer labels already in [0, n_classes).
+    with integer labels already in [0, n_classes). ``redraw_every`` enables
+    periodic FAVOR+ projection redraw for Performer-based f (scBERT).
     """
     if tx is None:
         tx = optax.adam(learning_rate)
@@ -237,7 +261,8 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
         sample = jnp.asarray(dataloaders["train"][0][:1])
         state = create_train_state(model, rng, sample, tx, train_init=False)
     return _run_training(model, state, tx, dataloaders, "spot", num_epochs,
-                         batch_size, outfile, shuffle_seed, verbose)
+                         batch_size, outfile, shuffle_seed, verbose,
+                         redraw_every=redraw_every)
 
 
 def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-3,
@@ -290,12 +315,20 @@ def load_f_params(state: TrainState, f_variables: Mapping,
 # Checkpointing (flax.serialization; msgpack on disk)
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path, state: TrainState):
+def save_checkpoint(path, state: TrainState, include_opt_state: bool = True):
+    """Serialize a TrainState (params, batch_stats, extra collections, step,
+    and -- unlike the reference's weights-only .pth -- the optimizer state,
+    enabling true mid-training resume; cf. training.py:184-195 which saves
+    opt state in a separate .opt file and has no resume path)."""
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
+        "extra_vars": jax.device_get(state.extra_vars),
         "step": int(state.step),
     }
+    if include_opt_state:
+        payload["opt_state"] = flax.serialization.to_state_dict(
+            jax.device_get(state.opt_state))
     with open(path, "wb") as fh:
         fh.write(flax.serialization.msgpack_serialize(payload))
 
@@ -303,3 +336,19 @@ def save_checkpoint(path, state: TrainState):
 def load_checkpoint(path):
     with open(path, "rb") as fh:
         return flax.serialization.msgpack_restore(fh.read())
+
+
+def restore_train_state(path, state_template: TrainState) -> TrainState:
+    """Rebuild a TrainState from a checkpoint, using ``state_template`` (a
+    freshly created state for the same model+optimizer) for structure."""
+    payload = load_checkpoint(path)
+    opt_state = state_template.opt_state
+    if payload.get("opt_state") is not None:
+        opt_state = flax.serialization.from_state_dict(
+            state_template.opt_state, payload["opt_state"])
+    return state_template.replace(
+        params=payload["params"],
+        batch_stats=payload.get("batch_stats"),
+        extra_vars=payload.get("extra_vars") or {},
+        opt_state=opt_state,
+        step=jnp.asarray(payload.get("step", 0), jnp.int32))

@@ -1,0 +1,117 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gridnext_tpu.config import (
+    DenseNetConfig,
+    GridTrainConfig,
+    SpotTrainConfig,
+    load_config,
+    save_config,
+)
+from gridnext_tpu.models import CountMLP, GridNetHex, scBERT
+from gridnext_tpu.observability import MetricsLogger, StageTimer, read_metrics
+from gridnext_tpu.train import train_spotwise
+from gridnext_tpu.train.loops import (
+    create_train_state,
+    make_gridwise_optimizer,
+    restore_train_state,
+    save_checkpoint,
+    train_gridwise,
+)
+
+
+def _grid_data(seed=0, n=3, h=8, w=6, g=12, c=3):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, h, w, g)).astype(np.float32)
+    Y = rng.integers(0, c + 1, size=(n, h, w)).astype(np.int64)
+    return X, Y
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    X, Y = _grid_data()
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3, f_lr=1e-4)
+    state = create_train_state(g, jax.random.key(0), X[:1], tx)
+
+    state, _, _ = train_gridwise(g, {"train": (X, Y), "val": (X, Y)},
+                                 state=state, tx=tx, num_epochs=2, verbose=False)
+    ckpt = tmp_path / "state.msgpack"
+    save_checkpoint(str(ckpt), state)
+
+    template = create_train_state(g, jax.random.key(1), X[:1], tx)
+    restored = restore_train_state(str(ckpt), template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored (adam moments differ from fresh template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed training continues without error
+    restored, _, _ = train_gridwise(g, {"train": (X, Y), "val": (X, Y)},
+                                    state=restored, tx=tx, num_epochs=1,
+                                    verbose=False)
+    assert int(restored.step) >= int(state.step)
+
+
+def test_scbert_training_with_redraw():
+    n_genes = 24
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 6, size=(32, n_genes)).astype(np.float32)
+    Y = rng.integers(0, 3, size=32).astype(np.int64)
+
+    m = scBERT(n_genes=n_genes, bin_num=5, dim=16, depth=2, heads=2, n_classes=3)
+    tx = optax.adam(1e-3)
+    state = create_train_state(m, jax.random.key(0), jnp.asarray(X[:2]), tx)
+    assert "favor" in state.extra_vars  # projections carried by TrainState
+
+    favor_before = jax.tree_util.tree_leaves(state.extra_vars["favor"])
+
+    state, val_hist, _ = train_spotwise(
+        m, {"train": (X, Y), "val": (X, Y)}, state=state, tx=tx,
+        num_epochs=2, batch_size=16, redraw_every=2, verbose=False)
+    favor_after = jax.tree_util.tree_leaves(state.extra_vars["favor"])
+    # projections redrawn at least once
+    assert not all(np.allclose(a, b) for a, b in zip(favor_before, favor_after))
+    assert len(val_hist) == 2 and np.isfinite(val_hist).all()
+
+
+def test_metrics_logger_and_stage_timer(tmp_path):
+    path = tmp_path / "metrics.jsonl"
+    with MetricsLogger(path) as ml:
+        ml.log(step=1, loss=0.5, acc=0.9)
+        ml.log(step=2, loss=0.4, phase="val")
+    recs = read_metrics(path)
+    assert len(recs) == 2
+    assert recs[0]["loss"] == 0.5 and recs[1]["phase"] == "val"
+
+    t = StageTimer()
+    with t("a"):
+        pass
+    with t("a"):
+        pass
+    with t("b"):
+        pass
+    assert t.counts["a"] == 2 and "a:" in t.report()
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = GridTrainConfig(learning_rate=5e-4, f_lr=1e-5, num_epochs=3)
+    p = tmp_path / "cfg.json"
+    save_config(cfg, p)
+    cfg2 = load_config(GridTrainConfig, p)
+    assert cfg2 == cfg
+    assert cfg2.as_kwargs()["f_lr"] == 1e-5
+
+    dn = DenseNetConfig()
+    assert tuple(dn.block_config) == (6, 12, 24, 16)
+    sp = SpotTrainConfig()
+    assert sp.batch_size == 128
