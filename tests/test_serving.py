@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from gridnext_tpu import geometry as G
+from gridnext_tpu.data import simulate_spaceranger_dir
+from gridnext_tpu.io import read_positions
+from gridnext_tpu.models import DenseNet, GridNetHex
+from gridnext_tpu.serving import SlideRegistrar, spot_pixel_arrays
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    return simulate_spaceranger_dir(root / "arr", seed=0, n_genes=10,
+                                    n_classes=3, image=True,
+                                    spot_spacing_px=16)
+
+
+def test_spot_pixel_arrays(sim):
+    pos = read_positions(sim["spaceranger_dir"])
+    oy, ox, ypx, xpx = spot_pixel_arrays(pos)
+    n_fg = int((sim["label_grid"] > 0).sum())
+    assert len(oy) == n_fg
+    assert oy.max() < G.VISIUM_H_ST and ox.max() < G.VISIUM_W_ST
+
+
+def test_slide_registrar_end_to_end(sim):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(0), x0)
+
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda grid: g.apply(variables, grid, train=False,
+                                             method=lambda m, x, train: m.corrector(x, train=train)))
+
+    wsi = jnp.asarray(np.asarray(Image.open(sim["image_file"])))
+    pos = read_positions(sim["spaceranger_dir"])
+    labels = registrar(wsi, pos)
+
+    assert labels.shape == (G.VISIUM_H_ST, G.VISIUM_W_ST)
+    fg = sim["label_grid"] > 0
+    # foreground support identical to the simulated tissue
+    np.testing.assert_array_equal(labels > 0, fg)
+    assert set(np.unique(labels[fg])) <= {1, 2, 3}
+
+
+def test_slide_registrar_matches_gridnet_forward(sim):
+    """Registrar logits must equal GridNetHex applied to the patch grid."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.pipeline import grid_from_wsi_visium
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(1), x0)
+
+    # reference path: host extraction -> full GridNetHex forward
+    grid = grid_from_wsi_visium(sim["image_file"], sim["spaceranger_dir"],
+                                patch_size=patch) / 255.0
+    logits = g.apply(variables, jnp.asarray(grid[None]), train=False)
+    want_labels = np.asarray(jnp.argmax(logits[0], -1)) + 1
+    fg = sim["label_grid"] > 0
+
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(variables, gr, train=False,
+                                           method=lambda m, x, train: m.corrector(x, train=train)))
+    from PIL import Image
+    wsi = jnp.asarray(np.asarray(Image.open(sim["image_file"])))
+    got = registrar(wsi, read_positions(sim["spaceranger_dir"]))
+
+    # Registrar reproduces the f(zero-patch) background context, so interior
+    # spots (away from image border clamping, where the two paths pad
+    # differently) must agree EXACTLY.
+    p2 = patch // 2
+    oy, ox, ypx, xpx = spot_pixel_arrays(read_positions(sim["spaceranger_dir"]))
+    interior = ((ypx >= p2) & (ypx < wsi.shape[0] - p2)
+                & (xpx >= p2) & (xpx < wsi.shape[1] - p2))
+    np.testing.assert_array_equal(got[oy[interior], ox[interior]],
+                                  want_labels[oy[interior], ox[interior]])
