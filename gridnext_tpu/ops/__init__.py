@@ -1,1 +1,6 @@
 from gridnext_tpu.ops.hexconv import hex_conv, hex_conv_reference  # noqa: F401
+from gridnext_tpu.ops.hexcorrector_pallas import (  # noqa: F401
+    fold_corrector_params,
+    fused_hex_corrector,
+)
+from gridnext_tpu.ops import favor  # noqa: F401

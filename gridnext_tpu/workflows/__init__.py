@@ -6,3 +6,7 @@ from gridnext_tpu.workflows.pca import (  # noqa: F401
     pca_transform,
     scale_logcounts,
 )
+from gridnext_tpu.workflows.hvg import (  # noqa: F401
+    highly_variable_genes,
+    select_hvgs_from_count_files,
+)
