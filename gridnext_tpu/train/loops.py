@@ -115,10 +115,18 @@ def _spot_loss(logits, labels):
     return jnp.mean(ce), n_correct, labels.shape[0]
 
 
+def _spot_mse(preds, targets):
+    """Regression objective for self-supervised spot heads (e.g. predicting
+    count PCs from image patches, the counts_from_img.ipynb workflow)."""
+    mse = jnp.mean((preds - targets) ** 2)
+    return mse, jnp.zeros((), jnp.int32), targets.shape[0]
+
+
 def _make_steps(model: nn.Module, tx, loss_kind: str):
     """Build jitted (train_step, eval_step) closures for a model + optimizer."""
 
-    loss_fn = masked_cross_entropy if loss_kind == "grid" else _spot_loss
+    loss_fn = {"grid": masked_cross_entropy, "spot": _spot_loss,
+               "spot_mse": _spot_mse}[loss_kind]
 
     def forward(params, batch_stats, extra, x, train, mutable):
         variables = {"params": params, **(extra or {})}
@@ -247,12 +255,13 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    num_epochs: int = 10, batch_size: int = 128, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
-                   redraw_every: Optional[int] = None):
+                   redraw_every: Optional[int] = None, loss: str = "ce"):
     """Train a spot classifier f.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
-    with integer labels already in [0, n_classes). ``redraw_every`` enables
-    periodic FAVOR+ projection redraw for Performer-based f (scBERT).
+    with integer labels already in [0, n_classes) -- or float targets when
+    ``loss='mse'`` (self-supervised regression heads). ``redraw_every``
+    enables periodic FAVOR+ projection redraw for Performer-based f (scBERT).
     """
     if tx is None:
         tx = optax.adam(learning_rate)
@@ -260,7 +269,8 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
         rng = rng if rng is not None else jax.random.key(0)
         sample = jnp.asarray(dataloaders["train"][0][:1])
         state = create_train_state(model, rng, sample, tx, train_init=False)
-    return _run_training(model, state, tx, dataloaders, "spot", num_epochs,
+    kind = {"ce": "spot", "mse": "spot_mse"}[loss]
+    return _run_training(model, state, tx, dataloaders, kind, num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
                          redraw_every=redraw_every)
 
