@@ -181,7 +181,8 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
 
 def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
-                  redraw_every: Optional[int] = None, redraw_rng=None):
+                  redraw_every: Optional[int] = None, redraw_rng=None,
+                  metrics_logger=None):
     train_step, eval_step = _make_steps(model, tx, loss_kind)
     rng = np.random.default_rng(shuffle_seed)
     if redraw_every:
@@ -230,6 +231,9 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
             epoch_acc = tot_corr / max(tot_n, 1)
             if verbose:
                 print(f"{phase} Loss: {epoch_loss:.4f} Acc: {epoch_acc:.4f}", flush=True)
+            if metrics_logger is not None:
+                metrics_logger.log(step=int(state.step), epoch=epoch,
+                                   phase=phase, loss=epoch_loss, acc=epoch_acc)
             if phase == "val":
                 val_history.append(epoch_loss)
                 if epoch_loss < best_loss:
@@ -255,7 +259,8 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    num_epochs: int = 10, batch_size: int = 128, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
-                   redraw_every: Optional[int] = None, loss: str = "ce"):
+                   redraw_every: Optional[int] = None, loss: str = "ce",
+                   metrics_logger=None):
     """Train a spot classifier f.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
@@ -272,14 +277,16 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     kind = {"ce": "spot", "mse": "spot_mse"}[loss]
     return _run_training(model, state, tx, dataloaders, kind, num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
-                         redraw_every=redraw_every)
+                         redraw_every=redraw_every,
+                         metrics_logger=metrics_logger)
 
 
 def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-3,
                    f_lr: Optional[float] = None, accum_iters: int = 1,
                    num_epochs: int = 10, batch_size: int = 1, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
-                   shuffle_seed: int = 0, verbose: bool = True):
+                   shuffle_seed: int = 0, verbose: bool = True,
+                   metrics_logger=None):
     """Train a grid model g (GridNet family) with foreground-masked CE.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) pairs where inputs
@@ -300,7 +307,8 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
             sample = jnp.asarray(inputs[:1])
         state = create_train_state(model, rng, sample, tx, train_init=False)
     return _run_training(model, state, tx, dataloaders, "grid", num_epochs,
-                         batch_size, outfile, shuffle_seed, verbose)
+                         batch_size, outfile, shuffle_seed, verbose,
+                         metrics_logger=metrics_logger)
 
 
 def load_f_params(state: TrainState, f_variables: Mapping,
