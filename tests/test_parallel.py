@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridnext_tpu.models import CountMLP, GridNetHex
+from gridnext_tpu.parallel import make_mesh, replicate, shard_grid_batch
+from gridnext_tpu.parallel.mesh import default_mesh_shape
+from gridnext_tpu.train.loops import (
+    _make_steps,
+    create_train_state,
+    make_gridwise_optimizer,
+)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets host device count)")
+    return jax.devices()[:8]
+
+
+def _setup(seed=0, b=8, h=16, w=8, genes=24, classes=5):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(b, h, w, genes)).astype(np.float32)
+    y = rng.integers(0, classes + 1, size=(b, h, w)).astype(np.int64)
+    f = CountMLP(n_classes=classes)
+    g = GridNetHex(patch_classifier=f, n_classes=classes)
+    tx = make_gridwise_optimizer(1e-3, f_lr=1e-4)
+    state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
+    return g, tx, state, x, y
+
+
+def test_mesh_shapes(eight_devices):
+    assert default_mesh_shape(8) == {"data": 4, "spot": 2}
+    assert default_mesh_shape(1) == {"data": 1, "spot": 1}
+    mesh = make_mesh(default_mesh_shape(8), eight_devices)
+    assert mesh.devices.shape == (4, 2)
+
+
+def test_sharded_step_matches_single_device(eight_devices):
+    import optax
+
+    g, _, _, x, y = _setup()
+    # SGD for the numerics comparison: adam's first step is ~sign(grad)*lr,
+    # which amplifies f32 reduction-order noise on near-zero gradients.
+    tx = optax.sgd(1e-2)
+    state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
+    train_step, eval_step = _make_steps(g, tx, "grid")
+
+    # single device
+    s1, m1 = train_step(state, jnp.asarray(x), jnp.asarray(y))
+
+    # data x spot sharded
+    mesh = make_mesh(default_mesh_shape(8), eight_devices)
+    state_r = replicate(state, mesh)
+    xs, ys = shard_grid_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
+    s8, m8 = train_step(state_r, xs, ys)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    assert int(m1["n_correct"]) == int(m8["n_correct"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_eval_and_input_placement(eight_devices):
+    g, tx, state, x, y = _setup(seed=1)
+    mesh = make_mesh({"data": 8}, eight_devices)
+    xs, ys = shard_grid_batch((jnp.asarray(x), jnp.asarray(y)), mesh,
+                              spot_axis=None)
+    # batch axis really is distributed
+    assert len(xs.sharding.device_set) == 8
+    _, eval_step = _make_steps(g, tx, "grid")
+    m = eval_step(replicate(state, mesh), xs, ys)
+    assert np.isfinite(float(m["loss"]))
