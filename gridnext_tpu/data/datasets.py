@@ -42,10 +42,11 @@ from gridnext_tpu.io.spaceranger import find_position_file
 from gridnext_tpu.io.unify import prepare_count_files
 
 
-def _check_lengths(files, annot_files, position_files, Visium):
+def _check_lengths(files, annot_files, position_files, Visium,
+                   annot_format: str = "loupe"):
     if annot_files is not None and len(files) != len(annot_files):
         raise ValueError("Length of data files and annot_files must match.")
-    if Visium and annot_files is not None:
+    if Visium and annot_files is not None and annot_format == "loupe":
         if position_files is None:
             raise ValueError(
                 "Must provide Spaceranger position files mapping barcodes to array locations.")
@@ -83,14 +84,23 @@ def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
 
 
 class CountGridDataset(_GridDatasetBase):
-    """Per-array (H, W, n_genes) count grids + (H, W) label grids."""
+    """Per-array (H, W, n_genes) count grids + (H, W) label grids.
+
+    ``annot_format``: 'loupe' (barcode CSVs; requires position_files, class
+    encoding over the union of annotations) or 'splotch' (one-hot coordinate
+    TSVs; classes encoded inline, no position files needed -- the
+    load_count_grid_dataset path of the reference, count_datasets.py:52-72).
+    """
 
     def __init__(self, count_files: Sequence, annot_files: Optional[Sequence] = None,
                  position_files: Optional[Sequence] = None, Visium: bool = True,
                  select_genes: Optional[Sequence[str]] = None,
                  h_st: int = geometry.VISIUM_H_ST, w_st: int = geometry.VISIUM_W_ST,
-                 cfile_delim: str = "\t", afile_delim: str = "\t"):
-        _check_lengths(count_files, annot_files, position_files, Visium)
+                 cfile_delim: str = "\t", afile_delim: str = "\t",
+                 annot_format: str = "loupe"):
+        _check_lengths(count_files, annot_files, position_files, Visium,
+                       annot_format)
+        self.annot_format = annot_format
         self.count_files = list(count_files)
         self.annot_files = list(annot_files) if annot_files is not None else None
         self.position_files = list(position_files) if position_files is not None else None
@@ -102,12 +112,14 @@ class CountGridDataset(_GridDatasetBase):
         self._n_arrays = len(self.count_files)
 
         self.classes = None
-        if Visium and annot_files is not None:
+        if Visium and annot_files is not None and annot_format == "loupe":
             self.classes = union_classes(self.annot_files, self.position_files)
 
     def __getitem__(self, idx):
         af = self.annot_files[idx] if self.annot_files is not None else None
-        pf = self.position_files[idx] if self.position_files is not None else None
+        pf = (self.position_files[idx]
+              if self.position_files is not None and self.annot_format == "loupe"
+              else None)
         counts, annots = read_annotated_starray(
             self.count_files[idx], af, select_genes=self.select_genes,
             h_st=self.h_st, w_st=self.w_st, Visium=self.Visium,

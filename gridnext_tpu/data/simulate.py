@@ -116,7 +116,8 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
 
     # --- Loupe annotation CSV ----------------------------------------------
     class_names = [f"Layer{i + 1}" for i in range(n_classes)]
-    annot_path = dest / "annotations.csv"
+    # distinct per-array basename: downstream converters key files by name
+    annot_path = dest / f"{dest.name}_annotations.csv"
     with open(annot_path, "w") as fh:
         fh.write("Barcode,AARs\n")
         for b, l in zip(barcodes[keep], labels[keep]):
