@@ -13,11 +13,10 @@ rather than the reference's O(N^2) pairwise-distance threshold
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
-from gridnext_tpu import geometry
 from gridnext_tpu.io.spaceranger import (
     find_feature_matrix_files,
     read_feature_matrix,

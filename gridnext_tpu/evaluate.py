@@ -7,7 +7,7 @@ Parity targets: ``all_fgd_predictions`` (utils.py:20-57) and
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

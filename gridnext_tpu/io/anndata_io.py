@@ -19,7 +19,6 @@ from typing import Optional, Sequence
 import numpy as np
 
 from gridnext_tpu.io.spaceranger import (
-    find_feature_matrix_files,
     read_feature_matrix,
     read_feature_names,
     read_positions,

@@ -16,10 +16,8 @@ import csv
 import glob
 import gzip
 import os
-from pathlib import Path
 from typing import Mapping, Optional
 
-import numpy as np
 import pandas as pd
 
 _V1_COLUMNS = ["in_tissue", "array_row", "array_col",

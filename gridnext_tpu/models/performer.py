@@ -21,7 +21,7 @@ TPU re-design notes:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,7 @@ are reduced on host.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Iterable, Mapping, Optional
+from typing import Any, Mapping, Optional
 
 import flax
 import flax.linen as nn

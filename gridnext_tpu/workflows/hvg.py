@@ -9,7 +9,7 @@ dispersion. Operates on (spots x genes) arrays so it composes with
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
