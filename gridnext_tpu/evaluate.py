@@ -65,6 +65,30 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
             np.concatenate(pred_smax))
 
 
+def flatten_foreground(pred_grid: np.ndarray, true_grid: np.ndarray):
+    """Flatten per-array prediction maps over foreground spots.
+
+    Implements the reference's flattening contract exactly
+    (utils.py:37-41 / training.py:152-157): row-major over (H, W), keep
+    spots with true label > 0, shift labels to [0, N).
+
+    Args:
+      pred_grid: (H, W, C) channels-last or (C, H, W) channels-first map.
+      true_grid: (H, W) integer labels, 0 = background.
+
+    Returns:
+      (preds_fg (n_fg, C), true_fg (n_fg,)).
+    """
+    pred_grid = np.asarray(pred_grid)
+    true_grid = np.asarray(true_grid)
+    if pred_grid.shape[:2] != true_grid.shape:  # channels-first input
+        pred_grid = np.moveaxis(pred_grid, 0, -1)
+    flat = pred_grid.reshape(-1, pred_grid.shape[-1])
+    labels = true_grid.reshape(-1)
+    fg = labels > 0
+    return flat[fg], labels[fg] - 1
+
+
 def to_loupe_annots(annot_grid, position_file, output_file,
                     annot_names: Optional[Sequence[str]] = None,
                     zero_bg: bool = True):
