@@ -85,16 +85,15 @@ def bench_tpu_image():
         k, (wsi_h, wsi_w, 3), 0, 255, jnp.uint8))(jax.random.key(2))
     y_base = jnp.asarray(y_px)
     x_base = jnp.asarray(x_px)
-    offs = jnp.arange(PATCH) - PATCH // 2
     mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
     std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
 
     chunk = 624  # f applied in 8 chunks of 624 patches (activation memory)
 
     def register_slide(wsi, yc, xc, f_vars):
-        rows = yc[:, None] + offs
-        cols = xc[:, None] + offs
-        patches = wsi[rows[:, :, None], cols[:, None, :]]       # (N, P, P, 3)
+        from gridnext_tpu.pipeline import extract_patches_device
+
+        patches = extract_patches_device(wsi, yc, xc, PATCH, PATCH)
         patches = patches.astype(jnp.bfloat16) / 255.0
         patches = (patches - mean) / std
 

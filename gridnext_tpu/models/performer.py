@@ -49,6 +49,7 @@ class FastAttention(nn.Module):
     generalized_attention: bool = False
     kernel_fn: Callable = jax.nn.relu
     no_projection: bool = False
+    sow_attention: bool = False  # sow head-mean |implicit attention| maps
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -69,6 +70,11 @@ class FastAttention(nn.Module):
             else:
                 qf = favor.softmax_kernel_features(q, proj, is_query=True)
                 kf = favor.softmax_kernel_features(k, proj, is_query=False)
+        if self.sow_attention and not self.causal:
+            # interpretation maps (llm/performer_pytorch.py:263-273 analog):
+            # retrieve via model.apply(..., mutable=['intermediates'])
+            w = jnp.abs(favor.implicit_attention_weights(qf, kf))
+            self.sow("intermediates", "attention", jnp.mean(w, axis=-3))
         if self.causal:
             return favor.causal_linear_attention(qf, kf, v)
         return favor.linear_attention(qf, kf, v)
@@ -149,6 +155,7 @@ class SelfAttention(nn.Module):
     dropout: float = 0.0
     no_projection: bool = False
     qkv_bias: bool = False
+    sow_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -170,6 +177,7 @@ class SelfAttention(nn.Module):
                                generalized_attention=self.generalized_attention,
                                kernel_fn=self.kernel_fn,
                                no_projection=self.no_projection,
+                               sow_attention=self.sow_attention,
                                name="fast_attention")
             qg, kg, vg = q[:, :gh], k[:, :gh], v[:, :gh]
             if mask is not None:
@@ -250,6 +258,7 @@ class Performer(nn.Module):
     attn_dropout: float = 0.0
     no_projection: bool = False
     qkv_bias: bool = True
+    sow_attention: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -266,6 +275,7 @@ class Performer(nn.Module):
                 generalized_attention=self.generalized_attention,
                 kernel_fn=self.kernel_fn, dropout=self.attn_dropout,
                 no_projection=self.no_projection, qkv_bias=self.qkv_bias,
+                sow_attention=self.sow_attention,
                 name=f"layers_{i}_attn")
             ff = FeedForward(dim=self.dim, mult=self.ff_mult,
                              dropout=self.ff_dropout, glu=self.ff_glu,
@@ -344,6 +354,7 @@ class PerformerLM(nn.Module):
     pos_emb_kind: str = "none"
     g2v_weights: Optional[np.ndarray] = None
     qkv_bias: bool = False
+    sow_attention: bool = False
     head_module: Optional[nn.Module] = None  # custom output head (e.g. scBERT)
 
     def head(self, x, train: bool = False):
@@ -384,6 +395,7 @@ class PerformerLM(nn.Module):
             use_rezero=self.use_rezero, ff_glu=self.ff_glu,
             ff_dropout=self.ff_dropout, attn_dropout=self.attn_dropout,
             no_projection=self.no_projection, qkv_bias=self.qkv_bias,
+            sow_attention=self.sow_attention,
             name="performer")(h, mask=mask, train=train)
         h = nn.LayerNorm(name="norm")(h)
         if return_encodings:

@@ -100,6 +100,24 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     return jnp.einsum("...de,...nd,...n->...ne", context, q, d_inv)
 
 
+def implicit_attention_weights(qf: jnp.ndarray, kf: jnp.ndarray) -> jnp.ndarray:
+    """Materialize the implicit attention matrix D^-1 q' k'^T.
+
+    The reference computes this by running linear attention against an
+    identity value matrix per head (llm/performer_pytorch.py:263-273); the
+    direct product is equivalent and cheaper. O(n^2) memory -- use on token
+    subsets for interpretation, as scBERT does.
+
+    Args:
+      qf, kf: (..., n, r) feature maps.
+    Returns:
+      (..., n, n) row-normalized attention weights.
+    """
+    scores = jnp.einsum("...nr,...mr->...nm", qf, kf)
+    denom = jnp.sum(scores, axis=-1, keepdims=True)
+    return scores / jnp.where(denom == 0, 1.0, denom)
+
+
 def causal_linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             chunk_size: int = 128, eps: float = 1e-6) -> jnp.ndarray:
     """Causal linear attention as a chunked prefix scan.

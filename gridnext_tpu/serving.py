@@ -97,11 +97,10 @@ class SlideRegistrar:
                    patch_size=patch_size, normalize=normalize, **kw)
 
     def _extract(self, wsi, y_px, x_px):
+        from gridnext_tpu.pipeline import extract_patches_device
+
         p = self.patch_size
-        offs = jnp.arange(p) - p // 2
-        rows = y_px[:, None] + offs
-        cols = x_px[:, None] + offs
-        patches = wsi[rows[:, :, None], cols[:, None, :]]
+        patches = extract_patches_device(wsi, y_px, x_px, p, p)
         patches = patches.astype(jnp.float32) / 255.0
         if self.normalize == "imagenet":
             patches = (patches - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)

@@ -181,3 +181,22 @@ def test_attention_classifier_shapes():
     v = m.init(jax.random.key(1), x)
     y = m.apply(v, x)
     assert y.shape == (3, 4)
+
+
+def test_sow_attention_maps():
+    m = scBERT(n_genes=16, bin_num=5, dim=16, depth=2, heads=2, n_classes=3,
+               sow_attention=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 6, (2, 16)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    v = {k: v[k] for k in v if k != "intermediates"}
+    logits, state = m.apply(v, x, mutable=["intermediates"])
+    assert logits.shape == (2, 3)
+    inter = state["intermediates"]
+    maps = jax.tree_util.tree_leaves(inter)
+    # one (B, n, n) map per layer, rows normalized
+    n = 17  # n_genes + appended feature
+    per_layer = [l for l in maps if l.ndim == 3 and l.shape[-1] == n]
+    assert len(per_layer) == 2
+    for w in per_layer:
+        assert w.shape == (2, n, n)
+        np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
