@@ -79,7 +79,17 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         "array_row": row, "array_col": col,
         "pxl_row_in_fullres": px_row, "pxl_col_in_fullres": px_col,
     })
-    if spaceranger_version >= 2:
+    if spaceranger_version == "hd":
+        # Visium HD layout: binned outputs with parquet positions
+        binning = "square_008um"
+        bin_spatial = dest / "outs" / "binned_outputs" / binning / "spatial"
+        bin_spatial.mkdir(parents=True, exist_ok=True)
+        pos_path = bin_spatial / "tissue_positions.parquet"
+        pos.to_parquet(pos_path, index=False)
+        matdir = (dest / "outs" / "binned_outputs" / binning /
+                  "filtered_feature_bc_matrix")
+        matdir.mkdir(parents=True, exist_ok=True)
+    elif spaceranger_version >= 2:
         pos_path = spatial / "tissue_positions.csv"
         pos.to_csv(pos_path, index=False)
     else:

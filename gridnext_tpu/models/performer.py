@@ -86,10 +86,15 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
     block (+ the next when non-causal) -- the lucidrains ``local_attention``
     defaults used by the reference (llm/performer_pytorch.py:369).
 
-    q, k, v: (B, H, N, d). N must not be zero; it is padded to the window.
+    q, k, v: (B, H, N, d); optional key ``mask`` (B, N) bool (True = keep).
+    N is padded to the window internally.
     """
     b, h, n, d = q.shape
     pad = (-n) % window
+    if mask is not None:
+        mask = jnp.asarray(mask, bool)
+        if pad:
+            mask = jnp.pad(mask, ((0, 0), (0, pad)))
     if pad:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -132,6 +137,10 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
     m = m & (col_pos[None, None, :, None, :] < n)
     if causal:
         m = m & (col_pos[None, None, :, None, :] <= seq_pos[None, None, :, :, None])
+    if mask is not None:
+        # key-side input mask: gather the mask at each block's key positions
+        key_mask = mask[:, jnp.clip(col_pos, 0, mask.shape[1] - 1)]  # (B, nb, kw)
+        m = m & key_mask[:, None, :, None, :]
     scores = jnp.where(m, scores, big_neg)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhgnm,bhgmd->bhgnd", attn, vcat)

@@ -107,3 +107,22 @@ def test_select_genes_subsetting(sim_dirs):
                                  minimum_detection_rate=None)
     x, _ = gdat[0]
     assert x.shape[-1] == 2
+
+
+def test_visium_hd_parquet_path(tmp_path):
+    from gridnext_tpu.io import (find_feature_matrix_files, find_position_file,
+                                 read_feature_matrix, read_positions)
+
+    sim = simulate_spaceranger_dir(tmp_path / "hd", seed=0, n_genes=15,
+                                   n_classes=3, spaceranger_version="hd")
+    binning = "square_008um"
+    pos_path = find_position_file(sim["spaceranger_dir"], hd_binning=binning)
+    assert pos_path.endswith("tissue_positions.parquet")
+    pos = read_positions(sim["spaceranger_dir"], hd_binning=binning)
+    assert len(pos) == G.VISIUM_N_SPOTS
+    assert pos.index.name == "barcode" or "in_tissue" in pos.columns
+
+    files = find_feature_matrix_files(sim["spaceranger_dir"], hd_binning=binning)
+    df = read_feature_matrix(individual_files=files)
+    assert df.shape[0] == 15
+    assert df.shape[1] == int(pos["in_tissue"].sum())

@@ -200,3 +200,18 @@ def test_sow_attention_maps():
     for w in per_layer:
         assert w.shape == (2, n, n)
         np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-4)
+
+
+def test_local_attention_mask_blocks_keys():
+    key = jax.random.key(2)
+    q, k, v = (jax.random.normal(k_, (1, 1, 8, 4))
+               for k_ in jax.random.split(key, 3))
+    mask = jnp.ones((1, 8), bool).at[0, 4:].set(False)
+    out_m = np.asarray(local_block_attention(q, k, v, window=8, mask=mask))
+    # equivalent: zero out masked keys entirely and attend over the rest
+    scores = np.einsum("bhnd,bhmd->bhnm", np.asarray(q), np.asarray(k)) / 2.0
+    scores[..., 4:] = -1e30
+    want = np.einsum("bhnm,bhmd->bhnd",
+                     np.asarray(jax.nn.softmax(jnp.asarray(scores), -1)),
+                     np.asarray(v))
+    np.testing.assert_allclose(out_m, want, rtol=1e-4, atol=1e-5)
