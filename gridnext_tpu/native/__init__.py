@@ -37,7 +37,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     if not so_path.exists():
         _BUILD_DIR.mkdir(exist_ok=True)
         tmp = so_path.with_suffix(".so.tmp")
-        cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp), "-lz"]
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_SRC), "-o", str(tmp), "-lz"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
 

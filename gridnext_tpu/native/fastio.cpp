@@ -13,11 +13,13 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -47,51 +49,61 @@ int tsv_write_matrix(const char* path, const char* index_name,
         if (!fp) return 1;
     }
 
-    std::string buf;
-    buf.reserve(n_cols * 8 + 64);
-
-    auto flush = [&]() -> bool {
-        bool ok = true;
-        if (!buf.empty()) {
-            if (use_gz)
-                ok = gzwrite(gz, buf.data(), (unsigned)buf.size()) == (int)buf.size();
-            else
-                ok = fwrite(buf.data(), 1, buf.size(), fp) == buf.size();
-            buf.clear();
-        }
-        return ok;
+    auto write_buf = [&](const std::string& buf) -> bool {
+        if (buf.empty()) return true;
+        if (use_gz)
+            return gzwrite(gz, buf.data(), (unsigned)buf.size()) == (int)buf.size();
+        return fwrite(buf.data(), 1, buf.size(), fp) == buf.size();
     };
 
-    char num[40];
+    auto format_rows = [&](int64_t lo, int64_t hi, std::string& buf) {
+        char num[40];
+        buf.reserve((hi - lo) * (n_cols * 6 + 24));
+        for (int64_t r = lo; r < hi; ++r) {
+            buf.append(row_names[r]);
+            const double* row = values + r * n_cols;
+            for (int64_t c = 0; c < n_cols; ++c) {
+                buf.push_back('\t');
+                double v = row[c];
+                if (force_int || v == (double)(int64_t)v) {
+                    int len = snprintf(num, sizeof(num), "%lld", (long long)v);
+                    buf.append(num, len);
+                } else {
+                    int len = snprintf(num, sizeof(num), "%.17g", v);
+                    buf.append(num, len);
+                }
+            }
+            buf.push_back('\n');
+        }
+    };
 
     // header
-    buf.append(index_name);
+    std::string header;
+    header.append(index_name);
     for (int64_t c = 0; c < n_cols; ++c) {
-        buf.push_back('\t');
-        buf.append(col_names[c]);
+        header.push_back('\t');
+        header.append(col_names[c]);
     }
-    buf.push_back('\n');
+    header.push_back('\n');
+    if (!write_buf(header)) return 2;
 
-    for (int64_t r = 0; r < n_rows; ++r) {
-        buf.append(row_names[r]);
-        const double* row = values + r * n_cols;
-        for (int64_t c = 0; c < n_cols; ++c) {
-            buf.push_back('\t');
-            double v = row[c];
-            if (force_int || v == (double)(int64_t)v) {
-                int len = snprintf(num, sizeof(num), "%lld", (long long)v);
-                buf.append(num, len);
-            } else {
-                int len = snprintf(num, sizeof(num), "%.17g", v);
-                buf.append(num, len);
-            }
-        }
-        buf.push_back('\n');
-        if (buf.size() > (1u << 22)) {
-            if (!flush()) return 2;
-        }
+    // number formatting dominates: format chunks in parallel, write serially
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 1, 16));
+    if (n_rows < 256) n_threads = 1;
+    int64_t per = (n_rows + n_threads - 1) / n_threads;
+    std::vector<std::string> bufs((size_t)n_threads);
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min(n_rows, lo + per);
+        if (lo >= hi) break;
+        threads.emplace_back(format_rows, lo, hi, std::ref(bufs[t]));
     }
-    if (!flush()) return 2;
+    for (auto& th : threads) th.join();
+    for (auto& b : bufs) {
+        if (!write_buf(b)) return 2;
+    }
+
     if (use_gz) gzclose(gz);
     else fclose(fp);
     return 0;
@@ -150,33 +162,57 @@ void* tsv_open(const char* path) {
     m->n_cols = (int64_t)m->col_names.size();
     p = nl + 1;
 
-    // estimate rows from line count for one reservation
-    size_t approx_rows = 0;
-    for (const char* s = p; s < end;
-         s = (const char*)memchr(s, '\n', end - s), s = s ? s + 1 : end)
-        ++approx_rows;
-    m->row_names.reserve(approx_rows);
-    m->values.reserve(approx_rows * m->n_cols);
-
+    // index line starts (serial memchr scan), then parse rows in parallel
+    std::vector<const char*> line_starts;
+    std::vector<const char*> line_ends;
     while (p < end) {
         const char* lnl = (const char*)memchr(p, '\n', end - p);
         if (!lnl) lnl = end;
-        if (lnl == p) { p = lnl + 1; continue; }
-
-        const char* tab = (const char*)memchr(p, '\t', lnl - p);
-        if (!tab) { p = lnl + 1; continue; }
-        m->row_names.emplace_back(p, tab - p);
-
-        const char* q = tab + 1;
-        for (int64_t c = 0; c < m->n_cols; ++c) {
-            char* next = nullptr;
-            m->values.push_back(strtod(q, &next));
-            q = next;
-            if (q < lnl && (*q == '\t')) ++q;
+        if (lnl > p) {
+            line_starts.push_back(p);
+            line_ends.push_back(lnl);
         }
         p = lnl + 1;
     }
-    m->n_rows = (int64_t)m->row_names.size();
+    const int64_t n_rows = (int64_t)line_starts.size();
+    m->n_rows = n_rows;
+    m->row_names.resize(n_rows);
+    m->values.resize((size_t)n_rows * m->n_cols);
+
+    const int64_t n_cols = m->n_cols;
+    auto parse_range = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const char* q = line_starts[r];
+            const char* lnl = line_ends[r];
+            const char* tab = (const char*)memchr(q, '\t', lnl - q);
+            if (!tab) continue;
+            m->row_names[r].assign(q, tab - q);
+            q = tab + 1;
+            double* out_row = m->values.data() + (size_t)r * n_cols;
+            for (int64_t c = 0; c < n_cols; ++c) {
+                char* next = nullptr;
+                out_row[c] = strtod(q, &next);
+                q = next;
+                if (q < lnl && (*q == '\t')) ++q;
+            }
+        }
+    };
+
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 1, 16));
+    if (n_rows < 256) n_threads = 1;
+    if (n_threads == 1) {
+        parse_range(0, n_rows);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (n_rows + n_threads - 1) / n_threads;
+        for (int64_t t = 0; t < n_threads; ++t) {
+            int64_t lo = t * per, hi = std::min(n_rows, lo + per);
+            if (lo >= hi) break;
+            threads.emplace_back(parse_range, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
     return m;
 }
 
