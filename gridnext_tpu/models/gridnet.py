@@ -133,6 +133,10 @@ class _GridNetBase(nn.Module):
         b, h, w = x.shape[:3]
         flat = x.reshape((b * h * w,) + x.shape[3:])
         out = apply_f_chunked(self.patch_classifier, flat, self.patch_chunk)
+        if self.f_dim is not None and out.shape[-1] != self.f_dim:
+            raise ValueError(
+                f"patch classifier produced {out.shape[-1]} features, "
+                f"but f_dim={self.f_dim} was declared")
         return out.reshape(b, h, w, out.shape[-1])
 
     def __call__(self, x, train: bool = False):
@@ -191,6 +195,16 @@ class GridNetHexMM(nn.Module):
         x_image, x_count = x
         ppg_count = self._branch(self.count_classifier, x_count)
         ppg_image = self._branch(self.image_classifier, x_image)
+        if (self.count_f_dim is not None
+                and ppg_count.shape[-1] != self.count_f_dim):
+            raise ValueError(
+                f"count classifier produced {ppg_count.shape[-1]} features, "
+                f"declared count_f_dim={self.count_f_dim}")
+        if (self.image_f_dim is not None
+                and ppg_image.shape[-1] != self.image_f_dim):
+            raise ValueError(
+                f"image classifier produced {ppg_image.shape[-1]} features, "
+                f"declared image_f_dim={self.image_f_dim}")
         return jnp.concatenate([ppg_count, ppg_image], axis=-1)
 
     def __call__(self, x, train: bool = False):
