@@ -32,10 +32,14 @@ def hex_adjacency(arr_coords: np.ndarray) -> np.ndarray:
     Both (u, v) and (v, u) are emitted, matching the reference's symmetric
     edge list.
     """
+    from gridnext_tpu.geometry import HEX_TAPS_R1
+
     coords = np.asarray(arr_coords, dtype=np.int64)
     index = {(int(c), int(r)): i for i, (c, r) in enumerate(coords)}
-    # pseudo-hex neighbor offsets: E, W and the four diagonals
-    offsets = [(2, 0), (-2, 0), (1, 1), (-1, 1), (1, -1), (-1, -1)]
+    # pseudo-hex neighbor offsets derived from the canonical odd-r stencil:
+    # a tap (dr, dc_even, dc_odd) is (dc_even + dc_odd, dr) in pseudo-hex,
+    # where column offsets are parity-free (geometry.HEX_TAPS_R1)
+    offsets = [(ce + co, dr) for dr, ce, co in HEX_TAPS_R1[1:]]
     send, recv = [], []
     for i, (c, r) in enumerate(coords):
         for dc, dr in offsets:
@@ -143,6 +147,12 @@ def pad_graph(graph: dict, n_node_pad: int, n_edge_pad: Optional[int] = None) ->
         n_edge_pad = ((e + 127) // 128) * 128
     if n_edge_pad < e:
         raise ValueError(f"pad {n_edge_pad} < {e} edges")
+    if n_edge_pad > e and n_node_pad == n:
+        # padding edges self-loop on the first padding NODE; without one they
+        # would index out of bounds (or corrupt a real node's messages)
+        raise ValueError(
+            "padding edges require at least one padding node: pass "
+            f"n_node_pad > {n}")
 
     out = dict(graph)
     out["nodes"] = np.pad(graph["nodes"], [(0, n_node_pad - n), (0, 0)])

@@ -152,7 +152,6 @@ def encode_annot_grid(annots_grid: np.ndarray, classes: np.ndarray) -> np.ndarra
 def to_splotch_annots(loupe_annotations: Sequence, spaceranger_dirs: Sequence,
                       dest_dir, include_annots: Optional[Sequence[str]] = None):
     """Convert Loupe annotation CSVs to Splotch one-hot TSVs (imgprocess.py:115-155)."""
-    import os
     from pathlib import Path
 
     from gridnext_tpu.io.spaceranger import read_positions
@@ -179,5 +178,5 @@ def to_splotch_annots(loupe_annotations: Sequence, spaceranger_dirs: Sequence,
             if a in include_annots:
                 mat[include_annots.index(a), i] = 1
         frame = pd.DataFrame(mat, index=include_annots, columns=coord_strs)
-        outfile = os.path.join(str(dest_dir), Path(afile).name).replace("csv", "tsv")
+        outfile = str(Path(dest_dir) / Path(afile).with_suffix(".tsv").name)
         frame.to_csv(outfile, sep="\t")

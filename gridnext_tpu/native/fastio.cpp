@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
+#include <cmath>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -180,6 +181,7 @@ void* tsv_open(const char* path) {
     m->values.resize((size_t)n_rows * m->n_cols);
 
     const int64_t n_cols = m->n_cols;
+    const double kNaN = std::nan("");
     auto parse_range = [&](int64_t lo, int64_t hi) {
         for (int64_t r = lo; r < hi; ++r) {
             const char* q = line_starts[r];
@@ -190,9 +192,24 @@ void* tsv_open(const char* path) {
             q = tab + 1;
             double* out_row = m->values.data() + (size_t)r * n_cols;
             for (int64_t c = 0; c < n_cols; ++c) {
-                char* next = nullptr;
-                out_row[c] = strtod(q, &next);
-                q = next;
+                // empty/missing/short fields become NaN (pandas semantics);
+                // strtod would otherwise skip the separator and silently
+                // shift every remaining value
+                if (q >= lnl || *q == '\t') {
+                    out_row[c] = kNaN;
+                } else {
+                    char* next = nullptr;
+                    double v = strtod(q, &next);
+                    if (next == q || next > lnl) {
+                        out_row[c] = kNaN;
+                        // skip the malformed token up to the next separator
+                        const char* sep = (const char*)memchr(q, '\t', lnl - q);
+                        q = sep ? sep : lnl;
+                    } else {
+                        out_row[c] = v;
+                        q = next;
+                    }
+                }
                 if (q < lnl && (*q == '\t')) ++q;
             }
         }

@@ -28,11 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 from gridnext_tpu.geometry import HEX_TAPS_R1
 
 
-def fold_corrector_params(params: dict, batch_stats: dict, eps: float = 1e-5):
+def fold_corrector_params(params: dict, batch_stats=None, eps: float = 1e-5):
     """Fold eval-mode BN into the hex-conv weights of a _HexCorrector.
 
     Returns (kernels, biases, relu_flags): 5 folded (7, C_in, C_out) kernels
-    and (C_out,) biases; relu after layers 1 and 3.
+    and (C_out,) biases; relu after layers 1 and 3. Handles ``use_bn=False``
+    correctors (no BatchNorm params / batch_stats) by skipping the fold.
     """
     kernels, biases = [], []
     for i in range(5):
@@ -41,8 +42,10 @@ def fold_corrector_params(params: dict, batch_stats: dict, eps: float = 1e-5):
         biases.append(np.asarray(hc["bias"], np.float32))
 
     for bn_idx, layer in ((0, 1), (1, 3)):
+        if f"BatchNorm_{bn_idx}" not in params:
+            continue  # use_bn=False corrector
         bn_p = params[f"BatchNorm_{bn_idx}"]
-        bn_s = batch_stats[f"BatchNorm_{bn_idx}"]
+        bn_s = (batch_stats or {})[f"BatchNorm_{bn_idx}"]
         s = np.asarray(bn_p["scale"]) / np.sqrt(np.asarray(bn_s["var"]) + eps)
         kernels[layer] = kernels[layer] * s  # scale out-channels
         biases[layer] = (biases[layer] - np.asarray(bn_s["mean"])) * s \

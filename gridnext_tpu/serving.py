@@ -28,7 +28,6 @@ from gridnext_tpu.ops.hexcorrector_pallas import (
     fold_corrector_params,
     fused_hex_corrector,
 )
-from gridnext_tpu.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
 
 def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
@@ -84,7 +83,7 @@ class SlideRegistrar:
         """Build from a trained GridNetHex (+DenseNet-style f)."""
         kernels, biases, relu_flags = fold_corrector_params(
             variables["params"]["corrector"],
-            variables["batch_stats"]["corrector"])
+            variables.get("batch_stats", {}).get("corrector"))
         f = model.patch_classifier
         f_vars = {"params": variables["params"]["patch_classifier"]}
         if variables.get("batch_stats", {}).get("patch_classifier") is not None:
@@ -96,24 +95,35 @@ class SlideRegistrar:
         return cls(f_apply, kernels, biases, relu_flags,
                    patch_size=patch_size, normalize=normalize, **kw)
 
+    def _normalize(self, patches):
+        patches = patches.astype(jnp.float32) / 255.0
+        if self.normalize == "imagenet":
+            from gridnext_tpu.pipeline import imagenet_normalize
+
+            patches = imagenet_normalize(patches)
+        return patches
+
     def _extract(self, wsi, y_px, x_px):
         from gridnext_tpu.pipeline import extract_patches_device
 
         p = self.patch_size
-        patches = extract_patches_device(wsi, y_px, x_px, p, p)
-        patches = patches.astype(jnp.float32) / 255.0
-        if self.normalize == "imagenet":
-            patches = (patches - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-        return patches
+        return self._normalize(extract_patches_device(wsi, y_px, x_px, p, p))
 
     def _apply_f(self, patches):
         n = patches.shape[0]
         chunk = self.patch_chunk
-        if chunk is None or n % chunk != 0:
+        if chunk is None or n <= chunk:
             return self.f_apply(patches)
+        # pad to a chunk multiple so memory-bounded chunking applies to every
+        # slide (real foreground counts are never exact multiples)
+        pad = (-n) % chunk
+        if pad:
+            patches = jnp.concatenate(
+                [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
         out = jax.lax.map(self.f_apply,
                           patches.reshape((-1, chunk) + patches.shape[1:]))
-        return out.reshape(n, -1)
+        out = out.reshape(-1, out.shape[-1])
+        return out[:n]
 
     def _register(self, wsi, oy, ox, y_px, x_px, n_spots):
         patches = self._extract(wsi, y_px, x_px)
@@ -122,10 +132,8 @@ class SlideRegistrar:
         # ALL patches including background (gridnet_models.py:76-79), and a
         # trained f's output on a blank patch is a nonzero constant the
         # corrector sees as boundary context. One f call reproduces it.
-        bg_patch = jnp.zeros((1, self.patch_size, self.patch_size, 3),
-                             jnp.float32)
-        if self.normalize == "imagenet":
-            bg_patch = (bg_patch - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        bg_patch = self._normalize(
+            jnp.zeros((1, self.patch_size, self.patch_size, 3), jnp.uint8))
         bg_vec = self.f_apply(bg_patch)[0].astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
                                          feats.shape[-1]))
@@ -139,19 +147,23 @@ class SlideRegistrar:
         fg = jnp.zeros((self.h_st, self.w_st), bool).at[oy, ox].set(True)
         return jnp.where(fg, labels, 0)
 
-    def __call__(self, wsi, positions) -> np.ndarray:
+    def __call__(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
         """Register one slide.
 
         Args:
-          wsi: device-resident (H, W, 3) uint8 image, already edge-padded by
-            ``patch_size // 2`` -- or unpadded, in which case spots within
-            half a patch of the border read clamped pixels.
+          wsi: device-resident (H, W, 3) uint8 image in ORIGINAL pixel
+            coordinates; spots within half a patch of the border read
+            border-clamped pixels. If you pre-padded the image yourself,
+            pass the padding amount as ``pad_offset`` so spot coordinates
+            are shifted accordingly.
           positions: Spaceranger positions DataFrame for the array.
 
         Returns:
           (h_st, w_st) int label grid, 0 background / 1..C foreground.
         """
         oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st, self.w_st)
+        y_px = y_px + pad_offset
+        x_px = x_px + pad_offset
         p2 = self.patch_size // 2
         y_px = np.clip(y_px, p2, wsi.shape[0] - p2 - 1)
         x_px = np.clip(x_px, p2, wsi.shape[1] - p2 - 1)

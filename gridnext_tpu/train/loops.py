@@ -128,19 +128,26 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
     loss_fn = {"grid": masked_cross_entropy, "spot": _spot_loss,
                "spot_mse": _spot_mse}[loss_kind]
 
-    def forward(params, batch_stats, extra, x, train, mutable):
+    _dropout_base = jax.random.key(11)
+
+    def forward(params, batch_stats, extra, x, train, mutable, rngs=None):
         variables = {"params": params, **(extra or {})}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
         if mutable:
-            return model.apply(variables, x, train=train, mutable=["batch_stats"])
-        return model.apply(variables, x, train=train), {}
+            return model.apply(variables, x, train=train,
+                               mutable=["batch_stats"], rngs=rngs)
+        return model.apply(variables, x, train=train, rngs=rngs), {}
 
     @jax.jit
     def train_step(state: TrainState, x, y):
+        # per-step dropout rng (unused rngs are ignored by flax)
+        rngs = {"dropout": jax.random.fold_in(_dropout_base, state.step)}
+
         def compute(params):
             logits, mut = forward(params, state.batch_stats, state.extra_vars,
-                                  x, True, state.batch_stats is not None)
+                                  x, True, state.batch_stats is not None,
+                                  rngs=rngs)
             loss, n_corr, n = loss_fn(logits, y)
             return loss, (n_corr, n, mut)
 
@@ -191,6 +198,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     best_loss = np.inf
     best_params = jax.device_get(state.params)
     best_bs = jax.device_get(state.batch_stats)
+    saw_val = False
     train_history, val_history = [], []
     since = time.time()
 
@@ -235,6 +243,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 metrics_logger.log(step=int(state.step), epoch=epoch,
                                    phase=phase, loss=epoch_loss, acc=epoch_acc)
             if phase == "val":
+                saw_val = True
                 val_history.append(epoch_loss)
                 if epoch_loss < best_loss:
                     best_loss = epoch_loss
@@ -250,8 +259,12 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         print(f"Training complete in {dt // 60:.0f}m {dt % 60:.0f}s", flush=True)
         print(f"Best val loss: {best_loss:4f}", flush=True)
 
-    # restore best weights (training.py:96-97,207-208 semantics)
-    state = state.replace(params=best_params, batch_stats=best_bs)
+    # restore best-validation weights (training.py:96-97,207-208 semantics);
+    # without a val phase there is no "best" -- keep the final params
+    if saw_val:
+        state = state.replace(params=best_params, batch_stats=best_bs)
+    elif outfile is not None:
+        save_checkpoint(outfile, state)
     return state, val_history, train_history
 
 

@@ -75,3 +75,28 @@ def test_unify_pipeline_uses_native(lib_ok, tmp_path):
     x, y = gdat[0]
     np.testing.assert_array_equal(y, sims[0]["label_grid"])
     assert x[y > 0].sum() > 0
+
+
+def test_reader_missing_fields_become_nan(lib_ok, tmp_path):
+    # empty cell and short row must yield NaN, never shifted values
+    path = tmp_path / "holes.tsv"
+    path.write_text("Gene\tc0\tc1\tc2\n"
+                    "G0\t1\t\t3\n"      # empty middle field
+                    "G1\t4\t5\n"        # short row
+                    "G2\tx\t7\t8\n")    # malformed token
+    rows, cols, v = native.read_tsv_matrix(path)
+    assert rows == ["G0", "G1", "G2"]
+    np.testing.assert_array_equal(v[0], [1.0, np.nan, 3.0])
+    assert v[1][0] == 4.0 and v[1][1] == 5.0 and np.isnan(v[1][2])
+    assert np.isnan(v[2][0]) and v[2][1] == 7.0 and v[2][2] == 8.0
+
+
+def test_pad_graph_requires_pad_node(lib_ok):
+    from gridnext_tpu.data.graph_data import pad_graph
+    g = {"nodes": np.zeros((4, 3)), "edges": np.array([[0, 1], [1, 0]]),
+         "pos": np.zeros((4, 2)), "y": np.arange(4), "n_node": np.array([4]),
+         "n_edge": np.array([2]), "classes": None}
+    with pytest.raises(ValueError, match="padding node"):
+        pad_graph(g, 4, n_edge_pad=8)
+    out = pad_graph(g, 5, n_edge_pad=8)
+    assert (out["edges"][:, 2:] == 4).all()

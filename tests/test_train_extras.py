@@ -115,3 +115,42 @@ def test_config_roundtrip(tmp_path):
     assert tuple(dn.block_config) == (6, 12, 24, 16)
     sp = SpotTrainConfig()
     assert sp.batch_size == 128
+
+
+def test_training_without_val_keeps_learned_params():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, 10)).astype(np.float32)
+    Y = (X[:, 0] > 0).astype(np.int64)
+    f = CountMLP(n_classes=2, batch_norm=False)
+    state0 = None
+    state, val_hist, train_hist = train_spotwise(
+        f, {"train": (X, Y), "val": None}, num_epochs=3, batch_size=16,
+        verbose=False)
+    assert val_hist == []
+    assert train_hist[-1] < train_hist[0]  # it learned...
+    # ...and the returned params reflect the training (non-zero step,
+    # output differs from a fresh init)
+    assert int(state.step) > 0
+    fresh = f.init(jax.random.key(0), jnp.asarray(X[:1]))
+    out_trained = f.apply(state.variables(), jnp.asarray(X[:4]))
+    out_fresh = f.apply(fresh, jnp.asarray(X[:4]))
+    assert not np.allclose(np.asarray(out_trained), np.asarray(out_fresh))
+
+
+def test_training_with_dropout_model():
+    import flax.linen as nn
+
+    class DropNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(16)(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+            return nn.Dense(3)(x)
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(32, 8)).astype(np.float32)
+    Y = rng.integers(0, 3, 32).astype(np.int64)
+    state, val_hist, _ = train_spotwise(
+        DropNet(), {"train": (X, Y), "val": (X, Y)}, num_epochs=2,
+        batch_size=16, verbose=False)
+    assert np.isfinite(val_hist).all()
