@@ -65,6 +65,17 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
             np.concatenate(pred_smax))
 
 
+def consensus_softmax(smax_list: Sequence[np.ndarray]) -> np.ndarray:
+    """Cross-modality consensus: mean of per-model softmax matrices.
+
+    The register_pca.ipynb workflow averages the count-g and image-g
+    softmax outputs over foreground spots before argmax (SURVEY.md section
+    6 'consensus(g_pca+g_img)').
+    """
+    stack = np.stack([np.asarray(s) for s in smax_list])
+    return stack.mean(axis=0)
+
+
 def flatten_foreground(pred_grid: np.ndarray, true_grid: np.ndarray):
     """Flatten per-array prediction maps over foreground spots.
 

@@ -177,6 +177,47 @@ def anndata_to_spot_arrays(adata, obs_label: str, use_pcs=False):
     return np.asarray(X, np.float32), y, classes
 
 
+def anndata_mm_to_grid_arrays(adata, obs_label: str, obs_arr: str,
+                              obs_img: str = "imgpath", obs_x="x", obs_y="y",
+                              h_st: int = 78, w_st: int = 64, use_pcs=False,
+                              vis_coords: bool = True, img_transforms=None):
+    """Multimodal AnnData -> ((X_img, X_count), Y) stacked grid arrays.
+
+    The MMAnnGridDataset analog (multimodal_datasets.py:73-132): count grids
+    from X/obsm plus per-spot image patches loaded from ``obs[obs_img]``
+    paths (as written by create_visium_anndata_img). Channels-last.
+    """
+    from gridnext_tpu import geometry
+    from gridnext_tpu.data.datasets import _load_patch
+
+    labels_raw = np.asarray(adata.obs[obs_label])
+    classes = np.unique(labels_raw)
+    arrays = list(dict.fromkeys(np.asarray(adata.obs[obs_arr])))
+
+    xi_list, xc_list, y_list = [], [], []
+    for arr in arrays:
+        adata_arr = adata[np.asarray(adata.obs[obs_arr]) == arr]
+        lbls = np.searchsorted(classes, np.asarray(adata_arr.obs[obs_label]))
+        cg, lg = anndata_to_grids(adata_arr, lbls, obs_x=obs_x, obs_y=obs_y,
+                                  h_st=h_st, w_st=w_st, use_pcs=use_pcs,
+                                  vis_coords=vis_coords)
+        patch_grid = None
+        xs = np.asarray(adata_arr.obs[obs_x], dtype=int)
+        ys = np.asarray(adata_arr.obs[obs_y], dtype=int)
+        if vis_coords:
+            xs, ys = geometry.pseudo_hex_to_oddr(xs, ys)
+        for imfile, x, y in zip(np.asarray(adata_arr.obs[obs_img]),
+                                np.atleast_1d(xs), np.atleast_1d(ys)):
+            patch = _load_patch(imfile, img_transforms)
+            if patch_grid is None:
+                patch_grid = np.zeros((h_st, w_st) + patch.shape, np.float32)
+            patch_grid[y, x] = patch
+        xi_list.append(patch_grid)
+        xc_list.append(cg)
+        y_list.append(lg)
+    return (np.stack(xi_list), np.stack(xc_list)), np.stack(y_list), classes
+
+
 def anndata_to_grid_arrays(adata, obs_label: str, obs_arr: str, obs_x="x",
                            obs_y="y", h_st: int = 78, w_st: int = 64,
                            use_pcs=False, vis_coords: bool = True,

@@ -81,3 +81,44 @@ def test_anndata_to_grid_arrays():
     # array a1: spots at (0,0) lbl B->2, (1,0) lbl A->1
     assert Y[0, 0, 0] == 2 and Y[0, 0, 1] == 1
     assert Y[1].sum() > 0
+
+
+def test_anndata_mm_to_grid_arrays(tmp_path):
+    import pandas as pd
+    from PIL import Image
+
+    # fake spot patches on disk
+    imdir = tmp_path / "imgs"
+    imdir.mkdir()
+    paths = []
+    for i in range(4):
+        p = imdir / f"spot{i}.jpg"
+        Image.fromarray(np.full((6, 6, 3), 40 * i, np.uint8)).save(p)
+        paths.append(str(p))
+
+    X = np.arange(12, dtype=np.float32).reshape(4, 3)
+    obs = pd.DataFrame({
+        "x": [0, 2, 1, 3], "y": [0, 0, 1, 1],
+        "annotation": ["B", "A", "A", "B"],
+        "array": ["a1", "a1", "a2", "a2"],
+        "imgpath": paths,
+    })
+    ad = _FakeAnnData(X, obs)
+    (Xi, Xc), Y, classes = anndata_io.anndata_mm_to_grid_arrays(
+        ad, "annotation", "array", h_st=4, w_st=4)
+    assert Xi.shape == (2, 4, 4, 6, 6, 3)
+    assert Xc.shape == (2, 4, 4, 3)
+    assert Y.shape == (2, 4, 4)
+    assert list(classes) == ["A", "B"]
+    # a1's first spot (x=0,y=0) -> oddr (0,0), image value 0; second (2,0)->(1,0), 40/255
+    np.testing.assert_allclose(Xi[0, 0, 1], 40 / 255.0, atol=1e-2)
+    assert Y[0, 0, 0] == 2 and Y[0, 0, 1] == 1
+
+
+def test_consensus_softmax():
+    from gridnext_tpu.evaluate import consensus_softmax
+
+    a = np.array([[0.8, 0.2], [0.4, 0.6]])
+    b = np.array([[0.2, 0.8], [0.6, 0.4]])
+    c = consensus_softmax([a, b])
+    np.testing.assert_allclose(c, [[0.5, 0.5], [0.5, 0.5]])
