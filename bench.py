@@ -46,8 +46,7 @@ def _spot_centers(margin, spacing):
 
     barcode_rows = np.repeat(np.arange(H_ST), W_ST)
     barcode_cols = np.tile(np.arange(W_ST), H_ST)
-    col, row = geometry.oddr_to_pseudo_hex(barcode_cols, barcode_rows)
-    x, y = geometry.pseudo_to_true_hex(col, row)
+    x, y = geometry.oddr_to_cartesian(barcode_cols, barcode_rows)
     return (np.rint(y * spacing).astype(np.int32) + margin,
             np.rint(x * spacing).astype(np.int32) + margin)
 
@@ -124,9 +123,8 @@ def bench_tpu_image():
     dt = time.perf_counter() - t0
     per_slide = dt / REPEATS
     rate = N_SPOTS / per_slide
-    import jax as _jax
     log(f"tpu image pipeline: {per_slide*1e3:.1f} ms/slide "
-        f"({rate:,.0f} spots/s) on {_jax.devices()[0].device_kind}")
+        f"({rate:,.0f} spots/s) on {jax.devices()[0].device_kind}")
     return rate
 
 
@@ -149,30 +147,33 @@ def bench_torch_cpu_image():
     rng = np.random.default_rng(0)
     wsi = rng.integers(0, 255, size=(2048, 2048, 3), dtype=np.uint8)
 
-    # per-spot PIL crop + resize + normalize + DenseNet forward
+    # Faithful to the reference's execution shape: a per-spot PIL crop loop
+    # (imgprocess.py:207-221) feeding BATCHED DenseNet forwards
+    # (gridnet_models.py:85-104 applies f over chunked patch lists).
     centers = rng.integers(PATCH, 2048 - PATCH, size=(CPU_SUBSAMPLE, 2))
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
 
-    def spot(cy, cx):
+    def crop(cy, cx):
         patch = wsi[cy - PATCH // 2:cy + PATCH // 2,
                     cx - PATCH // 2:cx + PATCH // 2]
         patch = np.asarray(Image.fromarray(patch).resize((PATCH, PATCH)),
                            np.float32) / 255.0
-        patch = (patch - mean) / std
-        with torch.no_grad():
-            t = torch.from_numpy(patch.transpose(2, 0, 1)[None])
-            return f(t).numpy()
+        return (patch - mean) / std
 
-    spot(*centers[0])  # warmup
+    # warmup (compile-free but caches allocator state)
+    with torch.no_grad():
+        f(torch.from_numpy(crop(*centers[0]).transpose(2, 0, 1)[None]))
+
     t0 = time.perf_counter()
-    for cy, cx in centers:
-        spot(cy, cx)
+    batch = np.stack([crop(cy, cx) for cy, cx in centers])
+    with torch.no_grad():
+        f(torch.from_numpy(batch.transpose(0, 3, 1, 2)))
     per_spot = (time.perf_counter() - t0) / CPU_SUBSAMPLE
     # corrector cost on CPU is negligible next to 4,992 DenseNet forwards
     rate = 1.0 / per_spot
     log(f"torch-cpu image pipeline: {per_spot*1e3:.1f} ms/spot "
-        f"({rate:.1f} spots/s, measured over {CPU_SUBSAMPLE} spots; "
+        f"({rate:.1f} spots/s; batched f over {CPU_SUBSAMPLE} spots, "
         f"{torch.get_num_threads()} threads)")
     return rate
 

@@ -30,7 +30,27 @@ def main():
 
     from gridnext_tpu.models import GridNetHexMM, densenet121, scBERT
 
+    # Load checkpoints FIRST: the scBERT checkpoint may carry the gene2vec
+    # positional table, which is a model-construction parameter.
+    dn = sb = None
     g2v = np.load(args.gene2vec) if args.gene2vec else None
+    if args.densenet_ckpt:
+        import torch
+
+        from gridnext_tpu.compat.torch_convert import densenet_from_torch
+        dn = densenet_from_torch(torch.load(args.densenet_ckpt,
+                                            map_location="cpu"))
+        print(f"loaded DenseNet weights from {args.densenet_ckpt}")
+    if args.scbert_ckpt:
+        import torch
+
+        from gridnext_tpu.compat.scbert_convert import scbert_from_torch
+        sb, g2v_ckpt = scbert_from_torch(
+            torch.load(args.scbert_ckpt, map_location="cpu"), depth=6)
+        if g2v is None and g2v_ckpt is not None:
+            g2v = g2v_ckpt
+            print("using gene2vec positional table from the checkpoint")
+        print(f"loaded scBERT weights from {args.scbert_ckpt}")
 
     f_image = densenet121(num_classes=args.n_classes)
     f_count = scBERT(n_genes=args.n_genes, bin_num=5, dim=200, depth=6,
@@ -47,26 +67,13 @@ def main():
     print("initializing GridNetHexMM (DenseNet-121 + scBERT)...")
     variables = g.init(jax.random.key(0), (x_img, x_cnt))
 
-    if args.densenet_ckpt:
-        import torch
-
-        from gridnext_tpu.compat.torch_convert import densenet_from_torch
-        sd = torch.load(args.densenet_ckpt, map_location="cpu")
-        dn = densenet_from_torch(sd)
+    if dn is not None:
         variables["params"]["image_classifier"] = dn["params"]
         variables["batch_stats"]["image_classifier"] = dn["batch_stats"]
-        print(f"loaded DenseNet weights from {args.densenet_ckpt}")
-
-    if args.scbert_ckpt:
-        import torch
-
-        from gridnext_tpu.compat.scbert_convert import scbert_from_torch
-        sd = torch.load(args.scbert_ckpt, map_location="cpu")
-        sb, g2v_w = scbert_from_torch(sd, depth=6)
+    if sb is not None:
         variables["params"]["count_classifier"] = sb["params"]
         if "favor" in sb:
             variables.setdefault("favor", {})["count_classifier"] = sb["favor"]
-        print(f"loaded scBERT weights from {args.scbert_ckpt}")
 
     pp = g.apply(variables, (x_img, x_cnt), method="patch_predictions")
     print("patch_predictions:", pp.shape)  # (1, h, w, 2*n_classes)

@@ -48,16 +48,21 @@ def main():
     patches = Xi[fg]                      # (N, P, P, 3)
     counts = np.log1p(Xc[fg])             # (N, G)
 
-    # PC targets from the count side
-    pca = fit_pca(counts)
+    # shuffled train/val split; PCA + scaling fit on the TRAIN split only
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(patches))
+    patches, counts = patches[order], counts[order]
+    n_val = len(patches) // 5
+
+    pca = fit_pca(counts[n_val:])
     targets = np.asarray(pca_transform(counts, pca.components_, pca.mean_,
                                        n_pcs=args.n_pcs), np.float32)
-    targets = targets / (targets.std(0, keepdims=True) + 1e-6)
+    scale = targets[n_val:].std(0, keepdims=True) + 1e-6
+    targets = targets / scale
 
     # regression head: DenseNet with num_classes = n_pcs, MSE objective
     f = DenseNet(growth_rate=8, block_config=(2, 2), num_init_features=16,
                  num_classes=args.n_pcs, small_inputs=True)
-    n_val = len(patches) // 5
     state, val_hist, _ = train_spotwise(
         f, {"train": (patches[n_val:], targets[n_val:]),
             "val": (patches[:n_val], targets[:n_val])},

@@ -110,7 +110,9 @@ def apply_f_chunked(f: nn.Module, flat: jnp.ndarray, chunk: Optional[int]):
 
     scan = nn.scan(
         nn.remat(body, prevent_cse=False),
-        variable_broadcast=["params", "batch_stats"],
+        # broadcast every non-mutable collection f carries (params, BN stats,
+        # Performer 'favor' projections) across the chunk scan
+        variable_broadcast=["params", "batch_stats", "favor"],
         split_rngs={"params": False, "dropout": False},
         in_axes=0, out_axes=0,
     )

@@ -167,3 +167,21 @@ def test_count_mlp_torch_parity():
         want = tn(torch.from_numpy(x)).numpy()
     got = np.asarray(m.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gridnet_mm_with_scbert_count_f():
+    """scBERT as chunked count-f inside GridNetHexMM: the 'favor' collection
+    must survive the chunk scan (regression for the smoke-script bug)."""
+    from gridnext_tpu.models import scBERT
+
+    f_img = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                     num_classes=3, small_inputs=True)
+    f_cnt = scBERT(n_genes=12, bin_num=5, dim=16, depth=1, heads=2, n_classes=3)
+    g = GridNetHexMM(image_classifier=f_img, count_classifier=f_cnt,
+                     n_classes=3, patch_chunk=8)
+    x_img = jnp.ones((1, 4, 4, 8, 8, 3))
+    x_cnt = jnp.ones((1, 4, 4, 12))
+    vars_ = g.init(jax.random.key(0), (x_img, x_cnt))
+    assert "favor" in vars_
+    y = g.apply(vars_, (x_img, x_cnt))
+    assert y.shape == (1, 4, 4, 3)
