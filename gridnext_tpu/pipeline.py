@@ -43,6 +43,32 @@ def imagenet_normalize(img):
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def make_imagenet_transform(resize: int = 256, crop: int = 224):
+    """Per-patch transform matching the image tutorial's torchvision stack:
+    Resize(resize) -> CenterCrop(crop) -> Normalize(ImageNet)
+    (Tutorial_visium_image.ipynb cell 4). For the ``img_transforms`` hook of
+    the patch datasets; input/output are float32 [0,1] channels-last.
+    """
+    from PIL import Image
+
+    def transform(img: np.ndarray) -> np.ndarray:
+        pil = Image.fromarray(np.clip(img * 255.0, 0, 255).astype(np.uint8))
+        w, h = pil.size
+        # torchvision Resize(int): shorter side -> resize, keep aspect
+        if w <= h:
+            new_w, new_h = resize, int(round(h * resize / w))
+        else:
+            new_w, new_h = int(round(w * resize / h)), resize
+        pil = pil.resize((new_w, new_h), Image.BILINEAR)
+        left = (new_w - crop) // 2
+        top = (new_h - crop) // 2
+        pil = pil.crop((left, top, left + crop, top + crop))
+        out = np.asarray(pil, np.float32) / 255.0
+        return imagenet_normalize(out)
+
+    return transform
+
+
 def distance_um_to_px(spaceranger_dir, distance_um: float) -> int:
     """Pixels spanning ``distance_um`` on the fullres image of an array.
 

@@ -130,3 +130,18 @@ def test_imagenet_normalize():
     out = pipeline.imagenet_normalize(img)
     np.testing.assert_allclose(out[0, 0], (1 - pipeline.IMAGENET_MEAN) / pipeline.IMAGENET_STD,
                                rtol=1e-6)
+
+
+def test_make_imagenet_transform():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(300, 280, 3)).astype(np.float32)
+    t = pipeline.make_imagenet_transform(64, 48)
+    out = t(img)
+    assert out.shape == (48, 48, 3)
+    # normalized: roughly centered per ImageNet stats for uniform input
+    denorm = out * pipeline.IMAGENET_STD + pipeline.IMAGENET_MEAN
+    assert 0.0 <= denorm.min() and denorm.max() <= 1.0
+    # portrait vs landscape aspect handling
+    assert t(rng.uniform(size=(280, 300, 3)).astype(np.float32)).shape == (48, 48, 3)
+    # plugs into the dataset hook
+    from gridnext_tpu.data.datasets import _load_patch  # noqa: F401
