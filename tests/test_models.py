@@ -185,3 +185,21 @@ def test_gridnet_mm_with_scbert_count_f():
     assert "favor" in vars_
     y = g.apply(vars_, (x_img, x_cnt))
     assert y.shape == (1, 4, 4, 3)
+
+
+def test_densenet_torch_label_map_identity():
+    """North-star check (BASELINE.json): converted weights reproduce the
+    torch pipeline's per-spot LABELS exactly on a batch of random patches."""
+    tm = _torch_densenet(num_classes=7)
+    tm.eval()
+    from gridnext_tpu.compat.torch_convert import densenet_from_torch
+    variables = densenet_from_torch(tm.state_dict(), block_config=(2, 2),
+                                    small_inputs=False)
+    m = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                 bn_size=4, num_classes=7, small_inputs=False)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().argmax(1)
+    got = np.asarray(m.apply(variables, jnp.asarray(x))).argmax(1)
+    np.testing.assert_array_equal(got, want)
