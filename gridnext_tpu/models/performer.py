@@ -50,6 +50,7 @@ class FastAttention(nn.Module):
     kernel_fn: Callable = jax.nn.relu
     no_projection: bool = False
     sow_attention: bool = False  # sow head-mean |implicit attention| maps
+    dtype: Optional[jnp.dtype] = None  # storage dtype for the feature maps
 
     @nn.compact
     def __call__(self, q, k, v):
@@ -75,6 +76,10 @@ class FastAttention(nn.Module):
             # retrieve via model.apply(..., mutable=['intermediates'])
             w = jnp.abs(favor.implicit_attention_weights(qf, kf))
             self.sow("intermediates", "attention", jnp.mean(w, axis=-3))
+        # NOTE: casting qf/kf/v to bf16 here was measured SLOWER on v5e (the
+        # casts break XLA fusion of the feature computation into the
+        # attention einsums); keep the feature maps in f32. The dtype field
+        # remains for future fused-kernel use.
         if self.causal:
             return favor.causal_linear_attention(qf, kf, v)
         return favor.linear_attention(qf, kf, v)
@@ -165,6 +170,7 @@ class SelfAttention(nn.Module):
     no_projection: bool = False
     qkv_bias: bool = False
     sow_attention: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype for the dense layers
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -174,21 +180,27 @@ class SelfAttention(nn.Module):
         gh = h - self.local_heads
 
         def qkv(name):
-            return nn.Dense(inner, use_bias=self.qkv_bias, name=name)(x) \
+            return nn.Dense(inner, use_bias=self.qkv_bias, name=name,
+                            dtype=self.dtype)(x) \
                 .reshape(b, n, h, dh).transpose(0, 2, 1, 3)
 
         q, k, v = qkv("to_q"), qkv("to_k"), qkv("to_v")
 
         outs = []
         if gh > 0:
+            # FAVOR+ feature maps stay f32 for stable exp()s; the flops live
+            # in the Dense layers above/below, which honor self.dtype
             fa = FastAttention(dim_head=dh, nb_features=self.nb_features,
                                causal=self.causal,
                                generalized_attention=self.generalized_attention,
                                kernel_fn=self.kernel_fn,
                                no_projection=self.no_projection,
                                sow_attention=self.sow_attention,
+                               dtype=self.dtype,
                                name="fast_attention")
-            qg, kg, vg = q[:, :gh], k[:, :gh], v[:, :gh]
+            qg = q[:, :gh].astype(jnp.float32)
+            kg = k[:, :gh].astype(jnp.float32)
+            vg = v[:, :gh].astype(jnp.float32)
             if mask is not None:
                 kg = kg * mask[:, None, :, None]
                 vg = vg * mask[:, None, :, None]
@@ -200,7 +212,9 @@ class SelfAttention(nn.Module):
 
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        out = nn.Dense(self.dim, name="to_out", dtype=self.dtype)(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
@@ -214,18 +228,21 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     glu: bool = False
     chunks: int = 1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def ff(xc):
             if self.glu:
-                a = nn.Dense(self.dim * self.mult * 2, name="w1")(xc)
+                a = nn.Dense(self.dim * self.mult * 2, name="w1",
+                             dtype=self.dtype)(xc)
                 a, gate = jnp.split(a, 2, axis=-1)
                 h = a * jax.nn.gelu(gate)
             else:
-                h = jax.nn.gelu(nn.Dense(self.dim * self.mult, name="w1")(xc))
+                h = jax.nn.gelu(nn.Dense(self.dim * self.mult, name="w1",
+                                         dtype=self.dtype)(xc))
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            return nn.Dense(self.dim, name="w2")(h)
+            return nn.Dense(self.dim, name="w2", dtype=self.dtype)(h)
 
         if self.chunks <= 1:
             return ff(x)
@@ -268,6 +285,7 @@ class Performer(nn.Module):
     no_projection: bool = False
     qkv_bias: bool = True
     sow_attention: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -284,11 +302,12 @@ class Performer(nn.Module):
                 generalized_attention=self.generalized_attention,
                 kernel_fn=self.kernel_fn, dropout=self.attn_dropout,
                 no_projection=self.no_projection, qkv_bias=self.qkv_bias,
-                sow_attention=self.sow_attention,
+                sow_attention=self.sow_attention, dtype=self.dtype,
                 name=f"layers_{i}_attn")
             ff = FeedForward(dim=self.dim, mult=self.ff_mult,
                              dropout=self.ff_dropout, glu=self.ff_glu,
-                             chunks=self.ff_chunks, name=f"layers_{i}_ff")
+                             chunks=self.ff_chunks, dtype=self.dtype,
+                             name=f"layers_{i}_ff")
 
             def block(mdl, h, attn=attn, ff=ff, i=i):
                 h = h + self._wrapped(attn, h, mask, train, f"wrap_{i}_attn")
@@ -364,6 +383,7 @@ class PerformerLM(nn.Module):
     g2v_weights: Optional[np.ndarray] = None
     qkv_bias: bool = False
     sow_attention: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
     head_module: Optional[nn.Module] = None  # custom output head (e.g. scBERT)
 
     def head(self, x, train: bool = False):
@@ -391,6 +411,8 @@ class PerformerLM(nn.Module):
         elif self.pos_emb_kind != "none":
             raise ValueError(self.pos_emb_kind)
 
+        if self.dtype is not None:
+            tok = tok.astype(self.dtype)
         h = nn.Dropout(self.emb_dropout, deterministic=not train)(tok)
         h = Performer(
             dim=self.dim, depth=self.depth, heads=self.heads,
@@ -404,8 +426,9 @@ class PerformerLM(nn.Module):
             use_rezero=self.use_rezero, ff_glu=self.ff_glu,
             ff_dropout=self.ff_dropout, attn_dropout=self.attn_dropout,
             no_projection=self.no_projection, qkv_bias=self.qkv_bias,
-            sow_attention=self.sow_attention,
+            sow_attention=self.sow_attention, dtype=self.dtype,
             name="performer")(h, mask=mask, train=train)
+        h = h.astype(jnp.float32)
         h = nn.LayerNorm(name="norm")(h)
         if return_encodings:
             return h

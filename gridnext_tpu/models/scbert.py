@@ -64,6 +64,7 @@ class scBERT(nn.Module):
     ff_dropout: float = 0.0
     attn_dropout: float = 0.0
     sow_attention: bool = False  # expose per-layer attention maps (O(n^2)!)
+    dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bf16 serving)
 
     def setup(self):
         head = None
@@ -78,7 +79,7 @@ class scBERT(nn.Module):
             pos_emb_kind="gene2vec" if self.g2v_weights is not None else "none",
             g2v_weights=self.g2v_weights, remat=self.remat,
             ff_dropout=self.ff_dropout, attn_dropout=self.attn_dropout,
-            sow_attention=self.sow_attention,
+            sow_attention=self.sow_attention, dtype=self.dtype,
             head_module=head, name="performer_lm")
 
     def __call__(self, x, train: bool = False):

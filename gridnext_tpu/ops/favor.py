@@ -94,10 +94,15 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
     q, k: (..., n, r) feature maps; v: (..., n, d).
     (llm/performer_pytorch.py:155-160.)
     """
-    k_sum = jnp.sum(k, axis=-2)                              # (..., r)
-    d_inv = 1.0 / jnp.einsum("...nd,...d->...n", q, k_sum)
-    context = jnp.einsum("...nd,...ne->...de", k, v)          # (..., r, d)
-    return jnp.einsum("...de,...nd,...n->...ne", context, q, d_inv)
+    f32 = jnp.float32
+    k_sum = jnp.sum(k, axis=-2, dtype=f32)                   # (..., r)
+    d_inv = 1.0 / jnp.einsum("...nd,...d->...n", q, k_sum.astype(k.dtype),
+                             preferred_element_type=f32)
+    context = jnp.einsum("...nd,...ne->...de", k, v,
+                         preferred_element_type=f32)          # (..., r, d)
+    return jnp.einsum("...de,...nd,...n->...ne",
+                      context.astype(q.dtype), q, d_inv.astype(q.dtype),
+                      preferred_element_type=f32)
 
 
 def implicit_attention_weights(qf: jnp.ndarray, kf: jnp.ndarray) -> jnp.ndarray:
