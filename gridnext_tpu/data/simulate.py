@@ -147,7 +147,8 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         rad = spot_spacing_px // 2
         for x0, y0, l in zip(px_col[keep], px_row[keep], labels[keep]):
             img[max(0, y0 - rad):y0 + rad, max(0, x0 - rad):x0 + rad] = palette[l - 1]
-        img_path = dest / "fullres.jpg"
+        # per-array basename: save_visium_patches_all keys subdirs by image stem
+        img_path = dest / f"{dest.name}_fullres.jpg"
         Image.fromarray(img).save(img_path, "JPEG", quality=95)
 
     label_grid = np.zeros((h_st, w_st), dtype=np.int64)
