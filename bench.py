@@ -211,11 +211,44 @@ def bench_count_secondary():
     return rate
 
 
+def bench_count_training_secondary():
+    """Gridwise TRAINING throughput, count modality (secondary, stderr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.train.loops import (_make_steps, create_train_state,
+                                          make_gridwise_optimizer)
+
+    f = CountMLP(n_classes=N_CLASSES)
+    g = GridNetHex(patch_classifier=f, n_classes=N_CLASSES)
+    tx = make_gridwise_optimizer(1e-3, f_lr=1e-4)
+    shape = (N_ARRAYS_COUNT, H_ST, W_ST, N_GENES)
+    state = create_train_state(g, jax.random.key(0),
+                               jnp.zeros((1,) + shape[1:]), tx)
+    train_step, _ = _make_steps(g, tx, "grid")
+    x = jax.device_put(jnp.ones(shape, jnp.float32))
+    y = jax.device_put(jnp.ones(shape[:3], jnp.int32))
+
+    state, m = train_step(state, x, y)   # compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, m = train_step(state, x, y)
+    float(m["loss"])  # sync
+    dt = (time.perf_counter() - t0) / iters
+    log(f"count TRAINING (secondary): {dt*1e3:.1f} ms/step of "
+        f"{N_ARRAYS_COUNT} arrays ({N_ARRAYS_COUNT * H_ST * W_ST / dt:,.0f} "
+        f"spots/s incl. fwd+bwd+adam)")
+
+
 def main():
     tpu_rate = bench_tpu_image()
     cpu_rate = bench_torch_cpu_image()
     try:
         bench_count_secondary()
+        bench_count_training_secondary()
     except Exception as e:  # secondary metric must not sink the headline
         log(f"count secondary failed: {e}")
 
