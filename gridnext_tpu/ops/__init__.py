@@ -3,4 +3,8 @@ from gridnext_tpu.ops.hexcorrector_pallas import (  # noqa: F401
     fold_corrector_params,
     fused_hex_corrector,
 )
+from gridnext_tpu.ops.denseblock_pallas import (  # noqa: F401
+    build_densenet_fused_infer,
+    fused_dense_block,
+)
 from gridnext_tpu.ops import favor  # noqa: F401

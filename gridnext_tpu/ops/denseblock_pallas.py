@@ -1,12 +1,16 @@
 """Fused DenseNet-BC inference: each dense block as one VMEM-resident kernel.
 
-Why: per-section timing on v5e shows the XLA lowering of DenseNet-121 runs
-its dense blocks at ~2 TF/s effective -- far below conv FLOP limits --
-because every layer's channel-concatenate re-materializes the growing
-activation in HBM and growth_rate=32 convs leave the compiler little to
-fuse. This kernel keeps a block's entire concat buffer in VMEM scratch
-across all its layers: one HBM read of the block input, one HBM write of
-the (C_in + L*growth) output, nothing in between.
+Each block's growing concat buffer lives in VMEM scratch across all its
+layers: one HBM read of the block input, one HBM write of the
+(C_in + L*growth) output, nothing in between.
+
+MEASURED RESULT (v5e, DenseNet-121, B=624 @128px): 0.96x vs the flax/XLA
+path, with 100% argmax agreement. I.e. XLA's own lowering already achieves
+what explicit VMEM residency buys -- strong evidence that DenseNet-121
+throughput on TPU is bound by the architecture's shape (growth_rate=32
+against 128 MXU lanes), not by HBM traffic between layers. Kept as an
+alternative inference backend and as the measured datapoint behind that
+conclusion (docs/roadmap.md).
 
 Per layer (pre-activation DenseNet-BC, densenet.py:21-44 semantics with
 eval-mode BN folded to per-channel affines):
