@@ -61,7 +61,8 @@ def performer_lm_from_torch(sd: Mapping, depth: int,
     perf_fav = {}
     for i in range(depth):
         base = f"performer.net.layers.{i}"
-        perf[f"wrap_{i}_attn_norm"] = _layernorm(sd, f"{base}.0.norm")
+        if f"{base}.0.norm.weight" in sd:
+            perf[f"wrap_{i}_attn_norm"] = _layernorm(sd, f"{base}.0.norm")
         attn = {
             "to_q": _linear(sd, f"{base}.0.fn.to_q"),
             "to_k": _linear(sd, f"{base}.0.fn.to_k"),
@@ -74,7 +75,11 @@ def performer_lm_from_torch(sd: Mapping, depth: int,
             perf_fav[f"layers_{i}_attn"] = {
                 "fast_attention": {"projection": _np(sd[proj_key])}}
 
-        perf[f"wrap_{i}_ff_norm"] = _layernorm(sd, f"{base}.1.norm")
+        if f"{base}.0.g" in sd:  # ReZero gains (use_rezero models)
+            perf[f"wrap_{i}_attn_rezero_g"] = _np(sd[f"{base}.0.g"]).reshape(1)
+            perf[f"wrap_{i}_ff_rezero_g"] = _np(sd[f"{base}.1.g"]).reshape(1)
+        if f"{base}.1.norm.weight" in sd:
+            perf[f"wrap_{i}_ff_norm"] = _layernorm(sd, f"{base}.1.norm")
         # Chunk wraps FeedForward: .1.fn.fn.w1 / .w2
         ff_base = f"{base}.1.fn.fn" if f"{base}.1.fn.fn.w1.weight" in sd \
             else f"{base}.1.fn"

@@ -61,7 +61,7 @@ class _CartesianCorrector(nn.Module):
 
 
 class _HexCorrector(nn.Module):
-    """Six radius-1 hex convs: f_dim->32->32 [BN,ReLU] ->32->32 [BN,ReLU] ->n_classes.
+    """Five radius-1 hex convs: f_dim->32->32 [BN,ReLU] ->32->32 [BN,ReLU] ->n_classes.
 
     Mirrors gridnet_models.py:128-148 but odd-right native.
     """

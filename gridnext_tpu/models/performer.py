@@ -89,7 +89,12 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
                           mask=None):
     """Blockwise local attention: each block attends to itself + the previous
     block (+ the next when non-causal) -- the lucidrains ``local_attention``
-    defaults used by the reference (llm/performer_pytorch.py:369).
+    window semantics used by the reference (llm/performer_pytorch.py:369).
+
+    NOT implemented: the reference's relative positional bias
+    (rel_pos_emb_config); checkpoints trained with local heads carry rel-pos
+    weights this port neither uses nor converts (scBERT's default has zero
+    local heads). See docs/roadmap.md.
 
     q, k, v: (B, H, N, d); optional key ``mask`` (B, N) bool (True = keep).
     N is padded to the window internally.
@@ -202,7 +207,8 @@ class SelfAttention(nn.Module):
             kg = k[:, :gh].astype(jnp.float32)
             vg = v[:, :gh].astype(jnp.float32)
             if mask is not None:
-                kg = kg * mask[:, None, :, None]
+                # reference masks only v (llm/performer_pytorch.py:397-399);
+                # phi(k) of masked positions stays in the FAVOR denominator
                 vg = vg * mask[:, None, :, None]
             outs.append(fa(qg, kg, vg))
         if self.local_heads > 0:
@@ -237,10 +243,13 @@ class FeedForward(nn.Module):
                 a = nn.Dense(self.dim * self.mult * 2, name="w1",
                              dtype=self.dtype)(xc)
                 a, gate = jnp.split(a, 2, axis=-1)
-                h = a * jax.nn.gelu(gate)
+                # reference gates as act(first_half) * second_half
+                # (llm/performer_pytorch.py:337-338)
+                h = jax.nn.gelu(a, approximate=False) * gate
             else:
                 h = jax.nn.gelu(nn.Dense(self.dim * self.mult, name="w1",
-                                         dtype=self.dtype)(xc))
+                                         dtype=self.dtype)(xc),
+                                approximate=False)
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
             return nn.Dense(self.dim, name="w2", dtype=self.dtype)(h)
 
@@ -330,7 +339,9 @@ class Performer(nn.Module):
         out = mod(x, mask=mask, train=train) if isinstance(mod, SelfAttention) \
             else mod(x, train=train)
         if self.use_rezero:
-            g = self.param(name + "_rezero_g", nn.initializers.zeros, (1,))
+            # reference initializes the ReZero gain to 1e-3
+            g = self.param(name + "_rezero_g",
+                           nn.initializers.constant(1e-3), (1,))
             out = out * g
         return out
 
@@ -437,18 +448,20 @@ class PerformerLM(nn.Module):
         return self.head(h, train=train)
 
 
-def redraw_projections(variables: dict, rng) -> dict:
+def redraw_projections(variables: dict, rng, scaling: int = 0) -> dict:
     """Fresh orthogonal projections for every FastAttention (pure function).
 
     Call every ``feature_redraw_interval`` training steps
-    (llm/performer_pytorch.py:532-546 semantics).
+    (llm/performer_pytorch.py:532-546 semantics). Pass ``scaling=1`` if the
+    model was built with ``ortho_scaling=1`` so redraws match the init
+    distribution.
     """
     favor_tree = variables.get("favor")
     if favor_tree is None:
         return variables
     leaves, treedef = jax.tree_util.tree_flatten(favor_tree)
     keys = jax.random.split(rng, len(leaves))
-    new = [favor.orthogonal_gaussian_matrix(k, l.shape[0], l.shape[1])
+    new = [favor.orthogonal_gaussian_matrix(k, l.shape[0], l.shape[1], scaling)
            for k, l in zip(keys, leaves)]
     out = dict(variables)
     out["favor"] = jax.tree_util.tree_unflatten(treedef, new)

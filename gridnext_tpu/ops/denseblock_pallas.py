@@ -125,8 +125,11 @@ def fused_dense_block(x: jnp.ndarray, A1, B1, W1, A2, B2, W2, *,
     b, h, w, _ = x.shape
     n_layers, c_max = A1.shape
     cb = A2.shape[1]
-    if b % batch_tile:
-        raise ValueError(f"batch {b} not divisible by batch_tile {batch_tile}")
+    pad_b = (-b) % batch_tile
+    if pad_b:  # pad the batch to a tile multiple, slice the result back
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_b,) + x.shape[1:], x.dtype)], axis=0)
+        b = b + pad_b
 
     kernel = functools.partial(_block_kernel, h=h, w=w, c_in0=c_in0,
                                growth=growth, n_layers=n_layers, cb=cb)
@@ -141,7 +144,7 @@ def fused_dense_block(x: jnp.ndarray, A1, B1, W1, A2, B2, W2, *,
                              memory_space=pltpu.VMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b // batch_tile,),
         in_specs=in_specs,
@@ -157,6 +160,7 @@ def fused_dense_block(x: jnp.ndarray, A1, B1, W1, A2, B2, W2, *,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    return out[:b - pad_b] if pad_b else out
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,11 @@ def fold_corrector_params(params: dict, batch_stats=None, eps: float = 1e-5):
         if f"BatchNorm_{bn_idx}" not in params:
             continue  # use_bn=False corrector
         bn_p = params[f"BatchNorm_{bn_idx}"]
-        bn_s = (batch_stats or {})[f"BatchNorm_{bn_idx}"]
+        if not batch_stats or f"BatchNorm_{bn_idx}" not in batch_stats:
+            raise ValueError(
+                "corrector has BatchNorm params but no batch_stats were "
+                "provided; pass variables['batch_stats']['corrector']")
+        bn_s = batch_stats[f"BatchNorm_{bn_idx}"]
         s = np.asarray(bn_p["scale"]) / np.sqrt(np.asarray(bn_s["var"]) + eps)
         kernels[layer] = kernels[layer] * s  # scale out-channels
         biases[layer] = (biases[layer] - np.asarray(bn_s["mean"])) * s \

@@ -75,7 +75,7 @@ class SlideRegistrar:
         self.h_st, self.w_st = h_st, w_st
         self.use_pallas = use_pallas_corrector
         self.corrector_apply = corrector_apply
-        self._jitted = jax.jit(self._register, static_argnames=("n_spots",))
+        self._jitted = jax.jit(self._register)
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
@@ -125,7 +125,7 @@ class SlideRegistrar:
         out = out.reshape(-1, out.shape[-1])
         return out[:n]
 
-    def _register(self, wsi, oy, ox, y_px, x_px, n_spots):
+    def _register(self, wsi, oy, ox, y_px, x_px):
         patches = self._extract(wsi, y_px, x_px)
         feats = self._apply_f(patches)                       # (N, f_dim)
         # Background cells must carry f(zero-patch) -- GridNetHex runs f on
@@ -168,6 +168,5 @@ class SlideRegistrar:
         y_px = np.clip(y_px, p2, wsi.shape[0] - p2 - 1)
         x_px = np.clip(x_px, p2, wsi.shape[1] - p2 - 1)
         labels = self._jitted(wsi, jnp.asarray(oy), jnp.asarray(ox),
-                              jnp.asarray(y_px), jnp.asarray(x_px),
-                              n_spots=len(oy))
+                              jnp.asarray(y_px), jnp.asarray(x_px))
         return np.asarray(labels)

@@ -79,11 +79,14 @@ def test_performer_scalenorm_rezero():
         v = m.init(jax.random.key(1), x)
         y = m.apply(v, x)
         assert y.shape == x.shape
-    # rezero starts as identity (gates zero-init)
+    # rezero starts near-identity (gains init to 1e-3, reference parity)
     m = Performer(dim=16, depth=1, heads=2, dim_head=8, use_rezero=True)
     v = m.init(jax.random.key(1), x)
+    gains = [g for path, g in jax.tree_util.tree_flatten_with_path(v["params"])[0]
+             if "rezero_g" in "/".join(str(getattr(q, "key", q)) for q in path)]
+    assert gains and all(np.allclose(g, 1e-3) for g in gains)
     np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(x),
-                               rtol=1e-6)
+                               atol=2e-2)
 
 
 def test_performer_lm_tied_and_untied():

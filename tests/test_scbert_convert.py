@@ -102,3 +102,26 @@ def test_scbert_finetune_labels_on_converted():
     labels = finetune_param_labels(variables["params"], depth=2)
     leaves = set(jax.tree_util.tree_leaves(labels))
     assert leaves == {"train", "frozen"}
+
+
+def test_glu_feedforward_parity():
+    """GLU gating order must match the reference: act(first_half) * second."""
+    from gridnext.llm.performer_pytorch import FeedForward as TorchFF
+
+    from gridnext_tpu.models.performer import FeedForward
+
+    torch.manual_seed(0)
+    tff = TorchFF(dim=16, mult=2, glu=True)
+    tff.eval()
+    sd = tff.state_dict()
+    variables = {"params": {
+        "w1": {"kernel": sd["w1.weight"].numpy().T, "bias": sd["w1.bias"].numpy()},
+        "w2": {"kernel": sd["w2.weight"].numpy().T, "bias": sd["w2.bias"].numpy()},
+    }}
+    m = FeedForward(dim=16, mult=2, glu=True)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tff(torch.from_numpy(x)).numpy()
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
