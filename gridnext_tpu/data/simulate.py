@@ -106,7 +106,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     # --- MEX count matrix (in-tissue barcodes only, like Spaceranger) ------
     keep = in_tissue == 1
     kept_barcodes = barcodes[keep]
-    rates = rng.gamma(2.0, 2.0, size=(n_classes, n_genes))  # class signatures
+    # class gene signatures are a property of the TISSUE, not the array:
+    # a fixed rng makes them consistent across simulated arrays so
+    # cross-array train/val generalization is meaningful
+    sig_rng = np.random.default_rng(20260816 + n_genes * 1000 + n_classes)
+    rates = sig_rng.gamma(2.0, 2.0, size=(n_classes, n_genes))
     counts = rng.poisson(rates[labels[keep] - 1])  # (n_spots, n_genes)
 
     gene_ids = [f"ENSG{i:05d}" for i in range(n_genes)]
