@@ -161,7 +161,8 @@ class CountSpotDataset:
             if annot_files is not None:
                 if Visium:
                     coord_strs, annot_strs = read_annotfile(
-                        annot_files[i], position_file=position_files[i])
+                        annot_files[i], position_file=position_files[i],
+                        afile_delim=afile_delim)
                     annot_lbls = encode_labels(annot_strs, self.classes)
                 else:
                     coord_strs, annot_lbls = read_annotfile(
@@ -398,16 +399,22 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
             os.makedirs(save_patches_to, exist_ok=True)
             patch_dirs = [os.path.join(str(save_patches_to), Path(srd).name + patch_suffix)
                           for srd in spaceranger_dirs]
-        if not all(os.path.exists(pd_) for pd_ in patch_dirs):
-            print(f"No extracted image patches detected (*{patch_suffix}) -- generating...")
+        missing = [i for i, pd_ in enumerate(patch_dirs)
+                   if not os.path.exists(pd_)]
+        if missing:
+            print(f"No extracted image patches detected for {len(missing)} "
+                  f"array(s) (*{patch_suffix}) -- generating...")
             if fullres_image_files is None:
                 raise ValueError("Must provide fullres_image_files to extract image patches")
-            for imfile, pdir, srd in zip(fullres_image_files, patch_dirs, spaceranger_dirs):
+            # only (re-)extract the arrays whose caches are missing
+            for i in missing:
+                imfile = fullres_image_files[i]
                 if not os.path.exists(imfile):
                     raise ValueError(f"Could not find image file: {imfile}")
                 ps = (patch_size_px if patch_size_px is not None
-                      else distance_um_to_px(srd, patch_size_um))
-                save_visium_patches(imfile, srd, pdir, patch_size=ps)
+                      else distance_um_to_px(spaceranger_dirs[i], patch_size_um))
+                save_visium_patches(imfile, spaceranger_dirs[i], patch_dirs[i],
+                                    patch_size=ps)
 
     position_files = [find_position_file(srd) for srd in spaceranger_dirs]
 

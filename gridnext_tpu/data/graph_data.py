@@ -68,10 +68,13 @@ def read_visium_graph(spaceranger_dir, annot_file=None):
     y = None
     if annot_file is not None:
         df_annot = pd.read_csv(annot_file, sep=",", header=0, index_col=0)
+        # drop un-annotated spots (blank cells parse as NaN)
+        first = df_annot.iloc[:, 0]
+        df_annot = df_annot[first.notna() & (first.astype(str) != "")]
         shared = df_annot.index.intersection(df_pos.index)
         df_counts = df_counts.loc[shared]
         df_pos = df_pos.loc[shared]
-        y = df_annot.loc[shared].iloc[:, 0].values
+        y = df_annot.loc[shared].iloc[:, 0].astype(str).values
 
     arr_coords = df_pos[["array_col", "array_row"]].values.astype(np.int64)
     edges = hex_adjacency(arr_coords)

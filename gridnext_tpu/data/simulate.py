@@ -79,6 +79,9 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         "array_row": row, "array_col": col,
         "pxl_row_in_fullres": px_row, "pxl_col_in_fullres": px_col,
     })
+    if isinstance(spaceranger_version, str) and spaceranger_version != "hd":
+        raise ValueError(
+            f"spaceranger_version must be 1, 2, or 'hd'; got {spaceranger_version!r}")
     if spaceranger_version == "hd":
         # Visium HD layout: binned outputs with parquet positions
         binning = "square_008um"

@@ -33,11 +33,14 @@ def read_annotfile(afile, position_file=None, afile_delim: str = ",",
     if Visium:
         adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
         pdat = read_positions_file(position_file)
-        adat = adat[adat.iloc[:, 0] != ""]
+        first = adat.iloc[:, 0]
+        # blank cells parse as NaN; numeric cluster IDs coerce to strings so
+        # class encoding is uniform
+        adat = adat[first.notna() & (first.astype(str) != "")]
         adat = adat.join(pdat, how="left").dropna()
         coord_strs = [f"{int(x)}_{int(y)}" for x, y in
                       zip(adat["array_col"], adat["array_row"])]
-        return coord_strs, adat.iloc[:, 0].values
+        return coord_strs, adat.iloc[:, 0].astype(str).values
 
     adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
     adat = adat.loc[:, adat.sum(axis=0) == 1]  # drop mis-annotated spots
@@ -95,6 +98,8 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
     adict = None
     if annot_file is not None:
         if position_file is not None:
+            # Loupe exports are comma-separated; afile_delim applies to the
+            # Splotch branch (reference semantics, utils.py:130-142)
             coord_strs, annot_strs = read_annotfile(
                 annot_file, position_file=position_file, Visium=True)
             str_len = max((len(a) for a in annot_strs), default=1)

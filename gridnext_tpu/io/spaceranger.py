@@ -76,7 +76,12 @@ def find_feature_matrix_files(spaceranger_dir, hd_binning: Optional[str] = None)
             if os.path.exists(p):
                 found[k] = p
     else:
-        paths = glob.glob(os.path.join(str(spaceranger_dir), "**"), recursive=True)
+        # deterministic order, and prefer the filtered matrix when a raw one
+        # sits alongside it (real Spaceranger outs/ has both; loading raw
+        # would silently include out-of-tissue barcodes)
+        paths = sorted(glob.glob(os.path.join(str(spaceranger_dir), "**"),
+                                 recursive=True),
+                       key=lambda s: ("filtered_feature_bc_matrix" not in s, s))
         for k, v in values.items():
             for p in paths:
                 if v in p:

@@ -77,7 +77,9 @@ def distance_um_to_px(spaceranger_dir, distance_um: float) -> int:
     """
     positions = read_positions(spaceranger_dir)
     if len(positions) > 10:
-        positions = positions.sample(n=10)
+        # fixed seed: the inferred px size names the patch cache directory,
+        # so it must be deterministic across runs
+        positions = positions.sample(n=10, random_state=0)
 
     cart = np.stack(geometry.pseudo_to_true_hex(
         positions["array_col"].values, positions["array_row"].values), axis=1)
@@ -122,7 +124,8 @@ def extract_patches(img: np.ndarray, y_px: np.ndarray, x_px: np.ndarray,
     out = np.empty((n, patch_size, patch_size, img.shape[-1]), dtype=img.dtype)
     half = window // 2
     for i in range(n):
-        crop = img[y_px[i] - half:y_px[i] + half, x_px[i] - half:x_px[i] + half]
+        y0, x0 = y_px[i] - half, x_px[i] - half
+        crop = img[y0:y0 + window, x0:x0 + window]  # exact window (odd-safe)
         out[i] = np.asarray(Image.fromarray(crop).resize((patch_size, patch_size)))
     return out
 

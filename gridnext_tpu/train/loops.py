@@ -198,6 +198,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     best_loss = np.inf
     best_params = jax.device_get(state.params)
     best_bs = jax.device_get(state.batch_stats)
+    best_extra = jax.device_get(state.extra_vars)
     saw_val = False
     train_history, val_history = [], []
     since = time.time()
@@ -249,6 +250,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                     best_loss = epoch_loss
                     best_params = jax.device_get(state.params)
                     best_bs = jax.device_get(state.batch_stats)
+                    best_extra = jax.device_get(state.extra_vars)
                     if outfile is not None:
                         save_checkpoint(outfile, state)
             else:
@@ -262,7 +264,10 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     # restore best-validation weights (training.py:96-97,207-208 semantics);
     # without a val phase there is no "best" -- keep the final params
     if saw_val:
-        state = state.replace(params=best_params, batch_stats=best_bs)
+        # restore every collection the best snapshot depends on -- including
+        # FAVOR projections, which redraws may have replaced since
+        state = state.replace(params=best_params, batch_stats=best_bs,
+                              extra_vars=best_extra)
     elif outfile is not None:
         save_checkpoint(outfile, state)
     return state, val_history, train_history
