@@ -5,5 +5,7 @@ from gridnext_tpu.data.datasets import (  # noqa: F401
     PatchGridDataset,
     PatchSpotDataset,
     create_visium_dataset,
+    load_count_dataset,
+    load_count_grid_dataset,
 )
 from gridnext_tpu.data.simulate import simulate_spaceranger_dir  # noqa: F401

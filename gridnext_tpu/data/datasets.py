@@ -355,6 +355,52 @@ class MMStackDataset(_GridDatasetBase):
         return (np.stack(xi), np.stack(xc)), np.stack(ys)
 
 
+def load_count_dataset(count_files, annot_files=None, select_genes=None):
+    """Eagerly load annotated spots from Splotch-format annotation files.
+
+    Reference-named API (count_datasets.py:16-50): returns (X, y) arrays of
+    the spot expression vectors and integer labels (argmax of the one-hot
+    Splotch columns), skipping mis-annotated spots.
+    """
+    xs, ys = [], []
+    for i, cf in enumerate(count_files):
+        frame = _read_count_frame(str(cf))
+        adat = None
+        if annot_files is not None:
+            import pandas as pd
+
+            adat = pd.read_csv(annot_files[i], header=0, index_col=0, sep="\t")
+            adat = adat.loc[:, adat.sum(axis=0) == 1]
+        for cstr in frame.columns:
+            if adat is not None and cstr not in adat.columns:
+                continue
+            col = frame[cstr]
+            if select_genes is not None:
+                col = col.loc[select_genes]
+            xs.append(col.values.astype(np.float32))
+            ys.append(int(np.argmax(adat[cstr].values)) if adat is not None else 0)
+    return np.stack(xs), np.asarray(ys, np.int64)
+
+
+def load_count_grid_dataset(count_files, annot_files=None, select_genes=None,
+                            h_st=geometry.VISIUM_H_ST, w_st=geometry.VISIUM_W_ST,
+                            Visium=True):
+    """Eagerly load per-array grids with Splotch annotations.
+
+    Reference-named API (count_datasets.py:52-72): returns (X, Y) stacked
+    channels-last (N, h, w, genes) count grids and (N, h, w) label grids.
+    """
+    xs, ys = [], []
+    for i, cf in enumerate(count_files):
+        af = annot_files[i] if annot_files is not None else None
+        counts, annots = read_annotated_starray(
+            cf, af, select_genes=select_genes, h_st=h_st, w_st=w_st,
+            Visium=Visium)
+        xs.append(counts.astype(np.float32))
+        ys.append(annots.astype(np.int64))
+    return np.stack(xs), np.stack(ys)
+
+
 def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                           use_image: bool = True, spatial: bool = True,
                           annot_files: Optional[Sequence] = None,

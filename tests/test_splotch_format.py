@@ -83,3 +83,24 @@ def test_grid_and_spot_datasets_splotch(sim, tmp_path):
     xv, yv = sdat[0]
     assert xv.shape == (20,)
     assert 0 <= yv < 3
+
+
+def test_reference_named_eager_loaders(sim, tmp_path):
+    from gridnext_tpu.data.datasets import (load_count_dataset,
+                                            load_count_grid_dataset)
+
+    sims, count_files, root = sim
+    dest = tmp_path / "sp4"
+    dest.mkdir()
+    to_splotch_annots([s["annot_file"] for s in sims],
+                      [s["spaceranger_dir"] for s in sims], dest)
+    afiles = [str(p) for p in sorted(dest.glob("*.tsv"))]
+
+    X, y = load_count_dataset(count_files, annot_files=afiles)
+    n_fg = sum(int((s["label_grid"] > 0).sum()) for s in sims)
+    assert X.shape == (n_fg, 20)
+    assert set(np.unique(y)) <= {0, 1, 2}
+
+    Xg, Yg = load_count_grid_dataset(count_files, annot_files=afiles)
+    assert Xg.shape[0] == 2 and Yg.shape[1:] == (78, 64)
+    np.testing.assert_array_equal(Yg[0], sims[0]["label_grid"])
