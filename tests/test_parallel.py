@@ -76,3 +76,27 @@ def test_sharded_eval_and_input_placement(eight_devices):
     _, eval_step = _make_steps(g, tx, "grid")
     m = eval_step(replicate(state, mesh), xs, ys)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_image_f_inference_matches_single_device(eight_devices):
+    """Spot-classifier inference sharded over the patch axis: the serving
+    scale-out layout (patches are embarrassingly parallel over chips)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gridnext_tpu.models import DenseNet
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=5, small_inputs=True)
+    rng = np.random.default_rng(0)
+    patches = rng.normal(size=(64, 16, 16, 3)).astype(np.float32)
+    variables = f.init(jax.random.key(0), jnp.asarray(patches[:1]))
+
+    fwd = jax.jit(lambda v, x: f.apply(v, x, train=False))
+    want = np.asarray(fwd(variables, jnp.asarray(patches)))
+
+    mesh = make_mesh({"data": 8}, eight_devices)
+    xs = jax.device_put(jnp.asarray(patches), NamedSharding(mesh, P("data")))
+    vr = replicate(variables, mesh)
+    got = np.asarray(fwd(vr, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
