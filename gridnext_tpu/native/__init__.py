@@ -95,6 +95,11 @@ def write_tsv_matrix(path, index, columns, values: np.ndarray,
     if lib is None:
         return False
     values = np.ascontiguousarray(values, dtype=np.float64)
+    if values.ndim != 2 or len(index) != values.shape[0] \
+            or len(columns) != values.shape[1]:
+        raise ValueError(
+            f"shape mismatch: values {values.shape} vs {len(index)} index "
+            f"names and {len(columns)} column names")
     rows, renc = _char_array([str(s) for s in index])
     cols, cenc = _char_array([str(s) for s in columns])
     level = -1 if gzip_level is None else gzip_level
@@ -102,12 +107,21 @@ def write_tsv_matrix(path, index, columns, values: np.ndarray,
         level = 1
     if not str(path).endswith(".gz"):
         level = -1
+    # write to a sibling tmp file and rename: a failed/interrupted write must
+    # never leave a truncated cache at the final path (create_visium_dataset
+    # trusts existing caches)
+    tmp = str(path) + ".tmp"
     rc = lib.tsv_write_matrix(
-        str(path).encode(), index_name.encode(), rows, cols,
+        tmp.encode(), index_name.encode(), rows, cols,
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         values.shape[0], values.shape[1], level, int(force_int))
     if rc != 0:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         raise OSError(f"fastio tsv_write_matrix failed with code {rc} for {path}")
+    os.replace(tmp, str(path))
     return True
 
 

@@ -86,7 +86,11 @@ int tsv_write_matrix(const char* path, const char* index_name,
         header.append(col_names[c]);
     }
     header.push_back('\n');
-    if (!write_buf(header)) return 2;
+    if (!write_buf(header)) {
+        if (use_gz) gzclose(gz);
+        else fclose(fp);
+        return 2;
+    }
 
     // number formatting dominates: format chunks in parallel, write serially
     unsigned hw = std::thread::hardware_concurrency();
@@ -101,13 +105,18 @@ int tsv_write_matrix(const char* path, const char* index_name,
         threads.emplace_back(format_rows, lo, hi, std::ref(bufs[t]));
     }
     for (auto& th : threads) th.join();
+    bool ok = true;
     for (auto& b : bufs) {
-        if (!write_buf(b)) return 2;
+        if (!write_buf(b)) { ok = false; break; }
     }
 
-    if (use_gz) gzclose(gz);
-    else fclose(fp);
-    return 0;
+    // close unconditionally (no handle leak) and surface flush failures
+    if (use_gz) {
+        if (gzclose(gz) != Z_OK) ok = false;
+    } else {
+        if (fclose(fp) != 0) ok = false;
+    }
+    return ok ? 0 : 2;
 }
 
 // ---------------------------------------------------------------------------

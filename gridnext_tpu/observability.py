@@ -16,6 +16,8 @@ from __future__ import annotations
 import contextlib
 import json
 import time
+
+import numpy as np
 from typing import Optional
 
 
@@ -89,7 +91,12 @@ class MetricsLogger:
             try:
                 rec[k] = float(v)
             except (TypeError, ValueError):
-                rec[k] = v
+                if hasattr(v, "tolist"):
+                    rec[k] = np.asarray(v).tolist() if hasattr(v, "shape") else v.tolist()
+                elif isinstance(v, (str, bool, list, dict, type(None))):
+                    rec[k] = v
+                else:
+                    rec[k] = str(v)
         self._fh.write(json.dumps(rec) + "\n")
         self._since_flush += 1
         if self._since_flush >= self._flush_every:

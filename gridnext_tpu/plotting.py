@@ -109,7 +109,7 @@ def misclass_density(out_softmax: np.ndarray, true: np.ndarray) -> np.ndarray:
     labels with 0 background. Vectorized port of plotting.py:138-149.
     """
     out_softmax = np.asarray(out_softmax)
-    true = np.asarray(true)
+    true = np.asarray(true).astype(np.int64)  # uint grids would underflow at -1
     fg = true > 0
     idx = np.maximum(true - 1, 0)
     p_correct = np.take_along_axis(out_softmax, idx[..., None], axis=-1)[..., 0]
@@ -168,7 +168,6 @@ def plot_label_tensor(label_grid, class_names=None, Visium: bool = False,
     ax.set_aspect("equal")
     ax.invert_yaxis()
 
-    ys, xs = np.nonzero(label_grid > -1)  # all positions; filter per class below
     for fgv in fg_vals:
         m = label_grid == fgv
         yy, xx = np.nonzero(m)
@@ -213,8 +212,13 @@ def plot_hextensor(grid, layout: str = "odd-r", cmap: str = "Greys", ax=None,
 
     hexagons, intensities = [], []
     npix = 0
-    for y in range(h):
-        for x in range(w):
+    # pixel counting order matches each convention's own tooling: hexagdly
+    # masks count column-major (hexagdly_tools.py:61-63), odd-r row-major
+    if layout == "odd-q":
+        order = [(y, x) for x in range(w) for y in range(h)]
+    else:
+        order = [(y, x) for y in range(h) for x in range(w)]
+    for y, x in order:
             if npix not in mask:
                 if layout == "odd-r":
                     center = (x + (y % 2) * 0.5, -(y * np.sqrt(3) / 2))

@@ -43,9 +43,12 @@ def highly_variable_genes(X: np.ndarray, n_top_genes: int = 2000,
         in_bin = df_bins == b
         vals = disp_log[in_bin]
         mu = np.nanmean(vals)
-        sd = np.nanstd(vals)
+        n_valid = np.sum(~np.isnan(vals))
+        sd = np.nanstd(vals, ddof=1) if n_valid > 1 else np.nan
         if not np.isfinite(sd) or sd == 0:
-            sd = 1.0
+            # scanpy's singleton-bin fallback: normalize by the bin mean so
+            # lone high-expression genes stay selectable (dispersion/mean)
+            sd, mu = mu if np.isfinite(mu) and mu != 0 else 1.0, 0.0
         disp_norm[in_bin] = (vals - mu) / sd
 
     order = np.argsort(np.nan_to_num(disp_norm, nan=-np.inf))[::-1]
@@ -71,6 +74,10 @@ def select_hvgs_from_count_files(count_files: Sequence, n_top_genes: int = 2000,
         df = filtered_norm_logcounts(cf, min_counts, target_sum)
         if genes is None:
             genes = list(df.index)
+        elif list(df.index) != genes:
+            raise ValueError(
+                f"count file {cf} has a different gene list/order than the "
+                "first file; unify the cohort first (io.prepare_count_files)")
         blocks.append(df.values.T)
     X = np.vstack(blocks)
     mask, _ = highly_variable_genes(X, n_top_genes=n_top_genes, n_bins=n_bins)

@@ -106,20 +106,38 @@ def preprocess_cohorts(train_count_files: Sequence, all_count_files: Sequence,
     """The full fit_pca_unified_cortex pipeline, in memory.
 
     Returns dict with scaler (mean, std), the fitted pca, ``n_pcs`` at the
-    variance target, and per-file scaled DataFrames.
+    variance target, and per-file scaled DataFrames keyed by the input path
+    string (or ``id()`` for DataFrame inputs).
     """
-    mean, std = fit_cohort_scaler(train_count_files, min_counts, target_sum)
+    # read/normalize each file exactly once; membership by identity or
+    # normalized path string (Path vs str must compare equal)
+    def _key(cf):
+        return id(cf) if hasattr(cf, "values") else str(cf)
+
+    train_keys = {_key(cf) for cf in train_count_files}
+    normed = {_key(cf): filtered_norm_logcounts(cf, min_counts, target_sum)
+              for cf in all_count_files}
+    for cf in train_count_files:  # train files may not be in all_count_files
+        if _key(cf) not in normed:
+            normed[_key(cf)] = filtered_norm_logcounts(cf, min_counts, target_sum)
+
+    train_norm = [normed[_key(cf)] for cf in train_count_files]
+    allcounts = np.hstack([df.values for df in train_norm])
+    mean, std = allcounts.mean(axis=1), allcounts.std(axis=1)
 
     scaled = {}
     train_blocks = []
     for cf in all_count_files:
-        df = scale_logcounts(filtered_norm_logcounts(cf, min_counts, target_sum),
-                             mean, std, clip)
-        scaled[str(cf)] = df
-        if cf in train_count_files:
+        df = scale_logcounts(normed[_key(cf)], mean, std, clip)
+        scaled[_key(cf)] = df
+        if _key(cf) in train_keys:
             train_blocks.append(df.values.T)
 
     X_train = np.vstack(train_blocks)
+    if X_train.shape[0] == 0:
+        raise ValueError(
+            "no training spots survived the min_counts filter "
+            f"(min_counts={min_counts}); lower it or check the count files")
     pca = fit_pca(X_train, outfile=pca_outfile)
     return {
         "mean": mean, "std": std, "pca": pca,

@@ -81,3 +81,50 @@ def test_profile_trace_smoke(tmp_path):
             jnp.sum(jnp.ones((8, 8))).block_until_ready()
     # a trace artifact was produced
     assert any((tmp_path / "trace").rglob("*"))
+
+
+def test_metrics_logger_array_values(tmp_path):
+    from gridnext_tpu.observability import MetricsLogger, read_metrics
+
+    with MetricsLogger(tmp_path / "m.jsonl") as ml:
+        ml.log(step=1, per_class=np.array([0.9, 0.8]), note="ok")
+    rec = read_metrics(tmp_path / "m.jsonl")[0]
+    assert rec["per_class"] == [0.9, 0.8]
+    assert rec["note"] == "ok"
+
+
+def test_misclass_density_uint8_grid():
+    from gridnext_tpu.plotting import misclass_density
+
+    smax = np.full((2, 2, 3), 1 / 3)
+    true = np.array([[0, 1], [2, 0]], dtype=np.uint8)  # background present
+    mcd = misclass_density(smax, true)
+    np.testing.assert_allclose(mcd[0, 1], 2 / 3)
+    assert mcd[0, 0] == 0.0
+
+
+def test_native_writer_shape_validation(tmp_path):
+    from gridnext_tpu import native
+
+    if not native.available():
+        return
+    with np.testing.assert_raises(ValueError):
+        native.write_tsv_matrix(tmp_path / "x.tsv", ["a", "b", "c"], ["c0"],
+                                np.zeros((2, 1)))
+    # no stray tmp file left behind
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_preprocess_cohorts_dataframe_inputs():
+    import pandas as pd
+
+    from gridnext_tpu.workflows.pca import preprocess_cohorts
+
+    rng = np.random.default_rng(0)
+    dfs = [pd.DataFrame(rng.poisson(3, size=(20, 60)),
+                        index=[f"G{i}" for i in range(20)],
+                        columns=[f"{j}_{j}" for j in range(60)])
+           for _ in range(3)]
+    out = preprocess_cohorts(dfs[:2], dfs, min_counts=10)
+    assert 1 <= out["n_pcs"] <= 20
+    assert len(out["scaled"]) == 3
