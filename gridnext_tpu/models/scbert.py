@@ -65,6 +65,9 @@ class scBERT(nn.Module):
     attn_dropout: float = 0.0
     sow_attention: bool = False  # expose per-layer attention maps (O(n^2)!)
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bf16 serving)
+    # ReLU random features: ~1.5x serving throughput at full scale (halves
+    # the exp cost; see docs/roadmap.md). Changes the kernel approximation.
+    generalized_attention: bool = False
 
     def setup(self):
         head = None
@@ -80,6 +83,7 @@ class scBERT(nn.Module):
             g2v_weights=self.g2v_weights, remat=self.remat,
             ff_dropout=self.ff_dropout, attn_dropout=self.attn_dropout,
             sow_attention=self.sow_attention, dtype=self.dtype,
+            generalized_attention=self.generalized_attention,
             head_module=head, name="performer_lm")
 
     def __call__(self, x, train: bool = False):

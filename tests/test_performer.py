@@ -218,3 +218,12 @@ def test_local_attention_mask_blocks_keys():
                      np.asarray(jax.nn.softmax(jnp.asarray(scores), -1)),
                      np.asarray(v))
     np.testing.assert_allclose(out_m, want, rtol=1e-4, atol=1e-5)
+
+
+def test_scbert_generalized_attention_option():
+    m = scBERT(n_genes=16, bin_num=5, dim=16, depth=1, heads=2, n_classes=2,
+               generalized_attention=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 6, (2, 16)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 2) and np.isfinite(np.asarray(y)).all()
