@@ -1,0 +1,63 @@
+"""Optional orbax-backed checkpointing for TrainState.
+
+The default checkpoint format is flax-msgpack (train.loops.save_checkpoint)
+-- single file, dependency-free. This adapter offers the same TrainState
+round-trip through orbax (async-capable, directory-per-step layout) for
+deployments standardized on it. orbax is an optional dependency; functions
+raise a clear ImportError when absent.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from gridnext_tpu.train.loops import TrainState
+
+
+def _require_orbax():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp
+    except ImportError as e:
+        raise ImportError("orbax checkpointing requires the optional "
+                          "'orbax-checkpoint' package") from e
+
+
+def save_checkpoint_orbax(path, state: TrainState):
+    """Write a TrainState to ``path`` (a directory) via orbax."""
+    import os
+
+    ocp = _require_orbax()
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "extra_vars": jax.device_get(state.extra_vars),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(str(path)), payload, force=True)
+
+
+def restore_checkpoint_orbax(path, state_template: TrainState) -> TrainState:
+    """Restore a TrainState saved by :func:`save_checkpoint_orbax`.
+
+    ``state_template`` (a freshly created state for the same model+optimizer)
+    provides the tree structure and dtypes.
+    """
+    import os
+
+    ocp = _require_orbax()
+    template = {
+        "params": jax.device_get(state_template.params),
+        "batch_stats": jax.device_get(state_template.batch_stats),
+        "extra_vars": jax.device_get(state_template.extra_vars),
+        "opt_state": jax.device_get(state_template.opt_state),
+        "step": jax.device_get(state_template.step),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(str(path)), template)
+    return state_template.replace(
+        params=payload["params"], batch_stats=payload["batch_stats"],
+        extra_vars=payload["extra_vars"], opt_state=payload["opt_state"],
+        step=payload["step"])

@@ -154,3 +154,25 @@ def test_training_with_dropout_model():
         DropNet(), {"train": (X, Y), "val": (X, Y)}, num_epochs=2,
         batch_size=16, verbose=False)
     assert np.isfinite(val_hist).all()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from gridnext_tpu.train.orbax_io import (restore_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+
+    X, Y = _grid_data()
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3)
+    state = create_train_state(g, jax.random.key(0), X[:1], tx)
+    state, _, _ = train_gridwise(g, {"train": (X, Y), "val": (X, Y)},
+                                 state=state, tx=tx, num_epochs=1, verbose=False)
+
+    save_checkpoint_orbax(tmp_path / "ckpt", state)
+    template = create_train_state(g, jax.random.key(9), X[:1], tx)
+    restored = restore_checkpoint_orbax(tmp_path / "ckpt", template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
