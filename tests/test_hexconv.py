@@ -84,3 +84,22 @@ def test_hexconv_jit_and_batch_shapes():
 def test_hexconv_tap_count_validation():
     with pytest.raises(ValueError):
         hex_conv(jnp.ones((1, 4, 4, 1)), jnp.ones((5, 1, 1)))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_hexconv_randomized_shapes(seed):
+    """Randomized shape/radius sweep against the brute-force reference."""
+    rng = np.random.default_rng(100 + seed)
+    h = int(rng.integers(3, 20))
+    w = int(rng.integers(3, 20))
+    cin = int(rng.integers(1, 9))
+    cout = int(rng.integers(1, 9))
+    radius = int(rng.integers(1, 3))
+    b = int(rng.integers(1, 4))
+    x = rng.normal(size=(b, h, w, cin)).astype(np.float32)
+    k = rng.normal(size=(num_taps(radius), cin, cout)).astype(np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+    got = np.asarray(hex_conv(jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias),
+                              radius=radius))
+    want = hex_conv_reference(x, k, bias, radius=radius)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
