@@ -1,0 +1,194 @@
+"""Command-line interface: ``python -m gridnext_tpu <command>``.
+
+The reference has no CLI (its workflows live in notebooks, SURVEY.md L6);
+this thin layer scripts the common flows end to end:
+
+  simulate     fabricate pseudo-Visium Spaceranger dirs (fixtures/demos)
+  prepare      generate unified count files (+ optional patch caches)
+  train-count  train f (spotwise) then GridNetHex g on count grids
+  register     load a trained checkpoint and write Loupe CSVs per array
+
+Example:
+  python -m gridnext_tpu simulate --out /tmp/demo --arrays 4
+  python -m gridnext_tpu train-count --spaceranger /tmp/demo/a* \\
+      --annots /tmp/demo/a*/*_annotations.csv --out /tmp/demo/model
+  python -m gridnext_tpu register --spaceranger /tmp/demo/a0 \\
+      --model /tmp/demo/model --out /tmp/demo/a0_loupe.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_simulate(args):
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    os.makedirs(args.out, exist_ok=True)
+    for i in range(args.arrays):
+        sim = simulate_spaceranger_dir(
+            os.path.join(args.out, f"a{i}"), seed=args.seed + i,
+            n_genes=args.genes, n_classes=args.classes, image=args.image)
+        print(f"simulated {sim['spaceranger_dir']} "
+              f"(annotations: {sim['annot_file']})")
+
+
+def _cmd_prepare(args):
+    from gridnext_tpu.io import prepare_count_files
+
+    written = prepare_count_files(args.spaceranger,
+                                  minimum_detection_rate=args.min_detection)
+    for w in written:
+        print(f"wrote {w}")
+    if args.images:
+        from gridnext_tpu.pipeline import save_visium_patches
+
+        for srd, im in zip(args.spaceranger, args.images):
+            pdir = os.path.join(srd, os.path.basename(srd.rstrip("/"))
+                                + f"_patches{args.patch_px}px")
+            save_visium_patches(im, srd, pdir, patch_size=args.patch_px)
+            print(f"wrote {pdir}")
+
+
+def _cmd_train_count(args):
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.train import (create_train_state, load_f_params,
+                                    make_gridwise_optimizer, save_checkpoint,
+                                    train_gridwise, train_spotwise)
+
+    spots = create_visium_dataset(args.spaceranger, annot_files=args.annots,
+                                  use_count=True, use_image=False, spatial=False,
+                                  minimum_detection_rate=args.min_detection)
+    grids = create_visium_dataset(args.spaceranger, annot_files=args.annots,
+                                  use_count=True, use_image=False, spatial=True,
+                                  minimum_detection_rate=args.min_detection)
+    classes = list(grids.classes)
+    print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}")
+
+    Xs, Ys = spots.materialize()
+    Xs = np.log1p(Xs)
+    f = CountMLP(n_classes=len(classes))
+    n_val = max(1, len(Xs) // 5)
+    f_state, *_ = train_spotwise(
+        f, {"train": (Xs[n_val:], Ys[n_val:]), "val": (Xs[:n_val], Ys[:n_val])},
+        learning_rate=args.f_lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, verbose=True)
+
+    Xg, Yg = grids.materialize()
+    Xg = np.log1p(Xg)
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+    tx = make_gridwise_optimizer(args.g_lr,
+                                 f_lr=args.f_lr if args.finetune_f else None)
+    n_valg = max(1, len(Xg) // 4) if len(Xg) > 1 else 0
+    state = create_train_state(g, jax.random.key(0), Xg[:1], tx)
+    state = load_f_params(state, f_state.variables())
+    dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
+           "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
+    state, *_ = train_gridwise(g, dls, state=state, tx=tx,
+                               num_epochs=args.epochs, verbose=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    with open(os.path.join(args.out, "model.json"), "w") as fh:
+        json.dump({"classes": classes, "n_genes": int(Xs.shape[1]),
+                   "log1p": True, "model": "GridNetHex+CountMLP"}, fh)
+    print(f"saved model to {args.out}")
+
+
+def _cmd_register(args):
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.data import CountGridDataset
+    from gridnext_tpu.evaluate import to_loupe_annots
+    from gridnext_tpu.io import find_position_file
+    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.train import load_checkpoint
+
+    with open(os.path.join(args.model, "model.json")) as fh:
+        meta = json.load(fh)
+    classes = meta["classes"]
+
+    payload = load_checkpoint(os.path.join(args.model, "g_state.msgpack"))
+    variables = {"params": payload["params"]}
+    if payload.get("batch_stats") is not None:
+        variables["batch_stats"] = payload["batch_stats"]
+
+    f = CountMLP(n_classes=len(classes))
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+
+    for srd in args.spaceranger:
+        name = os.path.basename(srd.rstrip("/"))
+        cfile = os.path.join(srd, name + ".unified.tsv.gz")
+        if not os.path.exists(cfile):
+            sys.exit(f"error: {cfile} not found -- run "
+                     f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
+        gdat = CountGridDataset([cfile])
+        x, _ = gdat[0]
+        if meta.get("log1p"):
+            x = np.log1p(x)
+        logits = g.apply(variables, x[None], train=False)
+        labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
+        fg = x.sum(-1) > 0
+        label_grid = np.where(fg, labels, 0)
+        out_csv = (args.out if len(args.spaceranger) == 1
+                   else os.path.join(args.out, f"{name}_loupe.csv"))
+        if len(args.spaceranger) > 1:
+            os.makedirs(args.out, exist_ok=True)
+        to_loupe_annots(label_grid, find_position_file(srd), out_csv,
+                        annot_names=classes)
+        print(f"registered {name} -> {out_csv}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="gridnext_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate", help="fabricate pseudo-Visium data")
+    s.add_argument("--out", required=True)
+    s.add_argument("--arrays", type=int, default=4)
+    s.add_argument("--genes", type=int, default=60)
+    s.add_argument("--classes", type=int, default=4)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--image", action="store_true")
+    s.set_defaults(fn=_cmd_simulate)
+
+    s = sub.add_parser("prepare", help="generate unified counts / patch caches")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--images", nargs="*", default=None)
+    s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--min-detection", type=float, default=None)
+    s.set_defaults(fn=_cmd_prepare)
+
+    s = sub.add_parser("train-count", help="train CountMLP f + GridNetHex g")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--epochs", type=int, default=10)
+    s.add_argument("--batch-size", type=int, default=128)
+    s.add_argument("--f-lr", type=float, default=1e-4)
+    s.add_argument("--g-lr", type=float, default=1e-3)
+    s.add_argument("--finetune-f", action="store_true")
+    s.add_argument("--min-detection", type=float, default=None)
+    s.set_defaults(fn=_cmd_train_count)
+
+    s = sub.add_parser("register", help="write Loupe CSVs from a trained model")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--model", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=_cmd_register)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,8 @@ def read_tsv_matrix(path) -> Optional[Tuple[list, list, np.ndarray]]:
     lib = get_lib()
     if lib is None:
         return None
+    if not os.path.exists(str(path)):
+        raise FileNotFoundError(str(path))
     h = lib.tsv_open(str(path).encode())
     if not h:
         raise OSError(f"fastio tsv_open failed for {path}")

@@ -128,3 +128,39 @@ def test_preprocess_cohorts_dataframe_inputs():
     out = preprocess_cohorts(dfs[:2], dfs, min_counts=10)
     assert 1 <= out["n_pcs"] <= 20
     assert len(out["scaled"]) == 3
+
+
+def test_cli_end_to_end(tmp_path):
+    import subprocess, sys, os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(*cli_args):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from gridnext_tpu.cli import main; import sys;"
+                "main(sys.argv[1:])")
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "2", "--classes", "3",
+            "--genes", "25")
+    assert r.returncode == 0, r.stderr
+    r = run("train-count", "--spaceranger", str(out / "a0"), str(out / "a1"),
+            "--annots", str(out / "a0" / "a0_annotations.csv"),
+            str(out / "a1" / "a1_annotations.csv"),
+            "--out", str(out / "model"), "--epochs", "2")
+    assert r.returncode == 0, r.stderr
+    r = run("register", "--spaceranger", str(out / "a0"),
+            "--model", str(out / "model"), "--out", str(out / "loupe.csv"))
+    assert r.returncode == 0, r.stderr
+    import pandas as pd
+    df = pd.read_csv(out / "loupe.csv")
+    assert list(df.columns) == ["Barcode", "AARs"] and len(df) > 1000
+
+    # missing unified file -> actionable error
+    r = run("register", "--spaceranger", str(out / "nope"),
+            "--model", str(out / "model"), "--out", str(out / "x.csv"))
+    assert r.returncode != 0 and "prepare" in (r.stderr + r.stdout)
