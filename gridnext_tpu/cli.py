@@ -102,6 +102,55 @@ def _cmd_train_count(args):
     print(f"saved model to {args.out}")
 
 
+def _cmd_train_image(args):
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import GridNetHex, densenet121
+    from gridnext_tpu.train import (create_train_state, load_f_params,
+                                    make_gridwise_optimizer, save_checkpoint,
+                                    train_gridwise, train_spotwise)
+
+    kw = dict(annot_files=args.annots, use_count=False, use_image=True,
+              fullres_image_files=args.images, patch_size_px=args.patch_px)
+    spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
+    grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
+    classes = list(grids.classes)
+    print(f"{len(spots)} spot patches, {len(grids)} arrays, classes: {classes}")
+
+    import jax.numpy as jnp
+
+    f = densenet121(num_classes=len(classes),
+                    dtype=jnp.bfloat16 if args.bf16 else None)
+    Xs, Ys = spots.materialize()
+    n_val = max(1, len(Xs) // 5)
+    f_state, *_ = train_spotwise(
+        f, {"train": (Xs[n_val:], Ys[n_val:]), "val": (Xs[:n_val], Ys[:n_val])},
+        learning_rate=args.f_lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, verbose=True)
+
+    Xg, Yg = grids.materialize()
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes),
+                   patch_chunk=args.patch_chunk)
+    tx = make_gridwise_optimizer(args.g_lr,
+                                 f_lr=args.f_lr if args.finetune_f else None)
+    n_valg = max(1, len(Xg) // 4) if len(Xg) > 1 else 0
+    state = create_train_state(g, jax.random.key(0), Xg[:1], tx)
+    state = load_f_params(state, f_state.variables())
+    dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
+           "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
+    state, *_ = train_gridwise(g, dls, state=state, tx=tx,
+                               num_epochs=args.epochs, verbose=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    with open(os.path.join(args.out, "model.json"), "w") as fh:
+        json.dump({"classes": classes, "patch_px": args.patch_px,
+                   "model": "GridNetHex+DenseNet121"}, fh)
+    print(f"saved model to {args.out}")
+
+
 def _cmd_register(args):
     import jax
     import numpy as np
@@ -179,6 +228,21 @@ def main(argv=None):
     s.add_argument("--finetune-f", action="store_true")
     s.add_argument("--min-detection", type=float, default=None)
     s.set_defaults(fn=_cmd_train_count)
+
+    s = sub.add_parser("train-image", help="train DenseNet-121 f + GridNetHex g")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True)
+    s.add_argument("--images", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--patch-chunk", type=int, default=624)
+    s.add_argument("--epochs", type=int, default=10)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--f-lr", type=float, default=1e-3)
+    s.add_argument("--g-lr", type=float, default=1e-3)
+    s.add_argument("--finetune-f", action="store_true")
+    s.add_argument("--bf16", action="store_true")
+    s.set_defaults(fn=_cmd_train_image)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")
     s.add_argument("--spaceranger", nargs="+", required=True)

@@ -259,7 +259,8 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     if verbose:
         dt = time.time() - since
         print(f"Training complete in {dt // 60:.0f}m {dt % 60:.0f}s", flush=True)
-        print(f"Best val loss: {best_loss:4f}", flush=True)
+        if saw_val:
+            print(f"Best val loss: {best_loss:4f}", flush=True)
 
     # restore best-validation weights (training.py:96-97,207-208 semantics);
     # without a val phase there is no "best" -- keep the final params
