@@ -158,7 +158,7 @@ def _cmd_register(args):
     from gridnext_tpu.data import CountGridDataset
     from gridnext_tpu.evaluate import to_loupe_annots
     from gridnext_tpu.io import find_position_file
-    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.models import CountMLP, GridNetHex, densenet121
     from gridnext_tpu.train import load_checkpoint
 
     with open(os.path.join(args.model, "model.json")) as fh:
@@ -169,6 +169,35 @@ def _cmd_register(args):
     variables = {"params": payload["params"]}
     if payload.get("batch_stats") is not None:
         variables["batch_stats"] = payload["batch_stats"]
+
+    if meta.get("model", "").endswith("DenseNet121"):
+        # image model: register straight from the fullres slides via the
+        # jitted serving path (patch gather + f + fused Pallas corrector)
+        if not args.images:
+            sys.exit("error: --images required to register an image model")
+        from PIL import Image
+
+        from gridnext_tpu.io import read_positions
+        from gridnext_tpu.serving import SlideRegistrar
+
+        f = densenet121(num_classes=len(classes))
+        g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+        registrar = SlideRegistrar.from_gridnet(
+            g, variables, patch_size=meta.get("patch_px", 128),
+            normalize=None)
+        Image.MAX_IMAGE_PIXELS = None
+        for srd, im in zip(args.spaceranger, args.images):
+            name = os.path.basename(srd.rstrip("/"))
+            wsi = jax.device_put(np.asarray(Image.open(im)))
+            label_grid = registrar(wsi, read_positions(srd))
+            out_csv = (args.out if len(args.spaceranger) == 1
+                       else os.path.join(args.out, f"{name}_loupe.csv"))
+            if len(args.spaceranger) > 1:
+                os.makedirs(args.out, exist_ok=True)
+            to_loupe_annots(label_grid, find_position_file(srd), out_csv,
+                            annot_names=classes)
+            print(f"registered {name} -> {out_csv}")
+        return
 
     f = CountMLP(n_classes=len(classes))
     g = GridNetHex(patch_classifier=f, n_classes=len(classes))
@@ -248,6 +277,8 @@ def main(argv=None):
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--model", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--images", nargs="*", default=None,
+                   help="fullres slide images (required for image models)")
     s.set_defaults(fn=_cmd_register)
 
     args = ap.parse_args(argv)

@@ -115,13 +115,15 @@ def _block_kernel(x_ref, a1_ref, b1_ref, w1_ref, a2_ref, b2_ref, w2_ref,
                                              "interpret"))
 def fused_dense_block(x: jnp.ndarray, A1, B1, W1, A2, B2, W2, *,
                       c_in0: int, growth: int = 32, batch_tile: int = 8,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = None) -> jnp.ndarray:
     """Run one dense block on (B, H, W, c_in0) -> (B, H, W, c_in0+L*growth).
 
     Use :func:`fold_dense_block_params` to produce the stacked arrays.
     ``batch_tile`` must divide B; pick it so the VMEM concat buffer
     (batch_tile * H * W * c_max) fits comfortably.
     """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
     b, h, w, _ = x.shape
     n_layers, c_max = A1.shape
     cb = A2.shape[1]

@@ -103,13 +103,17 @@ def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers):
 def fused_hex_corrector(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
                         biases: Sequence[jnp.ndarray],
                         relu_flags: Sequence[bool] = (False, True, False, True, False),
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = None) -> jnp.ndarray:
     """Apply the folded corrector to (B, H, W, C_in) f-output grids.
 
     Returns (B, H, W, n_classes) logits. Use
     ``fold_corrector_params(variables['params']['corrector'],
     variables['batch_stats']['corrector'])`` to produce the inputs.
     """
+    if interpret is None:
+        # Pallas compiles on TPU backends only; fall back to the interpreter
+        # elsewhere (CPU tests/dev) so callers are backend-agnostic
+        interpret = jax.devices()[0].platform == "cpu"
     b, h, w, c_in = x.shape
     n_layers = len(kernels)
     c_max = max(k.shape[1] for k in kernels)
