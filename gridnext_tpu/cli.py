@@ -5,7 +5,8 @@ this thin layer scripts the common flows end to end:
 
   simulate     fabricate pseudo-Visium Spaceranger dirs (fixtures/demos)
   prepare      generate unified count files (+ optional patch caches)
-  train-count  train f (spotwise) then GridNetHex g on count grids
+  train-count  train CountMLP f (spotwise) then GridNetHex g on count grids
+  train-image  train DenseNet-121 f then GridNetHex g on patch caches
   register     load a trained checkpoint and write Loupe CSVs per array
 
 Example:
@@ -46,6 +47,9 @@ def _cmd_prepare(args):
     if args.images:
         from gridnext_tpu.pipeline import save_visium_patches
 
+        if len(args.images) != len(args.spaceranger):
+            sys.exit("error: --images must list one fullres image per "
+                     "--spaceranger directory")
         for srd, im in zip(args.spaceranger, args.images):
             pdir = os.path.join(srd, os.path.basename(srd.rstrip("/"))
                                 + f"_patches{args.patch_px}px")
@@ -53,28 +57,27 @@ def _cmd_prepare(args):
             print(f"wrote {pdir}")
 
 
-def _cmd_train_count(args):
+def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
+              transform=None):
+    """Shared f-spotwise + g-gridwise training flow for the train-* commands."""
     import jax
     import numpy as np
 
-    from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.models import GridNetHex
     from gridnext_tpu.train import (create_train_state, load_f_params,
                                     make_gridwise_optimizer, save_checkpoint,
                                     train_gridwise, train_spotwise)
 
-    spots = create_visium_dataset(args.spaceranger, annot_files=args.annots,
-                                  use_count=True, use_image=False, spatial=False,
-                                  minimum_detection_rate=args.min_detection)
-    grids = create_visium_dataset(args.spaceranger, annot_files=args.annots,
-                                  use_count=True, use_image=False, spatial=True,
-                                  minimum_detection_rate=args.min_detection)
     classes = list(grids.classes)
     print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}")
 
     Xs, Ys = spots.materialize()
-    Xs = np.log1p(Xs)
-    f = CountMLP(n_classes=len(classes))
+    if transform is not None:
+        Xs = transform(Xs)
+    # shuffled stratification-friendly split (file order is spatially sorted)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(Xs))
+    Xs, Ys = Xs[order], Ys[order]
     n_val = max(1, len(Xs) // 5)
     f_state, *_ = train_spotwise(
         f, {"train": (Xs[n_val:], Ys[n_val:]), "val": (Xs[:n_val], Ys[:n_val])},
@@ -82,10 +85,14 @@ def _cmd_train_count(args):
         batch_size=args.batch_size, verbose=True)
 
     Xg, Yg = grids.materialize()
-    Xg = np.log1p(Xg)
-    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+    if transform is not None:
+        Xg = transform(Xg)
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes),
+                   patch_chunk=patch_chunk)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
+    gorder = rng.permutation(len(Xg))
+    Xg, Yg = Xg[gorder], Yg[gorder]
     n_valg = max(1, len(Xg) // 4) if len(Xg) > 1 else 0
     state = create_train_state(g, jax.random.key(0), Xg[:1], tx)
     state = load_f_params(state, f_state.variables())
@@ -97,58 +104,64 @@ def _cmd_train_count(args):
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
     with open(os.path.join(args.out, "model.json"), "w") as fh:
-        json.dump({"classes": classes, "n_genes": int(Xs.shape[1]),
-                   "log1p": True, "model": "GridNetHex+CountMLP"}, fh)
+        json.dump({"classes": classes, **meta_extra}, fh)
     print(f"saved model to {args.out}")
 
 
-def _cmd_train_image(args):
-    import jax
+def _warn_existing_caches(args, suffix_paths):
+    if args.min_detection is not None and all(os.path.exists(c)
+                                              for c in suffix_paths):
+        print(f"note: unified count caches already exist -- --min-detection "
+              f"has no effect on them (delete *.unified.tsv.gz to refilter)")
+
+
+def _cmd_train_count(args):
     import numpy as np
 
     from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.models import GridNetHex, densenet121
-    from gridnext_tpu.train import (create_train_state, load_f_params,
-                                    make_gridwise_optimizer, save_checkpoint,
-                                    train_gridwise, train_spotwise)
+    from gridnext_tpu.models import CountMLP
 
+    caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + ".unified.tsv.gz")
+              for s in args.spaceranger]
+    _warn_existing_caches(args, caches)
+    kw = dict(annot_files=args.annots, use_count=True, use_image=False,
+              minimum_detection_rate=args.min_detection)
+    spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
+    grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
+
+    import pandas as pd
+
+    genes = list(pd.read_csv(caches[0], sep="\t", index_col=0,
+                             usecols=[0]).index)
+
+    f = CountMLP(n_classes=len(grids.classes))
+    _train_fg(args, f, grids, spots,
+              {"n_genes": len(genes), "genes": genes, "log1p": True,
+               "model": "GridNetHex+CountMLP"},
+              transform=np.log1p)
+
+
+def _cmd_train_image(args):
+    import jax.numpy as jnp
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import densenet121
+
+    if len(args.images) != len(args.spaceranger):
+        sys.exit("error: --images must list one fullres image per "
+                 "--spaceranger directory")
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
               fullres_image_files=args.images, patch_size_px=args.patch_px)
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
     grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
-    classes = list(grids.classes)
-    print(f"{len(spots)} spot patches, {len(grids)} arrays, classes: {classes}")
 
-    import jax.numpy as jnp
-
-    f = densenet121(num_classes=len(classes),
+    f = densenet121(num_classes=len(grids.classes),
                     dtype=jnp.bfloat16 if args.bf16 else None)
-    Xs, Ys = spots.materialize()
-    n_val = max(1, len(Xs) // 5)
-    f_state, *_ = train_spotwise(
-        f, {"train": (Xs[n_val:], Ys[n_val:]), "val": (Xs[:n_val], Ys[:n_val])},
-        learning_rate=args.f_lr, num_epochs=args.epochs,
-        batch_size=args.batch_size, verbose=True)
-
-    Xg, Yg = grids.materialize()
-    g = GridNetHex(patch_classifier=f, n_classes=len(classes),
-                   patch_chunk=args.patch_chunk)
-    tx = make_gridwise_optimizer(args.g_lr,
-                                 f_lr=args.f_lr if args.finetune_f else None)
-    n_valg = max(1, len(Xg) // 4) if len(Xg) > 1 else 0
-    state = create_train_state(g, jax.random.key(0), Xg[:1], tx)
-    state = load_f_params(state, f_state.variables())
-    dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
-           "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
-    state, *_ = train_gridwise(g, dls, state=state, tx=tx,
-                               num_epochs=args.epochs, verbose=True)
-
-    os.makedirs(args.out, exist_ok=True)
-    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
-    with open(os.path.join(args.out, "model.json"), "w") as fh:
-        json.dump({"classes": classes, "patch_px": args.patch_px,
-                   "model": "GridNetHex+DenseNet121"}, fh)
-    print(f"saved model to {args.out}")
+    # NOTE: grids materialize in host RAM (~1 GB/array at 128px); stream
+    # per-array for very large cohorts (docs/roadmap.md)
+    _train_fg(args, f, grids, spots,
+              {"patch_px": args.patch_px, "model": "GridNetHex+DenseNet121"},
+              patch_chunk=args.patch_chunk)
 
 
 def _cmd_register(args):
@@ -173,8 +186,9 @@ def _cmd_register(args):
     if meta.get("model", "").endswith("DenseNet121"):
         # image model: register straight from the fullres slides via the
         # jitted serving path (patch gather + f + fused Pallas corrector)
-        if not args.images:
-            sys.exit("error: --images required to register an image model")
+        if not args.images or len(args.images) != len(args.spaceranger):
+            sys.exit("error: --images must list one fullres image per "
+                     "--spaceranger directory for image models")
         from PIL import Image
 
         from gridnext_tpu.io import read_positions
@@ -208,6 +222,16 @@ def _cmd_register(args):
         if not os.path.exists(cfile):
             sys.exit(f"error: {cfile} not found -- run "
                      f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
+        if meta.get("genes") is not None:
+            import pandas as pd
+
+            genes = list(pd.read_csv(cfile, sep="\t", index_col=0,
+                                     usecols=[0]).index)
+            if genes != meta["genes"]:
+                sys.exit(
+                    f"error: {cfile} has a different gene set/order than the "
+                    "model was trained on -- regenerate the unified counts "
+                    "with the training cohort's settings")
         gdat = CountGridDataset([cfile])
         x, _ = gdat[0]
         if meta.get("log1p"):
@@ -243,7 +267,7 @@ def main(argv=None):
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--images", nargs="*", default=None)
     s.add_argument("--patch-px", type=int, default=128)
-    s.add_argument("--min-detection", type=float, default=None)
+    s.add_argument("--min-detection", type=float, default=0.02)
     s.set_defaults(fn=_cmd_prepare)
 
     s = sub.add_parser("train-count", help="train CountMLP f + GridNetHex g")
@@ -255,7 +279,7 @@ def main(argv=None):
     s.add_argument("--f-lr", type=float, default=1e-4)
     s.add_argument("--g-lr", type=float, default=1e-3)
     s.add_argument("--finetune-f", action="store_true")
-    s.add_argument("--min-detection", type=float, default=None)
+    s.add_argument("--min-detection", type=float, default=0.02)
     s.set_defaults(fn=_cmd_train_count)
 
     s = sub.add_parser("train-image", help="train DenseNet-121 f + GridNetHex g")
