@@ -125,3 +125,67 @@ def count_mlp_from_torch(sd: Mapping):
     }
     stats = {"BatchNorm_0": s2, "BatchNorm_1": s6}
     return {"params": params, "batch_stats": stats}
+
+
+def hex_kernel_from_hexagdly(kernel0, kernel1):
+    """hexagdly sub-kernels -> (7, C_in, C_out) tap weights (HEX_TAPS_R1 order).
+
+    ``kernel0`` (C_out, C_in, 3, 1) is hexagdly's central-column sub-kernel,
+    ``kernel1`` (C_out, C_in, 2, 2) the adjacent-columns one (semantics pinned
+    in compat.hexagdly_ref). The reference enters hexagdly's odd-down
+    addressing through a rot90+flip pair (gridnet_models.py:178-186) that
+    composes to a spatial transpose, under which odd-q compass directions map
+    onto odd-r taps as below; tests/test_hexagdly_equiv.py certifies the map
+    numerically through the literal torch rot90/flip ops.
+    """
+    k0, k1 = _np(kernel0), _np(kernel1)
+    taps = [  # HEX_TAPS_R1 order
+        k0[:, :, 1, 0],  # C   <- center
+        k0[:, :, 0, 0],  # W   <- N
+        k0[:, :, 2, 0],  # E   <- S
+        k1[:, :, 0, 0],  # NW  <- upper-west
+        k1[:, :, 1, 0],  # NE  <- lower-west
+        k1[:, :, 0, 1],  # SW  <- upper-east
+        k1[:, :, 1, 1],  # SE  <- lower-east
+    ]
+    return np.stack([t.transpose(1, 0) for t in taps], axis=0)
+
+
+def gridnethex_from_torch(sd: Mapping, f_variables: Mapping, use_bn: bool = True):
+    """Convert a trained reference GridNetHex(Oddr) state_dict to our GridNetHex.
+
+    The reference corrector is an ``nn.Sequential`` of hexagdly convs + BN
+    (gridnet_models.py:128-148): module indices 0,1 hex, 2 BN, 4,5 hex, 6 BN,
+    8 hex (without BN: 0,1,3,4,6 hex). Our odd-right-native _HexCorrector has
+    the same topology as HexConv_0..4 / BatchNorm_0..1; the rot90/flip
+    round-trip is absorbed into the kernel tap mapping.
+
+    ``f_variables``: the patch classifier's flax variables, converted
+    separately (densenet_from_torch / count_mlp_from_torch / scbert
+    converters) -- f architectures vary per experiment.
+    """
+    hex_idx = (0, 1, 4, 5, 8) if use_bn else (0, 1, 3, 4, 6)
+    corr_p: dict = {}
+    corr_s: dict = {}
+    for i, mi in enumerate(hex_idx):
+        pre = f"corrector.{mi}"
+        entry = {"kernel": hex_kernel_from_hexagdly(
+            sd[pre + ".kernel0"], sd[pre + ".kernel1"])}
+        if pre + ".bias" in sd:
+            entry["bias"] = _np(sd[pre + ".bias"])
+        corr_p[f"HexConv_{i}"] = entry
+    if use_bn:
+        for j, mi in enumerate((2, 6)):
+            p, s = _bn(sd, f"corrector.{mi}")
+            corr_p[f"BatchNorm_{j}"] = p
+            corr_s[f"BatchNorm_{j}"] = s
+    variables = {"params": {"patch_classifier": dict(f_variables["params"]),
+                            "corrector": corr_p}}
+    bs: dict = {}
+    if "batch_stats" in f_variables:
+        bs["patch_classifier"] = dict(f_variables["batch_stats"])
+    if corr_s:
+        bs["corrector"] = corr_s
+    if bs:
+        variables["batch_stats"] = bs
+    return variables
