@@ -34,7 +34,8 @@ def lattice_positions(h_st: int = geometry.VISIUM_H_ST,
 def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
                              seed: int = 0, tissue_fraction: float = 0.6,
                              image: bool = False, spot_spacing_px: int = 12,
-                             spaceranger_version: int = 2):
+                             spaceranger_version: int = 2,
+                             gene_names=None):
     """Create ``dest_dir`` as a fake Spaceranger output directory.
 
     The simulated tissue is an ellipse; annotation classes are concentric
@@ -117,7 +118,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     counts = rng.poisson(rates[labels[keep] - 1])  # (n_spots, n_genes)
 
     gene_ids = [f"ENSG{i:05d}" for i in range(n_genes)]
-    gene_names = [f"Gene{i}" for i in range(n_genes)]
+    if gene_names is None:
+        gene_names = [f"Gene{i}" for i in range(n_genes)]
+    elif len(gene_names) != n_genes:
+        raise ValueError(
+            f"gene_names has {len(gene_names)} entries, expected {n_genes}")
     with gzip.open(matdir / "features.tsv.gz", "wt") as fh:
         for gid, gname in zip(gene_ids, gene_names):
             fh.write(f"{gid}\t{gname}\tGene Expression\n")

@@ -165,8 +165,25 @@ def preprocess_scbert(X, var_names: Sequence[str], *, target_genes: Sequence[str
     return out, keep
 
 
-def load_gene2vec_names(path) -> list:
-    """Ordered gene2vec gene list (the reference ships llm/gene2vec_names.csv)."""
+def load_gene2vec_names(path: Optional[str] = None) -> list:
+    """Ordered gene2vec gene list defining scBERT's input order.
+
+    With no argument, loads the vendored 16,906-symbol vocabulary
+    (``gridnext_tpu/assets/gene2vec_names.csv``, the data asset the reference
+    ships as llm/gene2vec_names.csv and consumes at llm/scbert.py:38-42).
+    Pass ``path`` to use a custom list.
+    """
+    if path is None:
+        from importlib import resources
+
+        path = resources.files("gridnext_tpu.assets") / "gene2vec_names.csv"
+        with path.open() as fh:
+            names = [line.strip() for line in fh if line.strip()]
+        if len(names) != SCBERT_N_GENES:
+            raise RuntimeError(
+                f"vendored gene2vec vocabulary has {len(names)} entries, "
+                f"expected {SCBERT_N_GENES}")
+        return names
     import pandas as pd
 
     return list(pd.read_csv(path, header=None, index_col=0).index)

@@ -164,3 +164,25 @@ def test_cli_end_to_end(tmp_path):
     r = run("register", "--spaceranger", str(out / "nope"),
             "--model", str(out / "model"), "--out", str(out / "x.csv"))
     assert r.returncode != 0 and "prepare" in (r.stderr + r.stdout)
+
+
+def test_load_gene2vec_names_vendored():
+    """The vendored vocabulary asset loads with no arguments (VERDICT #3)."""
+    from gridnext_tpu.models.scbert import SCBERT_N_GENES, load_gene2vec_names
+
+    names = load_gene2vec_names()
+    assert len(names) == SCBERT_N_GENES
+    assert names[0] == "A1BG" and len(set(names)) == len(names)
+
+
+def test_simulate_custom_gene_names(tmp_path):
+    import gzip
+
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    custom = [f"SYM{i}" for i in range(10)]
+    sim = simulate_spaceranger_dir(tmp_path / "a", n_genes=10, gene_names=custom)
+    feats = gzip.open(
+        f"{sim['spaceranger_dir']}/outs/filtered_feature_bc_matrix/features.tsv.gz",
+        "rt").read().splitlines()
+    assert [l.split("\t")[1] for l in feats] == custom
