@@ -58,46 +58,67 @@ def _cmd_prepare(args):
 
 
 def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
-              transform=None):
-    """Shared f-spotwise + g-gridwise training flow for the train-* commands."""
+              transform=None, stream: bool = False):
+    """Shared f-spotwise + g-gridwise training flow for the train-* commands.
+
+    ``stream=True`` feeds the loops lazy Subset views (one batch resident at
+    a time) instead of materialized cohorts -- the image path's patch grids
+    are ~1 GB/array at 128px, so cohort size stays disk-bound, not RAM-bound.
+    """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
+    from gridnext_tpu.data import Subset
     from gridnext_tpu.models import GridNetHex
     from gridnext_tpu.train import (create_train_state, load_f_params,
                                     make_gridwise_optimizer, save_checkpoint,
                                     train_gridwise, train_spotwise)
 
     classes = list(grids.classes)
-    print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}")
+    print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}"
+          + (" [streaming]" if stream else ""))
 
-    Xs, Ys = spots.materialize()
-    if transform is not None:
-        Xs = transform(Xs)
     # shuffled stratification-friendly split (file order is spatially sorted)
     rng = np.random.default_rng(0)
-    order = rng.permutation(len(Xs))
-    Xs, Ys = Xs[order], Ys[order]
-    n_val = max(1, len(Xs) // 5)
+    order = rng.permutation(len(spots))
+    n_val = max(1, len(spots) // 5)
+    if stream:
+        dls_f = {"train": Subset(spots, order[n_val:], transform),
+                 "val": Subset(spots, order[:n_val], transform)}
+    else:
+        Xs, Ys = spots.materialize()
+        if transform is not None:
+            Xs = transform(Xs)
+        Xs, Ys = Xs[order], Ys[order]
+        dls_f = {"train": (Xs[n_val:], Ys[n_val:]),
+                 "val": (Xs[:n_val], Ys[:n_val])}
     f_state, *_ = train_spotwise(
-        f, {"train": (Xs[n_val:], Ys[n_val:]), "val": (Xs[:n_val], Ys[:n_val])},
-        learning_rate=args.f_lr, num_epochs=args.epochs,
+        f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
         batch_size=args.batch_size, verbose=True)
 
-    Xg, Yg = grids.materialize()
-    if transform is not None:
-        Xg = transform(Xg)
     g = GridNetHex(patch_classifier=f, n_classes=len(classes),
                    patch_chunk=patch_chunk)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
-    gorder = rng.permutation(len(Xg))
-    Xg, Yg = Xg[gorder], Yg[gorder]
-    n_valg = max(1, len(Xg) // 4) if len(Xg) > 1 else 0
-    state = create_train_state(g, jax.random.key(0), Xg[:1], tx)
+    gorder = rng.permutation(len(grids))
+    n_valg = max(1, len(grids) // 4) if len(grids) > 1 else 0
+    if stream:
+        dls = {"train": Subset(grids, gorder[n_valg:], transform),
+               "val": Subset(grids, gorder[:n_valg], transform) if n_valg
+               else None}
+        x0 = dls["train"][0][0]
+        sample = jnp.asarray(x0)[None]
+    else:
+        Xg, Yg = grids.materialize()
+        if transform is not None:
+            Xg = transform(Xg)
+        Xg, Yg = Xg[gorder], Yg[gorder]
+        dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
+               "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
+        sample = jnp.asarray(Xg[:1])
+    state = create_train_state(g, jax.random.key(0), sample, tx)
     state = load_f_params(state, f_state.variables())
-    dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
-           "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True)
 
@@ -157,11 +178,9 @@ def _cmd_train_image(args):
 
     f = densenet121(num_classes=len(grids.classes),
                     dtype=jnp.bfloat16 if args.bf16 else None)
-    # NOTE: grids materialize in host RAM (~1 GB/array at 128px); stream
-    # per-array for very large cohorts (docs/roadmap.md)
     _train_fg(args, f, grids, spots,
               {"patch_px": args.patch_px, "model": "GridNetHex+DenseNet121"},
-              patch_chunk=args.patch_chunk)
+              patch_chunk=args.patch_chunk, stream=not args.no_stream)
 
 
 def _cmd_register(args):
@@ -295,6 +314,9 @@ def main(argv=None):
     s.add_argument("--g-lr", type=float, default=1e-3)
     s.add_argument("--finetune-f", action="store_true")
     s.add_argument("--bf16", action="store_true")
+    s.add_argument("--no-stream", action="store_true",
+                   help="materialize the cohort in RAM instead of streaming "
+                        "batches off disk")
     s.set_defaults(fn=_cmd_train_image)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

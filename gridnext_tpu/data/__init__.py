@@ -4,6 +4,7 @@ from gridnext_tpu.data.datasets import (  # noqa: F401
     MMStackDataset,
     PatchGridDataset,
     PatchSpotDataset,
+    Subset,
     create_visium_dataset,
     load_count_dataset,
     load_count_grid_dataset,

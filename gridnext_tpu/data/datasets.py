@@ -70,8 +70,21 @@ class _GridDatasetBase:
         return np.stack(xs), np.stack(ys)
 
 
-@functools.lru_cache(maxsize=2)
 def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
+    """LRU-cached unified-count read, keyed on (path, mtime, size).
+
+    The mtime/size key makes in-process regeneration of a unified file
+    (e.g. prepare with a different detection-rate filter) invalidate the
+    cached frame instead of serving stale data.
+    """
+    st = os.stat(count_file)
+    return _read_count_frame_cached(count_file, cfile_delim,
+                                    st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=2)
+def _read_count_frame_cached(count_file: str, cfile_delim: str,
+                             _mtime_ns: int, _size: int):
     import pandas as pd
 
     if cfile_delim == "\t":
@@ -488,3 +501,26 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
     return CountSpotDataset(count_files, annot_files=annot_files,
                             position_files=position_files, Visium=True,
                             select_genes=select_genes)
+
+
+class Subset:
+    """Index-subset view of a map-style dataset, with an optional transform.
+
+    Lets the training loops stream train/val splits straight off a lazy
+    dataset (one batch resident at a time) instead of materializing whole
+    cohorts -- the image grids are ~1 GB/array at 128px.
+    """
+
+    def __init__(self, dataset, indices, transform: Optional[Callable] = None):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        x, y = self.dataset[int(self.indices[i])]
+        if self.transform is not None:
+            x = self.transform(x)
+        return x, y

@@ -42,15 +42,28 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
             return model.apply(variables, x, train=False, method=method)
         return model.apply(variables, x, train=False)
 
+    def pad_batch(a, b):
+        """Pad a short remainder batch up to batch_size (repeat last array).
+
+        Keeps every ``forward`` call the same leading shape so the last
+        slice of a non-divisible dataset doesn't trigger a recompile; the
+        padded rows are discarded by the label mask below.
+        """
+        if b == batch_size:
+            return jnp.asarray(a)
+        pad = np.repeat(a[-1:], batch_size - b, axis=0)
+        return jnp.asarray(np.concatenate([a, pad], axis=0))
+
     true_vals, pred_vals, pred_smax = [], [], []
     for i in range(0, n, batch_size):
+        b = min(batch_size, n - i)
         if multi:
-            x = tuple(jnp.asarray(np.asarray(a)[i:i + batch_size]) for a in inputs)
+            x = tuple(pad_batch(np.asarray(a)[i:i + b], b) for a in inputs)
         else:
-            x = jnp.asarray(np.asarray(inputs)[i:i + batch_size])
-        y = np.asarray(labels)[i:i + batch_size]
+            x = pad_batch(np.asarray(inputs)[i:i + b], b)
+        y = np.asarray(labels)[i:i + b]
 
-        logits = np.asarray(forward(x))                 # (b, H, W, C)
+        logits = np.asarray(forward(x))[:b]             # (b, H, W, C)
         logits = logits.reshape(-1, logits.shape[-1])
         y = y.reshape(-1)
         fg = y > 0

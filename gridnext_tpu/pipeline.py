@@ -13,7 +13,10 @@ Resize parity notes:
 * when ``window_size != patch_size`` the reference resizes with PIL's
   default filter (bicubic + antialias). The host path defers to PIL per
   patch for exact parity; the device path uses ``jax.image.resize`` (cubic,
-  no antialias) -- a documented approximation.
+  antialias=True -- the same separable filter family) rounded back to
+  integer pixel values. Residual vs PIL is PIL's internal fixed-point
+  per-pass quantization: <= ~1 gray level on natural images
+  (tests/test_pipeline.py::test_device_resize_pil_parity).
 
 Also here: µm->px resolution inference (imgprocess.py:89-109), the JPEG
 patch cache writer (imgprocess.py:242-291), and SpaCell color-cast removal
@@ -155,10 +158,14 @@ def extract_patches_device(img, y_px, x_px, window: int, patch_size: int):
     crops = jax.vmap(one)(y0, x0)                     # (N, w, w, C)
     if window == patch_size:
         return crops
-    return jax.image.resize(
+    out = jax.image.resize(
         crops.astype(jnp.float32),
         (crops.shape[0], patch_size, patch_size, crops.shape[-1]),
-        method="cubic")
+        method="cubic")  # antialias=True default: PIL's filter family
+    if jnp.issubdtype(crops.dtype, jnp.integer):
+        # match the host path's uint8 quantization (PIL returns uint8)
+        out = jnp.clip(jnp.rint(out), 0, 255).astype(crops.dtype)
+    return out
 
 
 def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256,

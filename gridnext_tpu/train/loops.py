@@ -170,10 +170,45 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
     return train_step, eval_step
 
 
-def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
-    """Yield (x, y) numpy minibatches from an (inputs, labels) array pair.
+def _is_dataset(data) -> bool:
+    """Map-style dataset (yields (x, y) per index) vs (inputs, labels) pair."""
+    return hasattr(data, "__getitem__") and not isinstance(
+        data, (tuple, list)) and not hasattr(data, "ndim")
 
-    ``inputs`` may be a single array or a tuple of arrays (multimodal)."""
+
+def _sample_input(data):
+    """A leading-1 sample batch for model init, from either loader form."""
+    if _is_dataset(data):
+        x0 = data[0][0]
+        if isinstance(x0, (tuple, list)):
+            return tuple(jnp.asarray(a)[None] for a in x0)
+        return jnp.asarray(x0)[None]
+    inputs = data[0]
+    if isinstance(inputs, (tuple, list)):
+        return tuple(jnp.asarray(a[:1]) for a in inputs)
+    return jnp.asarray(inputs[:1])
+
+
+def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
+    """Yield (x, y) numpy minibatches.
+
+    ``data`` is either an (inputs, labels) array pair -- ``inputs`` a single
+    array or a tuple of arrays (multimodal) -- or a map-style dataset whose
+    ``__getitem__`` returns (x, y) per item. The dataset form streams: only
+    one batch is resident at a time (train-image patch grids are ~1 GB each
+    materialized; cf. docs/roadmap.md)."""
+    if _is_dataset(data):
+        n = len(data)
+        order = rng.permutation(n) if rng is not None else np.arange(n)
+        for i in range(0, n, batch_size):
+            items = [data[int(j)] for j in order[i:i + batch_size]]
+            xs = [it[0] for it in items]
+            ys = np.stack([np.asarray(it[1]) for it in items])
+            if isinstance(xs[0], (tuple, list)):
+                yield tuple(np.stack(z) for z in zip(*xs)), ys
+            else:
+                yield np.stack(xs), ys
+        return
     inputs, labels = data
     multi = isinstance(inputs, (tuple, list))
     n = len(labels)
@@ -291,7 +326,7 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
         tx = optax.adam(learning_rate)
     if state is None:
         rng = rng if rng is not None else jax.random.key(0)
-        sample = jnp.asarray(dataloaders["train"][0][:1])
+        sample = _sample_input(dataloaders["train"])
         state = create_train_state(model, rng, sample, tx, train_init=False)
     kind = {"ce": "spot", "mse": "spot_mse"}[loss]
     return _run_training(model, state, tx, dataloaders, kind, num_epochs,
@@ -319,11 +354,7 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
         tx = make_gridwise_optimizer(learning_rate, f_lr, accum_iters)
     if state is None:
         rng = rng if rng is not None else jax.random.key(0)
-        inputs = dataloaders["train"][0]
-        if isinstance(inputs, (tuple, list)):
-            sample = tuple(jnp.asarray(a[:1]) for a in inputs)
-        else:
-            sample = jnp.asarray(inputs[:1])
+        sample = _sample_input(dataloaders["train"])
         state = create_train_state(model, rng, sample, tx, train_init=False)
     return _run_training(model, state, tx, dataloaders, "grid", num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,

@@ -145,3 +145,31 @@ def test_make_imagenet_transform():
     assert t(rng.uniform(size=(280, 300, 3)).astype(np.float32)).shape == (48, 48, 3)
     # plugs into the dataset hook
     from gridnext_tpu.data.datasets import _load_patch  # noqa: F401
+
+
+def test_device_resize_pil_parity():
+    """window != patch device path: PIL-filter-family resize, <=2 gray levels.
+
+    PIL rounds each separable pass to uint8 internally (fixed point), so
+    bit-exactness is not achievable in float; on natural (smooth) images the
+    residual is ~1 gray level. Reference resize call: imgprocess.py:221.
+    """
+    import jax.numpy as jnp
+    from PIL import Image, ImageFilter
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, size=(400, 400, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(noise).filter(ImageFilter.GaussianBlur(3)))
+    window, patch = 96, 64
+    img_p = np.pad(img, [(window // 2,) * 2, (window // 2,) * 2, (0, 0)],
+                   mode="edge")
+    y = rng.integers(window, img.shape[0] - window, 20) + window // 2
+    x = rng.integers(window, img.shape[1] - window, 20) + window // 2
+
+    host = pipeline.extract_patches(img_p, y, x, window, patch)  # PIL path
+    dev = np.asarray(pipeline.extract_patches_device(
+        jnp.asarray(img_p), y, x, window, patch))
+    assert dev.dtype == host.dtype == np.uint8
+    diff = np.abs(host.astype(np.int32) - dev.astype(np.int32))
+    assert diff.max() <= 2, diff.max()
+    assert diff.mean() < 0.5, diff.mean()

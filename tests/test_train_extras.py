@@ -176,3 +176,84 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_dataset_matches_materialized(tmp_path):
+    """Subset-streamed training == materialized-array training, bit for bit.
+
+    _iter_batches draws the same permutation for both loader forms, so the
+    streamed path (train-image's RAM-bound fix) must be numerically
+    identical to the materialized one.
+    """
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.data import Subset, create_visium_dataset, simulate_spaceranger_dir
+    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.train import train_gridwise
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=20,
+                                     n_classes=3) for i in range(3)]
+    gdat = create_visium_dataset([s["spaceranger_dir"] for s in sims],
+                                 use_count=True, use_image=False, spatial=True,
+                                 annot_files=[s["annot_file"] for s in sims],
+                                 minimum_detection_rate=None)
+    log1p = np.log1p
+    Xg, Yg = gdat.materialize()
+    Xg = log1p(Xg)
+
+    g = GridNetHex(patch_classifier=CountMLP(n_classes=3), n_classes=3)
+    kw = dict(num_epochs=2, verbose=False, rng=jax.random.key(0))
+    state_mat, val_m, _ = train_gridwise(
+        g, {"train": (Xg[:2], Yg[:2]), "val": (Xg[2:], Yg[2:])}, **kw)
+    state_str, val_s, _ = train_gridwise(
+        g, {"train": Subset(gdat, [0, 1], log1p),
+            "val": Subset(gdat, [2], log1p)}, **kw)
+    np.testing.assert_allclose(val_m, val_s, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                 jax.device_get(state_mat.params),
+                 jax.device_get(state_str.params))
+
+
+def test_all_fgd_predictions_remainder_batch():
+    """batch_size that doesn't divide N: padded, not recompiled; same output."""
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.evaluate import all_fgd_predictions
+    from gridnext_tpu.models import CountMLP, GridNetHex
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(3, 8, 6, 10)).astype(np.float32)
+    Y = rng.integers(0, 4, size=(3, 8, 6))
+    g = GridNetHex(patch_classifier=CountMLP(n_classes=3), n_classes=3)
+    variables = g.init(jax.random.key(0), X[:1])
+
+    ref = all_fgd_predictions((X, Y), g, variables, batch_size=1)
+    out = all_fgd_predictions((X, Y), g, variables, batch_size=2)  # 2 + 1 pad
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_count_frame_cache_invalidates_on_rewrite(tmp_path):
+    import gzip
+    import os
+    import time
+
+    from gridnext_tpu.data.datasets import _read_count_frame
+
+    path = str(tmp_path / "c.unified.tsv.gz")
+
+    def write(vals):
+        with gzip.open(path, "wt") as fh:
+            fh.write("Gene\t0_0\t1_1\n")
+            for i, v in enumerate(vals):
+                fh.write(f"G{i}\t{v}\t{v + 1}\n")
+
+    write([1, 2])
+    f1 = _read_count_frame(path)
+    assert f1.iloc[0, 0] == 1
+    time.sleep(0.01)
+    write([5, 6])
+    f2 = _read_count_frame(path)
+    assert f2.iloc[0, 0] == 5, "stale cached frame served after rewrite"
