@@ -17,88 +17,103 @@ import numpy as np
 from gridnext_tpu import geometry
 
 
+# The two one-vs-rest curve families of the performance report. Each entry:
+# (name, x-label, y-label, curve_fn(y_binary, scores) -> (xs, ys)).
+def _roc_xy(y, s):
+    from sklearn.metrics import roc_curve
+
+    fpr, tpr, _ = roc_curve(y, s)
+    return fpr, tpr
+
+
+def _pr_xy(y, s):
+    from sklearn.metrics import precision_recall_curve
+
+    precision, recall, _ = precision_recall_curve(y, s)
+    return recall, precision
+
+
+_CURVE_FAMILIES = (("FPR", "TPR", _roc_xy), ("Recall", "Precision", _pr_xy))
+
+
 def performance_curves(true, smax, class_names: Optional[Sequence[str]] = None,
-                       condition_names: Optional[Sequence[str]] = None):
+                       condition_names: Optional[Sequence[str]] = None,
+                       panel_columns: int = 4):
     """One-vs-rest ROC + PR curve grid; returns (fig, ax, mAUROC, mAUPRC).
 
     ``smax`` may be a single (n, C) array or a list of them (multiple
-    conditions overlaid); macro averages come back per condition.
+    conditions overlaid); macro averages come back per condition. Figure
+    layout matches the reference report (plotting.py:14-98): ROC panels on
+    the top half, PR panels below, one column per class.
     """
     from matplotlib import pyplot as plt
-    from sklearn.metrics import auc, precision_recall_curve, roc_curve
-    from sklearn.preprocessing import label_binarize
+    from sklearn.metrics import auc
 
     if isinstance(smax, list):
-        n_classes = smax[0].shape[1]
-        assert condition_names is not None, "Must provide names for each condition plotted"
+        if condition_names is None:
+            raise ValueError("Must provide names for each condition plotted")
+        conditions = list(zip(condition_names, smax))
     else:
-        n_classes = smax.shape[1]
-        smax = [smax]
-        condition_names = [""]
-    true_onehot = label_binarize(true, classes=list(range(n_classes)))
-    if n_classes == 2:  # label_binarize degenerates to one column
-        true_onehot = np.hstack([1 - true_onehot, true_onehot])
+        conditions = [("", smax)]
+    n_classes = conditions[0][1].shape[1]
+    onehot = np.equal.outer(np.asarray(true), np.arange(n_classes)).astype(int)
 
-    n_col = 4
-    n_row = int(np.ceil(n_classes / n_col)) * 2
-    fig, ax = plt.subplots(n_row, n_col, figsize=(4 * n_col, 4 * n_row),
+    # compute every curve + AUC up front: aucs[family, class, condition]
+    curves = {}
+    aucs = np.zeros((len(_CURVE_FAMILIES), n_classes, len(conditions)))
+    for fi, (_, _, curve_fn) in enumerate(_CURVE_FAMILIES):
+        for c in range(n_classes):
+            for ci, (_, scores) in enumerate(conditions):
+                xs, ys = curve_fn(onehot[:, c], scores[:, c])
+                aucs[fi, c, ci] = auc(xs, ys)
+                curves[fi, c, ci] = (xs, ys)
+
+    # render: family-major row blocks of panel_columns panels
+    rows_per_family = -(-n_classes // panel_columns)
+    n_row = rows_per_family * len(_CURVE_FAMILIES)
+    fig, ax = plt.subplots(n_row, panel_columns,
+                           figsize=(4 * panel_columns, 4 * n_row),
                            constrained_layout=True, squeeze=False)
     for a in ax.ravel():
         a.axis("off")
+    for (fi, c, ci), (xs, ys) in curves.items():
+        a = ax[fi * rows_per_family + c // panel_columns, c % panel_columns]
+        a.plot(xs, ys,
+               label=f"{conditions[ci][0]} (AUC={aucs[fi, c, ci]:.3f})")
+    for fi, (xlabel, ylabel, _) in enumerate(_CURVE_FAMILIES):
+        for c in range(n_classes):
+            a = ax[fi * rows_per_family + c // panel_columns, c % panel_columns]
+            a.axis("on")
+            a.set(xlabel=None, ylabel=None, xlim=(0, 1), ylim=(0, 1))
+            a.set_xlabel(xlabel, fontsize=12)
+            a.set_ylabel(ylabel, fontsize=12)
+            a.legend(fontsize=12)
+            if class_names is not None:
+                a.set_title(class_names[c], fontsize=14)
 
-    macro_auroc = np.zeros((n_classes, len(smax)))
-    macro_auprc = np.zeros((n_classes, len(smax)))
-
-    for c in range(n_classes):
-        top, btm = c // n_col, c // n_col + n_row // 2
-        col = c % n_col
-        ax[top, col].axis("on")
-        ax[btm, col].axis("on")
-
-        for i, s in enumerate(smax):
-            fpr, tpr, _ = roc_curve(true_onehot[:, c], s[:, c])
-            auroc = auc(fpr, tpr)
-            precision, recall, _ = precision_recall_curve(true_onehot[:, c], s[:, c])
-            auprc = auc(recall, precision)
-            macro_auroc[c, i] = auroc
-            macro_auprc[c, i] = auprc
-            ax[top, col].plot(fpr, tpr, label=f"{condition_names[i]} (AUC={auroc:.3f})")
-            ax[btm, col].plot(recall, precision,
-                              label=f"{condition_names[i]} (AUC={auprc:.3f})")
-
-        ax[top, col].set_xlabel("FPR", fontsize=12)
-        ax[top, col].set_ylabel("TPR", fontsize=12)
-        ax[btm, col].set_xlabel("Recall", fontsize=12)
-        ax[btm, col].set_ylabel("Precision", fontsize=12)
-        ax[top, col].legend(fontsize=12)
-        ax[btm, col].legend(fontsize=12)
-        if class_names is not None:
-            ax[top, col].set_title(class_names[c], fontsize=14)
-            ax[btm, col].set_title(class_names[c], fontsize=14)
-        for a in (ax[top, col], ax[btm, col]):
-            a.set_xlim(0, 1)
-            a.set_ylim(0, 1)
-
-    return fig, ax, macro_auroc.mean(axis=0), macro_auprc.mean(axis=0)
+    macro = aucs.mean(axis=1)  # -> (family, condition)
+    return fig, ax, macro[0], macro[1]
 
 
 def plot_confusion(y_true, y_pred, class_names=None, figsize=None):
-    """Row-normalized confusion heatmap annotated with counts."""
+    """Row-normalized confusion heatmap annotated with spot counts."""
     import seaborn as sns
     from matplotlib import pyplot as plt
     from sklearn.metrics import confusion_matrix
 
-    cmat = confusion_matrix(y_true, y_pred)
-    cmat_norm = confusion_matrix(y_true, y_pred, normalize="true")
+    counts = confusion_matrix(y_true, y_pred)
+    # normalize per true-class row (one confusion_matrix call, not two)
+    row_sums = counts.sum(axis=1, keepdims=True)
+    fractions = counts / np.maximum(row_sums, 1)
     if class_names is None:
-        class_names = np.unique(y_true)
+        class_names = np.unique(np.concatenate([np.asarray(y_true).ravel(),
+                                                np.asarray(y_pred).ravel()]))
 
     fig, ax = plt.subplots(1, figsize=figsize)
-    sns.heatmap(cmat_norm, annot=cmat, fmt="d", ax=ax,
+    sns.heatmap(fractions, annot=counts, fmt="d", ax=ax,
                 xticklabels=class_names, yticklabels=class_names,
                 cbar=True, cbar_kws={"label": "fraction of spots"})
-    ax.set_ylabel("True label")
-    ax.set_xlabel("Predicted label")
+    ax.set(ylabel="True label", xlabel="Predicted label")
     return fig, ax
 
 
@@ -116,39 +131,54 @@ def misclass_density(out_softmax: np.ndarray, true: np.ndarray) -> np.ndarray:
     return np.where(fg, 1.0 - p_correct, 0.0)
 
 
-def plot_class_boundaries(base_image: np.ndarray, true: np.ndarray):
-    """Render a per-spot map with white lines at class boundaries.
+def class_boundary_segments(true: np.ndarray) -> np.ndarray:
+    """Vectorized label-boundary finder for a (H, W) integer grid.
 
-    (plotting.py:151-185, with the make_axes_locatable import present.)
+    Returns an (n_segments, 2, 2) array of ((x0, y0), (x1, y1)) line segments
+    in image data coordinates (pixel centers at integers), one unit-length
+    segment per pair of 4-adjacent cells with differing labels.
+    """
+    true = np.asarray(true)
+    segs = []
+    # vertical boundary lines between horizontally adjacent cells
+    yy, xx = np.nonzero(true[:, 1:] != true[:, :-1])
+    if len(xx):
+        x = xx + 0.5
+        segs.append(np.stack([np.stack([x, yy - 0.5], 1),
+                              np.stack([x, yy + 0.5], 1)], axis=1))
+    # horizontal boundary lines between vertically adjacent cells
+    yy, xx = np.nonzero(true[1:, :] != true[:-1, :])
+    if len(xx):
+        y = yy + 0.5
+        segs.append(np.stack([np.stack([xx - 0.5, y], 1),
+                              np.stack([xx + 0.5, y], 1)], axis=1))
+    if not segs:
+        return np.zeros((0, 2, 2))
+    return np.concatenate(segs, axis=0)
+
+
+def plot_class_boundaries(base_image: np.ndarray, true: np.ndarray):
+    """Per-spot scalar map (e.g. misclass density) with white class borders.
+
+    Same figure as the reference's axvline/axhline cell loop
+    (plotting.py:151-185, which also lacks its make_axes_locatable import);
+    here the boundary set is computed by vectorized label diffs and drawn as
+    one LineCollection.
     """
     from matplotlib import pyplot as plt
+    from matplotlib.collections import LineCollection
     from mpl_toolkits.axes_grid1 import make_axes_locatable
 
     true = np.asarray(true)
-    ydim, xdim = true.shape
     fig, ax = plt.subplots(1)
-    plt.axis("off")
-
-    masked = np.ma.masked_where(true == 0, base_image)
+    ax.set_axis_off()
     ax.imshow(np.zeros_like(true), cmap="gray")
-    fgd = ax.imshow(masked, cmap="plasma")
+    fgd = ax.imshow(np.ma.masked_where(true == 0, base_image), cmap="plasma")
+    ax.add_collection(LineCollection(class_boundary_segments(true),
+                                     colors="w", linewidths=1.0))
 
-    xpix, ypix = 1.0 / xdim, 1.0 / ydim
-    for y in range(ydim):
-        for x in range(xdim):
-            for x_off in (-1, 1):
-                if 0 <= x + x_off < xdim and true[y, x] != true[y, x + x_off]:
-                    ax.axvline(x=x + x_off / 2, ymin=1 - (y + 1) * ypix,
-                               ymax=1 - y * ypix, c="w")
-            for y_off in (-1, 1):
-                if 0 <= y + y_off < ydim and true[y, x] != true[y + y_off, x]:
-                    ax.axhline(y=y + y_off / 2, xmin=x * xpix,
-                               xmax=(x + 1) * xpix, c="w")
-
-    divider = make_axes_locatable(ax)
-    cax = divider.append_axes("right", size="5%", pad=0.05)
-    cbar = fig.colorbar(fgd, cax=cax)
-    cbar.set_label("Misclassification Probability")
+    cax = make_axes_locatable(ax).append_axes("right", size="5%", pad=0.05)
+    fig.colorbar(fgd, cax=cax).set_label("Misclassification Probability")
     return fig
 
 
