@@ -51,7 +51,7 @@ def _spot_centers(margin, spacing):
             np.rint(x * spacing).astype(np.int32) + margin)
 
 
-def bench_tpu_image():
+def bench_tpu_image(f=None, chunk: int = 624, label: str = "tpu image pipeline"):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,8 @@ def bench_tpu_image():
     log(f"synthetic WSI: {wsi_h} x {wsi_w} x 3 uint8 "
         f"({wsi_h * wsi_w * 3 / 1e9:.2f} GB), {N_SPOTS} spots @ {PATCH}px")
 
-    f = densenet121(num_classes=N_CLASSES, dtype=jnp.bfloat16)
+    if f is None:
+        f = densenet121(num_classes=N_CLASSES, dtype=jnp.bfloat16)
     corr = _HexCorrector(n_classes=N_CLASSES, use_bn=True)
 
     dummy_patch = jnp.zeros((1, PATCH, PATCH, 3), jnp.float32)
@@ -86,8 +87,8 @@ def bench_tpu_image():
     x_base = jnp.asarray(x_px)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.bfloat16)
     std = jnp.asarray(IMAGENET_STD, jnp.bfloat16)
-
-    chunk = 624  # f applied in 8 chunks of 624 patches (activation memory)
+    # chunk: f applied in N_SPOTS/chunk chunks (activation memory; throughput
+    # measured flat over 312..2496, docs/roadmap.md roofline table)
 
     def register_slide(wsi, yc, xc, f_vars):
         from gridnext_tpu.pipeline import extract_patches_device
@@ -116,16 +117,31 @@ def bench_tpu_image():
                                 jax.random.split(key, REPEATS))
         return total
 
-    log("compiling image pipeline (~minutes via remote compile)...")
+    log(f"compiling image pipeline [{label}] (~minutes via remote compile)...")
     int(serve(wsi, f_vars, jax.random.key(3)))
     t0 = time.perf_counter()
     int(serve(wsi, f_vars, jax.random.key(4)))
     dt = time.perf_counter() - t0
     per_slide = dt / REPEATS
     rate = N_SPOTS / per_slide
-    log(f"tpu image pipeline: {per_slide*1e3:.1f} ms/slide "
+    log(f"{label}: {per_slide*1e3:.1f} ms/slide "
         f"({rate:,.0f} spots/s) on {jax.devices()[0].device_kind}")
     return rate
+
+
+def bench_tpu_image_alt():
+    """Secondary: same full-slide registration with the TPU-shaped f.
+
+    TpuPatchClassifier is the recommended f for NEW training (DenseNet-121
+    is architecture-bound on the MXU; models/tpu_f.py). Same patch
+    extraction + corrector; only f differs.
+    """
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import TpuPatchClassifier
+
+    f = TpuPatchClassifier(n_classes=N_CLASSES, dtype=jnp.bfloat16)
+    return bench_tpu_image(f=f, label="tpu image pipeline [TpuPatchClassifier f]")
 
 
 def bench_torch_cpu_image():
@@ -247,10 +263,11 @@ def main():
     tpu_rate = bench_tpu_image()
     cpu_rate = bench_torch_cpu_image()
     try:
+        bench_tpu_image_alt()
         bench_count_secondary()
         bench_count_training_secondary()
     except Exception as e:  # secondary metric must not sink the headline
-        log(f"count secondary failed: {e}")
+        log(f"secondary bench failed: {e}")
 
     ratio = tpu_rate / cpu_rate
     log(f"HEADLINE: tpu {tpu_rate:,.0f} spots/s vs torch-cpu {cpu_rate:.1f} "

@@ -424,11 +424,19 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                           patch_size_um: Optional[float] = 100.0,
                           img_transforms: Optional[Callable] = None,
                           select_genes: Optional[Sequence[str]] = None,
-                          save_patches_to=None):
+                          save_patches_to=None,
+                          hd_binning: Optional[str] = None):
     """Top-level dataset factory (visium_datasets.py:21-132 parity).
 
     Generates missing ``.unified.tsv.gz`` count caches and ``_patches*`` image
     caches, then dispatches on (spatial, modality) to the dataset classes.
+
+    ``hd_binning`` (e.g. 'square_008um') selects a Visium HD binned output
+    (``outs/binned_outputs/<binning>``: parquet positions + per-binning MEX,
+    utils.py:253-287) -- an extension over the reference, whose factory only
+    exposes HD through the AnnData builders (visium_datasets.py:221,277).
+    HD grids exceed the 78x64 Cartesian lattice; pass explicit grid dims to
+    the dataset classes directly for full-resolution HD work.
     """
     if not (use_count or use_image):
         raise ValueError("Must utilize at least one data modality")
@@ -436,6 +444,9 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
         raise ValueError("Must specify patch size in pixels (int) or um (float)")
 
     spaceranger_dirs = [str(s) for s in spaceranger_dirs]
+    if hd_binning is not None:
+        # bin-specific cache name so switching binnings can't serve stale data
+        count_suffix = f".{hd_binning}{count_suffix}"
 
     count_files = None
     if use_count:
@@ -443,7 +454,8 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                        for srd in spaceranger_dirs]
         if not all(os.path.exists(cf) for cf in count_files):
             print(f"No unified countfiles detected (*{count_suffix}) -- generating...")
-            prepare_count_files(spaceranger_dirs, count_suffix, minimum_detection_rate)
+            prepare_count_files(spaceranger_dirs, count_suffix, minimum_detection_rate,
+                                hd_binning=hd_binning)
 
     patch_dirs = None
     if use_image:
@@ -475,7 +487,8 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                 save_visium_patches(imfile, spaceranger_dirs[i], patch_dirs[i],
                                     patch_size=ps)
 
-    position_files = [find_position_file(srd) for srd in spaceranger_dirs]
+    position_files = [find_position_file(srd, hd_binning)
+                      for srd in spaceranger_dirs]
 
     if spatial:
         dat_image = dat_count = None

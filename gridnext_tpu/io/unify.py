@@ -27,12 +27,17 @@ from gridnext_tpu.io.spaceranger import (
 
 def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.gz",
                         minimum_detection_rate: Optional[float] = 0.02,
-                        verbose: bool = True) -> list:
-    """Generate unified count files; returns the list of written paths."""
+                        verbose: bool = True,
+                        hd_binning: Optional[str] = None) -> list:
+    """Generate unified count files; returns the list of written paths.
+
+    ``hd_binning`` (e.g. 'square_008um') reads Visium HD binned outputs
+    (parquet positions + per-binning MEX; utils.py:253-287 contract).
+    """
     frames, out_stems = [], []
     for srd in spaceranger_dirs:
-        df = read_feature_matrix(srd)
-        positions = read_positions(srd)
+        df = read_feature_matrix(srd, hd_binning=hd_binning)
+        positions = read_positions(srd, hd_binning=hd_binning)
         df.columns = positions_to_coord_strings(positions, df.columns)
         frames.append(df)
         out_stems.append(os.path.join(str(srd), Path(srd).name))

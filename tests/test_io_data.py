@@ -126,3 +126,49 @@ def test_visium_hd_parquet_path(tmp_path):
     df = read_feature_matrix(individual_files=files)
     assert df.shape[0] == 15
     assert df.shape[1] == int(pos["in_tissue"].sum())
+
+
+def test_visium_hd_end_to_end(tmp_path):
+    """HD binned outputs -> create_visium_dataset(hd_binning=...) -> grids.
+
+    The same seed simulated in v2 and HD layouts must produce identical
+    count/label grids: only the storage format differs (parquet positions
+    under outs/binned_outputs/<binning>, per-binning MEX; utils.py:253-287).
+    """
+    from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+
+    binning = "square_008um"
+    sims_v2 = [simulate_spaceranger_dir(tmp_path / f"v2_{i}", seed=i, n_genes=25,
+                                        n_classes=3) for i in range(2)]
+    sims_hd = [simulate_spaceranger_dir(tmp_path / f"hd_{i}", seed=i, n_genes=25,
+                                        n_classes=3, spaceranger_version="hd")
+               for i in range(2)]
+
+    # HD position files live under the binned output tree
+    assert all(f"binned_outputs/{binning}" in s["position_file"].replace("\\", "/")
+               for s in sims_hd)
+
+    kw = dict(use_count=True, use_image=False, minimum_detection_rate=None)
+    g_v2 = create_visium_dataset([s["spaceranger_dir"] for s in sims_v2],
+                                 annot_files=[s["annot_file"] for s in sims_v2],
+                                 spatial=True, **kw)
+    g_hd = create_visium_dataset([s["spaceranger_dir"] for s in sims_hd],
+                                 annot_files=[s["annot_file"] for s in sims_hd],
+                                 spatial=True, hd_binning=binning, **kw)
+    assert list(g_v2.classes) == list(g_hd.classes)
+    for i in range(2):
+        (xa, ya), (xb, yb) = g_v2[i], g_hd[i]
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(xa, xb)
+
+    # the per-binning cache name keeps binnings from colliding
+    import glob as _glob
+    caches = _glob.glob(str(tmp_path / "hd_0" / f"*{binning}*.unified.tsv.gz"))
+    assert len(caches) == 1
+
+    # spot-level path too
+    s_hd = create_visium_dataset([s["spaceranger_dir"] for s in sims_hd],
+                                 annot_files=[s["annot_file"] for s in sims_hd],
+                                 spatial=False, hd_binning=binning, **kw)
+    x0, y0 = s_hd[0]
+    assert x0.shape == (25,) and int(y0) >= 0

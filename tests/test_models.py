@@ -203,3 +203,44 @@ def test_densenet_torch_label_map_identity():
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().argmax(1)
     got = np.asarray(m.apply(variables, jnp.asarray(x))).argmax(1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_tpu_patch_classifier_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+
+    f = TpuPatchClassifier(n_classes=5)
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    v = f.init(jax.random.key(0), x)
+    assert f.apply(v, x, train=False).shape == (2, 5)
+
+    feats = TpuPatchClassifier(n_classes=5, classify=False)
+    vf = feats.init(jax.random.key(0), x)
+    assert feats.apply(vf, x, train=False).shape == (2, 512)
+
+    # composes into GridNetHex as an image f (tiny grid to stay CI-fast)
+    g = GridNetHex(patch_classifier=f, n_classes=5, f_dim=5)
+    xg = jnp.zeros((1, 4, 4, 32, 32, 3), jnp.float32)
+    vg = g.init(jax.random.key(0), xg)
+    assert g.apply(vg, xg, train=False).shape == (1, 4, 4, 5)
+
+
+def test_tpu_patch_classifier_trains():
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.models import TpuPatchClassifier
+    from gridnext_tpu.train import train_spotwise
+
+    rng = np.random.default_rng(0)
+    # two separable classes: bright vs dark patches
+    y = rng.integers(0, 2, 64)
+    X = (rng.normal(0.1, 0.05, (64, 32, 32, 3)) + 0.5 * y[:, None, None, None])
+    X = X.astype(np.float32)
+    f = TpuPatchClassifier(n_classes=2, stages=((128, 1),), stem_patch=8)
+    state, val_hist, _ = train_spotwise(
+        f, {"train": (X[:48], y[:48]), "val": (X[48:], y[48:])},
+        num_epochs=3, batch_size=16, verbose=False)
+    assert val_hist[-1] < val_hist[0]
