@@ -85,16 +85,44 @@ class FastAttention(nn.Module):
         return favor.linear_attention(qf, kf, v)
 
 
+def sinusoidal_rotary_freqs(n: int, dim: int, dtype=jnp.float32):
+    """Rotary angle table of the ``local_attention`` package's
+    SinusoidalEmbeddings: theta_i = 10000^(-2i/dim), freqs duplicated over
+    the two half-dims (GPT-NeoX half-rotation convention)."""
+    inv = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=dtype) / dim))
+    freqs = jnp.arange(n, dtype=dtype)[:, None] * inv[None, :]
+    return jnp.concatenate([freqs, freqs], axis=-1)  # (n, dim)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary_pos_emb(q, k, freqs):
+    """q, k: (..., N, d); freqs (N, d). Matches ``local_attention``'s
+    apply_rotary_pos_emb (q and k share positions in self-attention)."""
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+
+    def rot(t):
+        return t * cos + _rotate_half(t) * sin
+
+    return rot(q), rot(k)
+
+
 def local_block_attention(q, k, v, window: int, causal: bool = False,
-                          mask=None):
+                          mask=None, rel_pos: bool = False):
     """Blockwise local attention: each block attends to itself + the previous
     block (+ the next when non-causal) -- the lucidrains ``local_attention``
     window semantics used by the reference (llm/performer_pytorch.py:369).
 
-    NOT implemented: the reference's relative positional bias
-    (rel_pos_emb_config); checkpoints trained with local heads carry rel-pos
-    weights this port neither uses nor converts (scBERT's default has zero
-    local heads). See docs/roadmap.md.
+    ``rel_pos=True`` applies the package's relative positional embedding:
+    the reference always passes ``rel_pos_emb_config=(dim_head, local_heads)``
+    for its local heads, which in the (unpinned, current) ``local_attention``
+    package means parameterless sinusoidal *rotary* embeddings on q and k --
+    scores then depend on relative offsets only (shift-equivariance pinned in
+    tests/test_performer.py). No weights, so checkpoints with local heads
+    convert without extra state.
 
     q, k, v: (B, H, N, d); optional key ``mask`` (B, N) bool (True = keep).
     N is padded to the window internally.
@@ -109,6 +137,11 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    if rel_pos:
+        # package order: autopad first, then rotary over padded positions
+        # (pad is at the end, so real-token angles are unaffected)
+        q, k = apply_rotary_pos_emb(
+            q, k, sinusoidal_rotary_freqs(q.shape[2], d, q.dtype))
     nb = q.shape[2] // window
 
     def blocks(x):
@@ -167,6 +200,9 @@ class SelfAttention(nn.Module):
     dim_head: int = 64
     local_heads: int = 0
     local_window_size: int = 256
+    # reference parity default: SelfAttention always hands LocalAttention a
+    # rel_pos_emb_config (llm/performer_pytorch.py:369)
+    local_rel_pos: bool = True
     causal: bool = False
     nb_features: Optional[int] = None
     generalized_attention: bool = False
@@ -214,7 +250,8 @@ class SelfAttention(nn.Module):
         if self.local_heads > 0:
             outs.append(local_block_attention(
                 q[:, gh:], k[:, gh:], v[:, gh:],
-                window=self.local_window_size, causal=self.causal, mask=mask))
+                window=self.local_window_size, causal=self.causal, mask=mask,
+                rel_pos=self.local_rel_pos))
 
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)

@@ -227,3 +227,64 @@ def test_scbert_generalized_attention_option():
     v = m.init(jax.random.key(0), x)
     y = m.apply(v, x)
     assert y.shape == (2, 2) and np.isfinite(np.asarray(y)).all()
+
+
+def test_local_rotary_rel_pos_properties():
+    """Rotary rel-pos on local heads: relative-only scores + norm preserving.
+
+    The reference always enables rel_pos_emb_config for local heads
+    (llm/performer_pytorch.py:369); in the current local_attention package
+    that is sinusoidal rotary on q/k. Shifting the input by one full window
+    must leave interior outputs unchanged (scores depend on offsets only),
+    and rotation must preserve per-position vector norms.
+    """
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models.performer import (
+        apply_rotary_pos_emb, local_block_attention, sinusoidal_rotary_freqs)
+
+    rng = np.random.default_rng(0)
+    b, h, n, d, w = 2, 2, 96, 16, 16
+    q, k, v = (rng.normal(size=(b, h, n, d)).astype(np.float32) for _ in range(3))
+
+    # norm preservation
+    freqs = sinusoidal_rotary_freqs(n, d)
+    qr, kr = apply_rotary_pos_emb(jnp.asarray(q), jnp.asarray(k), freqs)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qr), axis=-1),
+                               np.linalg.norm(q, axis=-1), rtol=1e-5)
+
+    # rel_pos changes the output at all
+    out_plain = np.asarray(local_block_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), window=w))
+    out_rot = np.asarray(local_block_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), window=w, rel_pos=True))
+    assert np.abs(out_rot - out_plain).max() > 1e-3
+
+    # shift by one window: interior outputs identical (relative-only scores)
+    out_shift = np.asarray(local_block_attention(
+        jnp.asarray(q[:, :, w:]), jnp.asarray(k[:, :, w:]),
+        jnp.asarray(v[:, :, w:]), window=w, rel_pos=True))
+    interior = slice(w, n - 2 * w)  # unaffected by either sequence boundary
+    np.testing.assert_allclose(out_shift[:, :, interior],
+                               out_rot[:, :, w:][:, :, interior],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_self_attention_local_heads_with_rel_pos():
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models.performer import SelfAttention
+
+    m = SelfAttention(dim=32, heads=4, dim_head=8, local_heads=2,
+                      local_window_size=8)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 32)),
+                    jnp.float32)
+    v = m.init({"params": jax.random.key(0), "favor": jax.random.key(1)}, x)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 24, 32)
+    # rel_pos off is a different function (legacy behavior reachable)
+    m0 = SelfAttention(dim=32, heads=4, dim_head=8, local_heads=2,
+                       local_window_size=8, local_rel_pos=False)
+    out0 = m0.apply(v, x, train=False)
+    assert np.abs(np.asarray(out - out0)).max() > 1e-4
