@@ -165,6 +165,31 @@ class GridNetHex(_GridNetBase):
         self.corrector = _HexCorrector(self.n_classes, self.use_bn)
 
 
+class ConcatGridNet(nn.Module):
+    """Feature-concat fusion g (notebooks/register_concat.ipynb cell 4).
+
+    Inputs are pre-computed per-spot feature/logit grids (B, H, W, F_total)
+    -- e.g. count-g logits channel-concatenated with image-g logits -- and
+    the model is only the corrector: a Cartesian 3/5/5/3 conv stack held at
+    the concat width with ReLUs and no BatchNorm (GridNetHexConcat's
+    _init_corrector; despite that class's name the notebook uses plain
+    nn.Conv2d, not hexagdly). ``patch_predictions`` is the identity.
+    """
+
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        width = x.shape[-1]
+        x = nn.relu(nn.Conv(width, (3, 3), padding=1, **_conv_kw)(x))
+        x = nn.relu(nn.Conv(width, (5, 5), padding=2, **_conv_kw)(x))
+        x = nn.relu(nn.Conv(width, (5, 5), padding=2, **_conv_kw)(x))
+        return nn.Conv(self.n_classes, (3, 3), padding=1, **_conv_kw)(x)
+
+    def patch_predictions(self, x, train: bool = False):
+        return x
+
+
 class GridNetHexMM(nn.Module):
     """Multimodal GridNet: separate f per modality, channel-concat fusion.
 
