@@ -17,8 +17,16 @@ import tempfile
 import numpy as np
 
 
-def train_fg_pipeline(X, Y, n_classes, f, *, epochs, seed, patch_chunk=None):
-    """Spotwise-pretrain f on foreground spots, train hex g, return logits."""
+def train_fg_pipeline(X, Y, n_classes, f, *, epochs, seed, patch_chunk=None,
+                      grid_g: bool = True):
+    """Spotwise-pretrain f on foreground spots; optionally train hex g.
+
+    Returns per-array logit maps -- the '..._logits_oddr.npy' artifacts the
+    notebook's ConcatDataset consumes (cell 3). ``grid_g=False`` emits f-only
+    patch-prediction maps (used for the image modality to keep the example
+    CI-sized on this 1-CPU container: gridwise image training backprops f
+    over 4,992 patches/array/epoch).
+    """
     import jax
 
     from gridnext_tpu.models import GridNetHex
@@ -36,15 +44,23 @@ def train_fg_pipeline(X, Y, n_classes, f, *, epochs, seed, patch_chunk=None):
 
     g = GridNetHex(patch_classifier=f, n_classes=n_classes,
                    patch_chunk=patch_chunk)
-    tx = make_gridwise_optimizer(1e-3, f_lr=1e-4)
-    state = create_train_state(g, jax.random.key(seed), X[:1], tx)
-    state = load_f_params(state, f_state.variables())
-    state, *_ = train_gridwise(
-        g, {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])},
-        state=state, tx=tx, num_epochs=epochs, verbose=False)
+    if grid_g:
+        tx = make_gridwise_optimizer(1e-3, f_lr=1e-4)
+        state = create_train_state(g, jax.random.key(seed), X[:1], tx)
+        state = load_f_params(state, f_state.variables())
+        state, *_ = train_gridwise(
+            g, {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])},
+            state=state, tx=tx, num_epochs=epochs, verbose=False)
+        variables, method = state.variables(), None
+    else:
+        variables = {"params": {"patch_classifier": f_state.params}}
+        if f_state.batch_stats:
+            variables["batch_stats"] = {"patch_classifier": f_state.batch_stats}
+        method = "patch_predictions"
 
+    apply_kw = {"method": method} if method else {}
     logits = np.concatenate(
-        [np.asarray(g.apply(state.variables(), X[i:i + 1], train=False))
+        [np.asarray(g.apply(variables, X[i:i + 1], train=False, **apply_kw))
          for i in range(len(X))])
     return logits  # (N, H, W, C)
 
@@ -100,7 +116,8 @@ def main(argv=None):
     f_img = DenseNet(growth_rate=8, block_config=(2, 2), num_init_features=16,
                      num_classes=n_classes, small_inputs=True)
     logits_img = train_fg_pipeline(Xi, Yi, n_classes, f_img,
-                                   epochs=args.epochs, seed=1, patch_chunk=1664)
+                                   epochs=args.epochs, seed=1,
+                                   patch_chunk=1664, grid_g=False)
     print("image pipeline done")
 
     # --- fusion: concat logit maps, train the Cartesian corrector ------------
