@@ -122,11 +122,13 @@ def main(argv=None):
 
     # --- fusion: concat logit maps, train the Cartesian corrector ------------
     Xc = np.concatenate([logits_pca, logits_img], axis=-1)  # (N, H, W, 2C)
+    # the fusion corrector is tiny (2C-channel Cartesian convs) -- the
+    # notebook trains it for 100 epochs (cell 4); cheap even on CPU
     g_concat = ConcatGridNet(n_classes=n_classes)
     state, val_hist, _ = train_gridwise(
         g_concat, {"train": (Xc[n_val:], Yg[n_val:]),
                    "val": (Xc[:n_val], Yg[:n_val])},
-        learning_rate=1e-3, num_epochs=max(args.epochs * 3, 10), verbose=False,
+        learning_rate=1e-3, num_epochs=args.epochs * 20, verbose=False,
         rng=jax.random.key(2))
 
     # --- compare g_pca vs g_concat on the held-out array ---------------------
