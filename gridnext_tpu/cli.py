@@ -40,8 +40,12 @@ def _cmd_simulate(args):
 def _cmd_prepare(args):
     from gridnext_tpu.io import prepare_count_files
 
-    written = prepare_count_files(args.spaceranger,
-                                  minimum_detection_rate=args.min_detection)
+    suffix = ".unified.tsv.gz"
+    if args.hd_binning:
+        suffix = f".{args.hd_binning}{suffix}"
+    written = prepare_count_files(args.spaceranger, suffix,
+                                  minimum_detection_rate=args.min_detection,
+                                  hd_binning=args.hd_binning)
     for w in written:
         print(f"wrote {w}")
     if args.images:
@@ -142,11 +146,15 @@ def _cmd_train_count(args):
     from gridnext_tpu.data import create_visium_dataset
     from gridnext_tpu.models import CountMLP
 
-    caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + ".unified.tsv.gz")
+    suffix = ".unified.tsv.gz"
+    if getattr(args, "hd_binning", None):
+        suffix = f".{args.hd_binning}{suffix}"
+    caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + suffix)
               for s in args.spaceranger]
     _warn_existing_caches(args, caches)
     kw = dict(annot_files=args.annots, use_count=True, use_image=False,
-              minimum_detection_rate=args.min_detection)
+              minimum_detection_rate=args.min_detection,
+              hd_binning=getattr(args, "hd_binning", None))
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
     grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
 
@@ -158,6 +166,7 @@ def _cmd_train_count(args):
     f = CountMLP(n_classes=len(grids.classes))
     _train_fg(args, f, grids, spots,
               {"n_genes": len(genes), "genes": genes, "log1p": True,
+               "hd_binning": getattr(args, "hd_binning", None),
                "model": "GridNetHex+CountMLP"},
               transform=np.log1p)
 
@@ -166,7 +175,7 @@ def _cmd_train_image(args):
     import jax.numpy as jnp
 
     from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.models import densenet121
+    from gridnext_tpu.models import TpuPatchClassifier, densenet121
 
     if len(args.images) != len(args.spaceranger):
         sys.exit("error: --images must list one fullres image per "
@@ -176,10 +185,16 @@ def _cmd_train_image(args):
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
     grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
 
-    f = densenet121(num_classes=len(grids.classes),
-                    dtype=jnp.bfloat16 if args.bf16 else None)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.f == "tpu":
+        # MXU-shaped f: 3.6x DenseNet patch throughput (models/tpu_f.py)
+        f = TpuPatchClassifier(n_classes=len(grids.classes), dtype=dtype)
+        model_name = "GridNetHex+TpuPatchClassifier"
+    else:
+        f = densenet121(num_classes=len(grids.classes), dtype=dtype)
+        model_name = "GridNetHex+DenseNet121"
     _train_fg(args, f, grids, spots,
-              {"patch_px": args.patch_px, "model": "GridNetHex+DenseNet121"},
+              {"patch_px": args.patch_px, "model": model_name},
               patch_chunk=args.patch_chunk, stream=not args.no_stream)
 
 
@@ -202,7 +217,8 @@ def _cmd_register(args):
     if payload.get("batch_stats") is not None:
         variables["batch_stats"] = payload["batch_stats"]
 
-    if meta.get("model", "").endswith("DenseNet121"):
+    model_name = meta.get("model", "")
+    if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
         # image model: register straight from the fullres slides via the
         # jitted serving path (patch gather + f + fused Pallas corrector)
         if not args.images or len(args.images) != len(args.spaceranger):
@@ -213,7 +229,12 @@ def _cmd_register(args):
         from gridnext_tpu.io import read_positions
         from gridnext_tpu.serving import SlideRegistrar
 
-        f = densenet121(num_classes=len(classes))
+        if model_name.endswith("TpuPatchClassifier"):
+            from gridnext_tpu.models import TpuPatchClassifier
+
+            f = TpuPatchClassifier(n_classes=len(classes))
+        else:
+            f = densenet121(num_classes=len(classes))
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
         registrar = SlideRegistrar.from_gridnet(
             g, variables, patch_size=meta.get("patch_px", 128),
@@ -235,9 +256,12 @@ def _cmd_register(args):
     f = CountMLP(n_classes=len(classes))
     g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
+    suffix = ".unified.tsv.gz"
+    if meta.get("hd_binning"):
+        suffix = f".{meta['hd_binning']}{suffix}"
     for srd in args.spaceranger:
         name = os.path.basename(srd.rstrip("/"))
-        cfile = os.path.join(srd, name + ".unified.tsv.gz")
+        cfile = os.path.join(srd, name + suffix)
         if not os.path.exists(cfile):
             sys.exit(f"error: {cfile} not found -- run "
                      f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
@@ -263,8 +287,9 @@ def _cmd_register(args):
                    else os.path.join(args.out, f"{name}_loupe.csv"))
         if len(args.spaceranger) > 1:
             os.makedirs(args.out, exist_ok=True)
-        to_loupe_annots(label_grid, find_position_file(srd), out_csv,
-                        annot_names=classes)
+        to_loupe_annots(label_grid,
+                        find_position_file(srd, meta.get("hd_binning")),
+                        out_csv, annot_names=classes)
         print(f"registered {name} -> {out_csv}")
 
 
@@ -287,9 +312,13 @@ def main(argv=None):
     s.add_argument("--images", nargs="*", default=None)
     s.add_argument("--patch-px", type=int, default=128)
     s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um)")
     s.set_defaults(fn=_cmd_prepare)
 
     s = sub.add_parser("train-count", help="train CountMLP f + GridNetHex g")
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um)")
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--annots", nargs="+", required=True)
     s.add_argument("--out", required=True)
@@ -307,6 +336,10 @@ def main(argv=None):
     s.add_argument("--images", nargs="+", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--f", choices=("densenet", "tpu"), default="densenet",
+                   help="spot classifier: 'densenet' (reference parity, "
+                        "DenseNet-121) or 'tpu' (TpuPatchClassifier, ~3.6x "
+                        "patch throughput for new training)")
     s.add_argument("--patch-chunk", type=int, default=624)
     s.add_argument("--epochs", type=int, default=10)
     s.add_argument("--batch-size", type=int, default=32)

@@ -172,3 +172,35 @@ def test_visium_hd_end_to_end(tmp_path):
                                  spatial=False, hd_binning=binning, **kw)
     x0, y0 = s_hd[0]
     assert x0.shape == (25,) and int(y0) >= 0
+
+
+def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
+    """CLI over Visium HD binned outputs: train-count --hd-binning + register."""
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=20,
+                                     n_classes=3, spaceranger_version="hd")
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-count", "--hd-binning", "square_008um",
+                     "--spaceranger"] + dirs + ["--annots"] + annots +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--min-detection", "0"])
+        cli.main()
+        sys.argv = ["x", "register", "--spaceranger", dirs[0],
+                    "--model", str(tmp_path / "model"),
+                    "--out", str(tmp_path / "loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert len(df) > 1000 and set(df.columns) == {"Barcode", "AARs"}
