@@ -26,6 +26,10 @@ def binarize_annots(annot_files, out_dir, split: int):
         df = pd.read_csv(af)
         label_col = df.columns[-1]
         band = df[label_col].str.extract(r"(\d+)$")[0].astype(float)
+        if band.isna().any():
+            bad = df[label_col][band.isna()].unique()[:5]
+            raise ValueError(
+                f"{af}: labels without a trailing band number: {list(bad)}")
         df[label_col] = np.where(band <= split, "GM", "WM")
         dst = os.path.join(out_dir, os.path.basename(af))
         df.to_csv(dst, index=False)

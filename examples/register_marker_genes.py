@@ -26,10 +26,12 @@ def select_marker_genes(X, Y, gene_names, per_class: int = 3):
     fold = log_means - rest  # (n_classes, n_genes) log fold change vs rest
     markers = []
     for ci in range(len(classes)):
+        added = 0
         for gi in np.argsort(fold[ci])[::-1]:
             if gene_names[gi] not in markers:
                 markers.append(gene_names[gi])
-            if len(markers) % per_class == 0:
+                added += 1
+            if added == per_class:
                 break
     return markers
 

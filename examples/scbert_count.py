@@ -30,10 +30,11 @@ def load_cohort(dirs, annots, gene2vec):
         positions_to_coord_strings, read_feature_matrix, read_feature_names,
         read_positions)
 
-    xs, ys, class_names = [], [], None
+    per_array = []
+    all_labels = set()
     for srd, afile in zip(dirs, annots):
         frame = read_feature_matrix(srd)  # (genes x barcodes), ENSEMBL index
-        symbols = read_feature_names(srd)["gene_symbol"].loc[frame.index]
+        symbols = list(read_feature_names(srd)["gene_symbol"].loc[frame.index])
         positions = read_positions(srd)
         coords = positions_to_coord_strings(positions, frame.columns)
         coord_strs, annot_strs = read_annotfile(
@@ -42,12 +43,19 @@ def load_cohort(dirs, annots, gene2vec):
         lut = dict(zip(coord_strs, annot_strs))
         keep = [i for i, c in enumerate(coords) if c in lut]
         labels = [lut[coords[i]] for i in keep]
-        if class_names is None:
-            class_names = sorted(set(labels))
-        enc = {c: i for i, c in enumerate(class_names)}
-        xs.append(frame.values.T[keep])  # (spots, genes) raw counts
-        ys.append(np.array([enc[l] for l in labels], np.int64))
-    return xs, ys, list(symbols), class_names
+        all_labels.update(labels)
+        per_array.append((frame.values.T[keep], labels, symbols))
+
+    # class encoding over the UNION of annotations across arrays
+    # (count_datasets.py:117-125 semantics); var_names are per array -- gene
+    # orderings/filtered sets may differ between Spaceranger runs
+    class_names = sorted(all_labels)
+    enc = {c: i for i, c in enumerate(class_names)}
+    xs = [counts for counts, _, _ in per_array]
+    ys = [np.array([enc[l] for l in labels], np.int64)
+          for _, labels, _ in per_array]
+    var_names = [symbols for _, _, symbols in per_array]
+    return xs, ys, var_names, class_names
 
 
 def main():
@@ -79,6 +87,10 @@ def main():
     if not args.full_scale:
         gene2vec = gene2vec[:args.vocab]
 
+    if args.sim_genes > len(gene2vec):
+        ap.error(f"--sim-genes ({args.sim_genes}) must be <= the vocabulary "
+                 f"size ({len(gene2vec)}; see --vocab)")
+
     # --- simulate a cohort whose genes are real gene2vec symbols -----------
     sim_genes = list(gene2vec[:: len(gene2vec) // args.sim_genes][:args.sim_genes])
     sims = [simulate_spaceranger_dir(os.path.join(out, f"array{i}"), seed=i,
@@ -92,8 +104,8 @@ def main():
     n_classes = len(class_names)
 
     # --- preprocess into the 16,906-gene scBERT input space ----------------
-    proc = [preprocess_scbert(x, var_names, target_genes=gene2vec)[0]
-            for x in xs]
+    proc = [preprocess_scbert(x, vn, target_genes=gene2vec)[0]
+            for x, vn in zip(xs, var_names)]
     x_train = np.concatenate(proc[:-1])
     y_train = np.concatenate(ys[:-1])
     x_val, y_val = proc[-1], ys[-1]

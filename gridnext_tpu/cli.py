@@ -38,12 +38,10 @@ def _cmd_simulate(args):
 
 
 def _cmd_prepare(args):
-    from gridnext_tpu.io import prepare_count_files
+    from gridnext_tpu.io import prepare_count_files, unified_count_suffix
 
-    suffix = ".unified.tsv.gz"
-    if args.hd_binning:
-        suffix = f".{args.hd_binning}{suffix}"
-    written = prepare_count_files(args.spaceranger, suffix,
+    written = prepare_count_files(args.spaceranger,
+                                  unified_count_suffix(args.hd_binning),
                                   minimum_detection_rate=args.min_detection,
                                   hd_binning=args.hd_binning)
     for w in written:
@@ -144,11 +142,10 @@ def _cmd_train_count(args):
     import numpy as np
 
     from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.io import unified_count_suffix
     from gridnext_tpu.models import CountMLP
 
-    suffix = ".unified.tsv.gz"
-    if getattr(args, "hd_binning", None):
-        suffix = f".{args.hd_binning}{suffix}"
+    suffix = unified_count_suffix(getattr(args, "hd_binning", None))
     caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + suffix)
               for s in args.spaceranger]
     _warn_existing_caches(args, caches)
@@ -256,9 +253,9 @@ def _cmd_register(args):
     f = CountMLP(n_classes=len(classes))
     g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
-    suffix = ".unified.tsv.gz"
-    if meta.get("hd_binning"):
-        suffix = f".{meta['hd_binning']}{suffix}"
+    from gridnext_tpu.io import unified_count_suffix
+
+    suffix = unified_count_suffix(meta.get("hd_binning"))
     for srd in args.spaceranger:
         name = os.path.basename(srd.rstrip("/"))
         cfile = os.path.join(srd, name + suffix)

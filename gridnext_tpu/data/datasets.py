@@ -445,8 +445,38 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
 
     spaceranger_dirs = [str(s) for s in spaceranger_dirs]
     if hd_binning is not None:
+        from gridnext_tpu.io import unified_count_suffix
+
+        if use_image:
+            raise NotImplementedError(
+                "hd_binning with use_image=True is not supported: HD runs "
+                "have no 55um spot patch contract; extract patches from the "
+                "fullres image with explicit coordinates instead")
+        if spatial:
+            # Grid datasets place spots on the 78x64 pseudo-hex Visium
+            # lattice. Square-binned HD positions (both column parities per
+            # row, indices into the hundreds) do not fit it -- fail loudly
+            # instead of overflowing/aliasing in read_annotated_starray.
+            from gridnext_tpu.io.spaceranger import read_positions
+
+            for srd in spaceranger_dirs:
+                pos = read_positions(srd, hd_binning)
+                col = pos["array_col"].astype(int)
+                row = pos["array_row"].astype(int)
+                if (((col % 2) != (row % 2)).any()
+                        or int(row.max()) >= geometry.VISIUM_H_ST
+                        or int(col.max()) >= 2 * geometry.VISIUM_W_ST):
+                    raise ValueError(
+                        f"{srd} [{hd_binning}]: positions are not on the "
+                        f"{geometry.VISIUM_H_ST}x{geometry.VISIUM_W_ST} "
+                        "pseudo-hex Visium lattice (square HD binning); "
+                        "grid datasets cannot represent them. Use "
+                        "spatial=False (spot-level), or the AnnData "
+                        "builders (io.anndata_io, hd_binning=...) which "
+                        "carry arbitrary HD coordinates.")
+
         # bin-specific cache name so switching binnings can't serve stale data
-        count_suffix = f".{hd_binning}{count_suffix}"
+        count_suffix = unified_count_suffix(hd_binning, count_suffix)
 
     count_files = None
     if use_count:

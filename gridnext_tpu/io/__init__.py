@@ -10,4 +10,7 @@ from gridnext_tpu.io.annotations import (  # noqa: F401
     read_annotated_starray,
     read_annotfile,
 )
-from gridnext_tpu.io.unify import prepare_count_files  # noqa: F401
+from gridnext_tpu.io.unify import (  # noqa: F401
+    prepare_count_files,
+    unified_count_suffix,
+)

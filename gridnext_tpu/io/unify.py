@@ -25,6 +25,13 @@ from gridnext_tpu.io.spaceranger import (
 )
 
 
+def unified_count_suffix(hd_binning=None,
+                         base: str = ".unified.tsv.gz") -> str:
+    """Cache-file suffix for unified counts; bin-specific for Visium HD so
+    switching binnings can never serve a stale cache."""
+    return f".{hd_binning}{base}" if hd_binning else base
+
+
 def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.gz",
                         minimum_detection_rate: Optional[float] = 0.02,
                         verbose: bool = True,

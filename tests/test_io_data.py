@@ -204,3 +204,39 @@ def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
         sys.argv = argv_bak
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) > 1000 and set(df.columns) == {"Barcode", "AARs"}
+
+
+def test_hd_square_binning_rejected_for_grids(tmp_path):
+    """Square-binned HD positions must fail loudly at the factory, not
+    overflow/alias inside grid assembly (code-review finding, round 2)."""
+    import gzip
+
+    import pytest
+
+    from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+
+    binning = "square_008um"
+    sim = simulate_spaceranger_dir(tmp_path / "a0", seed=0, n_genes=10,
+                                   n_classes=3, spaceranger_version="hd")
+    # rewrite positions as a real square HD binning: every (row, col) pair
+    pq = (tmp_path / "a0" / "outs" / "binned_outputs" / binning / "spatial"
+          / "tissue_positions.parquet")
+    import pandas as pd
+
+    pos = pd.read_parquet(pq)
+    n = len(pos)
+    side = int(np.ceil(np.sqrt(n)))
+    pos["array_row"] = np.arange(n) // side
+    pos["array_col"] = np.arange(n) % side  # both parities per row
+    pos.to_parquet(pq, index=False)
+
+    with pytest.raises(ValueError, match="pseudo-hex Visium lattice"):
+        create_visium_dataset([sim["spaceranger_dir"]],
+                              annot_files=[sim["annot_file"]], spatial=True,
+                              use_count=True, use_image=False,
+                              hd_binning=binning, minimum_detection_rate=None)
+
+    with pytest.raises(NotImplementedError, match="use_image"):
+        create_visium_dataset([sim["spaceranger_dir"]], spatial=True,
+                              use_count=False, use_image=True,
+                              patch_size_px=16, hd_binning=binning)
