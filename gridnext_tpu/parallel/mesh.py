@@ -14,6 +14,14 @@ Axes:
 
 For the model sizes of this domain (DenseNet-121 / Performer-200d), TP/PP
 are unnecessary -- the weights replicate; scaling is over spots and arrays.
+
+Sequence parallelism (scBERT's 16,907-gene token axis) also needs no
+dedicated machinery: shard the token axis of the input
+(``NamedSharding(mesh, P("data", "seq"))``) and the XLA SPMD partitioner
+inserts the collectives -- the FAVOR+ einsums contract over tokens, so the
+context sum and key-sum reduce with psums, splitting the transcendental
+feature-map cost (the measured serving bottleneck) across chips. Certified
+numerically in tests/test_parallel.py::test_scbert_sequence_parallel_*.
 """
 
 from __future__ import annotations

@@ -100,3 +100,70 @@ def test_sharded_image_f_inference_matches_single_device(eight_devices):
     vr = replicate(variables, mesh)
     got = np.asarray(fwd(vr, xs))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_image_model_matches_single_device(eight_devices):
+    """Spot-sharded IMAGE registration (TpuPatchClassifier f + hex g): the
+    f-over-patches + halo-exchanging corrector path where the FLOPs live."""
+    import optax
+
+    from gridnext_tpu.models import TpuPatchClassifier
+
+    rng = np.random.default_rng(2)
+    b, h, w, p, classes = 4, 8, 4, 32, 3
+    x = rng.normal(size=(b, h, w, p, p, 3)).astype(np.float32)
+    y = rng.integers(0, classes + 1, size=(b, h, w)).astype(np.int64)
+
+    f = TpuPatchClassifier(n_classes=classes, stages=((128, 1),), stem_patch=8)
+    g = GridNetHex(patch_classifier=f, n_classes=classes)
+    tx = optax.sgd(1e-2)
+    state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
+    train_step, _ = _make_steps(g, tx, "grid")
+
+    s1, m1 = train_step(state, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh(default_mesh_shape(8), eight_devices)
+    state_r = replicate(state, mesh)
+    xs, ys = shard_grid_batch((jnp.asarray(x), jnp.asarray(y)), mesh)
+    s8, m8 = train_step(state_r, xs, ys)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4, atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_scbert_sequence_parallel_matches_single_device(eight_devices):
+    """Token-axis (sequence-parallel) scBERT forward over the mesh.
+
+    The 16,907-gene token axis is the long dimension of the framework's
+    largest model; sharding it splits the FAVOR+ feature maps (the measured
+    transcendental bottleneck, docs/roadmap.md) across chips. No manual
+    collectives: the FAVOR einsums contract over the sharded axis, so the
+    XLA SPMD partitioner inserts the psums (context Sum_n k'v^T and the
+    denominator key-sum), and the AttentionClassifier head's Dense over
+    tokens reduces the same way. SURVEY section 5.7 marks true SP as
+    unnecessary at reference scale -- this certifies it works anyway.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gridnext_tpu.models import scBERT
+
+    n_genes, classes = 1024, 4  # tokens = n_genes + 1 CLS = 1025 (uneven!)
+    model = scBERT(n_genes=n_genes, dim=32, depth=2, heads=4,
+                   n_classes=classes)
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 6, size=(2, n_genes)).astype(np.float32)
+    variables = model.init({"params": jax.random.key(0),
+                            "favor": jax.random.key(1)}, jnp.asarray(x[:1]))
+
+    fwd = jax.jit(lambda v, xb: model.apply(v, xb, train=False))
+    ref = np.asarray(fwd(variables, jnp.asarray(x)))
+
+    mesh = make_mesh({"data": 1, "seq": 8}, eight_devices)
+    v_rep = replicate(variables, mesh)
+    x_sh = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data", "seq")))
+    out = np.asarray(fwd(v_rep, x_sh))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
