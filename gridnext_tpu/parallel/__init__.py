@@ -2,4 +2,5 @@ from gridnext_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicate,
     shard_grid_batch,
+    shard_token_batch,
 )

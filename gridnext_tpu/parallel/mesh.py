@@ -77,6 +77,21 @@ def shard_grid_batch(tree, mesh: Mesh, data_axis: str = "data",
     return jax.tree.map(place, tree)
 
 
+def shard_token_batch(tree, mesh: Mesh, data_axis: str = "data",
+                      token_axis: str = "seq"):
+    """Place (B, N, ...) token batches: batch over ``data``, tokens over
+    ``token_axis`` -- the sequence-parallel layout for scBERT's 16,907-gene
+    axis (the SPMD partitioner lowers the FAVOR+ contractions over the
+    sharded axis to psums; see module docstring)."""
+    token = token_axis if token_axis in mesh.axis_names else None
+
+    def place(x):
+        spec = P(data_axis, token) if x.ndim >= 2 else P(data_axis)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/opt state) over the mesh."""
     sharding = NamedSharding(mesh, P())

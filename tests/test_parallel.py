@@ -147,9 +147,8 @@ def test_scbert_sequence_parallel_matches_single_device(eight_devices):
     tokens reduces the same way. SURVEY section 5.7 marks true SP as
     unnecessary at reference scale -- this certifies it works anyway.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from gridnext_tpu.models import scBERT
+    from gridnext_tpu.parallel import shard_token_batch
 
     n_genes, classes = 1024, 4  # tokens = n_genes + 1 CLS = 1025 (uneven!)
     model = scBERT(n_genes=n_genes, dim=32, depth=2, heads=4,
@@ -164,6 +163,6 @@ def test_scbert_sequence_parallel_matches_single_device(eight_devices):
 
     mesh = make_mesh({"data": 1, "seq": 8}, eight_devices)
     v_rep = replicate(variables, mesh)
-    x_sh = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data", "seq")))
+    x_sh = shard_token_batch(jnp.asarray(x), mesh)
     out = np.asarray(fwd(v_rep, x_sh))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

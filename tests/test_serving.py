@@ -92,3 +92,36 @@ def test_slide_registrar_matches_gridnet_forward(sim):
                 & (xpx >= p2) & (xpx < wsi.shape[1] - p2))
     np.testing.assert_array_equal(got[oy[interior], ox[interior]],
                                   want_labels[oy[interior], ox[interior]])
+
+
+def test_slide_registrar_with_tpu_patch_classifier():
+    """SlideRegistrar is f-agnostic: the TPU-shaped f serves the same way."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+    from gridnext_tpu.serving import SlideRegistrar
+
+    n_classes, p = 3, 32
+    f = TpuPatchClassifier(n_classes=n_classes, stages=((128, 1),),
+                           stem_patch=8)
+    g = GridNetHex(patch_classifier=f, n_classes=n_classes)
+    rng = np.random.default_rng(0)
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, 4, 4, p, p, 3), jnp.float32))
+
+    registrar = SlideRegistrar.from_gridnet(g, variables, patch_size=p,
+                                            normalize=None, h_st=8, w_st=6,
+                                            patch_chunk=None)
+    wsi = jnp.asarray(rng.integers(0, 255, (300, 260, 3), dtype=np.uint8))
+    positions = pd.DataFrame({
+        "in_tissue": [1, 1, 1],
+        "array_row": [0, 1, 2],
+        "array_col": [0, 1, 2],
+        "pxl_row_in_fullres": [60, 120, 180],
+        "pxl_col_in_fullres": [60, 120, 180],
+    }, index=["b0", "b1", "b2"])
+    labels = registrar(wsi, positions)
+    assert labels.shape == (8, 6)
+    assert (labels > 0).sum() == 3  # only in-tissue spots labeled
