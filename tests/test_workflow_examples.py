@@ -35,3 +35,11 @@ def test_register_concat_floor():
     m = register_concat.main(["--epochs", "2", "--arrays", "3"])
     # fusion must at least be competitive with its better unimodal input
     assert m["acc_concat"] > 0.6
+
+
+def test_scbert_pretrain_floor():
+    import scbert_pretrain
+
+    losses = scbert_pretrain.main(["--steps", "8", "--vocab", "512",
+                                   "--sim-genes", "64"])
+    assert losses[-1] < losses[0] * 0.7  # masked-bin CE must drop materially
