@@ -7,6 +7,7 @@ this thin layer scripts the common flows end to end:
   prepare      generate unified count files (+ optional patch caches)
   train-count  train CountMLP f (spotwise) then GridNetHex g on count grids
   train-image  train DenseNet-121 f then GridNetHex g on patch caches
+  train-mm     train multimodal GridNetHexMM (count-f + image-f, concat)
   register     load a trained checkpoint and write Loupe CSVs per array
 
 Example:
@@ -177,6 +178,10 @@ def _cmd_train_image(args):
     if len(args.images) != len(args.spaceranger):
         sys.exit("error: --images must list one fullres image per "
                  "--spaceranger directory")
+    if args.patch_px < 32:
+        sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
+                 "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
+                 "collapse to zero spatial size and train to NaN)")
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
               fullres_image_files=args.images, patch_size_px=args.patch_px)
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
@@ -195,6 +200,103 @@ def _cmd_train_image(args):
               patch_chunk=args.patch_chunk, stream=not args.no_stream)
 
 
+def _cmd_train_mm(args):
+    """Multimodal: per-modality f spotwise, then GridNetHexMM g gridwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import (CountMLP, GridNetHexMM,
+                                     TpuPatchClassifier, densenet121)
+    from gridnext_tpu.train import (create_train_state, load_f_params,
+                                    make_gridwise_optimizer, save_checkpoint,
+                                    train_gridwise, train_spotwise)
+
+    if len(args.images) != len(args.spaceranger):
+        sys.exit("error: --images must list one fullres image per "
+                 "--spaceranger directory")
+    if args.patch_px < 32:
+        sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
+                 "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
+                 "collapse to zero spatial size and train to NaN)")
+    kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
+              fullres_image_files=args.images, patch_size_px=args.patch_px)
+    mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
+                                     use_count=True, use_image=True, **kw)
+    count_spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                        use_count=True, use_image=False,
+                                        annot_files=args.annots,
+                                        minimum_detection_rate=args.min_detection)
+    image_spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                        use_count=False, use_image=True,
+                                        annot_files=args.annots,
+                                        fullres_image_files=args.images,
+                                        patch_size_px=args.patch_px)
+    classes = list(mm_grids.classes)
+    n_classes = len(classes)
+    print(f"{len(count_spots)} count spots, {len(image_spots)} image spots, "
+          f"{len(mm_grids)} arrays, classes: {classes}")
+
+    def spot_train(f, spots, transform=None):
+        X, Y = spots.materialize()
+        if transform is not None:
+            X = transform(X)
+        order = np.random.default_rng(0).permutation(len(X))
+        X, Y = X[order], Y[order]
+        n_val = max(1, len(X) // 5)
+        state, *_ = train_spotwise(
+            f, {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])},
+            learning_rate=args.f_lr, num_epochs=args.epochs,
+            batch_size=args.batch_size, verbose=True)
+        return state
+
+    f_count = CountMLP(n_classes=n_classes)
+    f_count_state = spot_train(f_count, count_spots, np.log1p)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.f == "tpu":
+        f_image = TpuPatchClassifier(n_classes=n_classes, dtype=dtype)
+    else:
+        f_image = densenet121(num_classes=n_classes, dtype=dtype)
+    f_image_state = spot_train(f_image, image_spots)
+
+    g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
+                     n_classes=n_classes, patch_chunk=args.patch_chunk)
+    (Xi, Xc), Yg = mm_grids.materialize()
+    Xc = np.log1p(Xc)
+    gorder = np.random.default_rng(0).permutation(len(Yg))
+    Xi, Xc, Yg = Xi[gorder], Xc[gorder], Yg[gorder]
+    n_valg = max(1, len(Yg) // 4) if len(Yg) > 1 else 0
+    tx = make_gridwise_optimizer(args.g_lr,
+                                 f_lr=args.f_lr if args.finetune_f else None)
+    state = create_train_state(g, jax.random.key(0),
+                               (jnp.asarray(Xi[:1]), jnp.asarray(Xc[:1])), tx)
+    state = load_f_params(state, f_image_state.variables(),
+                          key="image_classifier")
+    state = load_f_params(state, f_count_state.variables(),
+                          key="count_classifier")
+    dls = {"train": ((Xi[n_valg:], Xc[n_valg:]), Yg[n_valg:]),
+           "val": ((Xi[:n_valg], Xc[:n_valg]), Yg[:n_valg]) if n_valg else None}
+    state, *_ = train_gridwise(g, dls, state=state, tx=tx,
+                               num_epochs=args.epochs, verbose=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    import pandas as pd
+
+    from gridnext_tpu.io import unified_count_suffix
+
+    suffix = unified_count_suffix(None)
+    cache0 = os.path.join(args.spaceranger[0],
+                          os.path.basename(args.spaceranger[0].rstrip("/")) + suffix)
+    genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
+    with open(os.path.join(args.out, "model.json"), "w") as fh:
+        json.dump({"classes": classes, "patch_px": args.patch_px,
+                   "n_genes": len(genes), "genes": genes, "log1p": True,
+                   "image_f": args.f, "model": "GridNetHexMM"}, fh)
+    print(f"saved model to {args.out}")
+
+
 def _cmd_register(args):
     import jax
     import numpy as np
@@ -202,7 +304,8 @@ def _cmd_register(args):
     from gridnext_tpu.data import CountGridDataset
     from gridnext_tpu.evaluate import to_loupe_annots
     from gridnext_tpu.io import find_position_file
-    from gridnext_tpu.models import CountMLP, GridNetHex, densenet121
+    from gridnext_tpu.models import (CountMLP, GridNetHex, GridNetHexMM,
+                                     densenet121)
     from gridnext_tpu.train import load_checkpoint
 
     with open(os.path.join(args.model, "model.json")) as fh:
@@ -215,6 +318,44 @@ def _cmd_register(args):
         variables["batch_stats"] = payload["batch_stats"]
 
     model_name = meta.get("model", "")
+    if model_name == "GridNetHexMM":
+        # multimodal registration: count grids + patch grids through g
+        if not args.images or len(args.images) != len(args.spaceranger):
+            sys.exit("error: --images must list one fullres image per "
+                     "--spaceranger directory for multimodal models")
+        from gridnext_tpu.data import create_visium_dataset
+        from gridnext_tpu.models import CountMLP, TpuPatchClassifier
+
+        f_count = CountMLP(n_classes=len(classes))
+        if meta.get("image_f") == "tpu":
+            f_image = TpuPatchClassifier(n_classes=len(classes))
+        else:
+            f_image = densenet121(num_classes=len(classes))
+        g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
+                         n_classes=len(classes))
+        mm = create_visium_dataset(args.spaceranger, spatial=True,
+                                   use_count=True, use_image=True,
+                                   fullres_image_files=args.images,
+                                   patch_size_px=meta.get("patch_px", 128),
+                                   minimum_detection_rate=None)
+        for i, srd in enumerate(args.spaceranger):
+            name = os.path.basename(srd.rstrip("/"))
+            (xi, xc), _ = mm[i]
+            if meta.get("log1p"):
+                xc = np.log1p(xc)
+            logits = g.apply(variables, (xi[None], xc[None]), train=False)
+            labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
+            fg = xc.sum(-1) > 0
+            label_grid = np.where(fg, labels, 0)
+            out_csv = (args.out if len(args.spaceranger) == 1
+                       else os.path.join(args.out, f"{name}_loupe.csv"))
+            if len(args.spaceranger) > 1:
+                os.makedirs(args.out, exist_ok=True)
+            to_loupe_annots(label_grid, find_position_file(srd), out_csv,
+                            annot_names=classes)
+            print(f"registered {name} -> {out_csv}")
+        return
+
     if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
         # image model: register straight from the fullres slides via the
         # jitted serving path (patch gather + f + fused Pallas corrector)
@@ -348,6 +489,24 @@ def main(argv=None):
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
     s.set_defaults(fn=_cmd_train_image)
+
+    s = sub.add_parser("train-mm",
+                       help="train multimodal GridNetHexMM (count + image)")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True)
+    s.add_argument("--images", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--f", choices=("densenet", "tpu"), default="densenet")
+    s.add_argument("--patch-chunk", type=int, default=624)
+    s.add_argument("--epochs", type=int, default=10)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--f-lr", type=float, default=1e-3)
+    s.add_argument("--g-lr", type=float, default=1e-3)
+    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--finetune-f", action="store_true")
+    s.add_argument("--bf16", action="store_true")
+    s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")
     s.add_argument("--spaceranger", nargs="+", required=True)

@@ -43,3 +43,39 @@ def test_scbert_pretrain_floor():
     losses = scbert_pretrain.main(["--steps", "8", "--vocab", "512",
                                    "--sim-genes", "64"])
     assert losses[-1] < losses[0] * 0.7  # masked-bin CE must drop materially
+
+
+@pytest.mark.slow
+def test_cli_train_mm_register_end_to_end(tmp_path):
+    """CLI multimodal flow: train-mm (count-f + image-f -> GridNetHexMM g)
+    then register with both modalities."""
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=15,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=20) for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-mm", "--spaceranger"] + dirs +
+                    ["--annots"] + annots + ["--images"] + imgs +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--patch-px", "32", "--patch-chunk", "1664",
+                     "--min-detection", "0", "--batch-size", "64", "--f", "tpu"])
+        cli.main()
+        sys.argv = ["x", "register", "--spaceranger", dirs[0],
+                    "--images", imgs[0], "--model", str(tmp_path / "model"),
+                    "--out", str(tmp_path / "loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert len(df) > 1000
