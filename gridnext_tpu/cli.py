@@ -169,19 +169,23 @@ def _cmd_train_count(args):
               transform=np.log1p)
 
 
-def _cmd_train_image(args):
-    import jax.numpy as jnp
-
-    from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.models import TpuPatchClassifier, densenet121
-
+def _check_image_args(args):
     if len(args.images) != len(args.spaceranger):
         sys.exit("error: --images must list one fullres image per "
                  "--spaceranger directory")
     if args.patch_px < 32:
         sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
                  "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
-                 "collapse to zero spatial size and train to NaN)")
+                 "collapse to zero spatial size)")
+
+
+def _cmd_train_image(args):
+    import jax.numpy as jnp
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import TpuPatchClassifier, densenet121
+
+    _check_image_args(args)
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
               fullres_image_files=args.images, patch_size_px=args.patch_px)
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
@@ -213,13 +217,7 @@ def _cmd_train_mm(args):
                                     make_gridwise_optimizer, save_checkpoint,
                                     train_gridwise, train_spotwise)
 
-    if len(args.images) != len(args.spaceranger):
-        sys.exit("error: --images must list one fullres image per "
-                 "--spaceranger directory")
-    if args.patch_px < 32:
-        sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
-                 "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
-                 "collapse to zero spatial size and train to NaN)")
+    _check_image_args(args)
     kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
               fullres_image_files=args.images, patch_size_px=args.patch_px)
     mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
@@ -286,7 +284,7 @@ def _cmd_train_mm(args):
 
     from gridnext_tpu.io import unified_count_suffix
 
-    suffix = unified_count_suffix(None)
+    suffix = unified_count_suffix()
     cache0 = os.path.join(args.spaceranger[0],
                           os.path.basename(args.spaceranger[0].rstrip("/")) + suffix)
     genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
@@ -324,7 +322,7 @@ def _cmd_register(args):
             sys.exit("error: --images must list one fullres image per "
                      "--spaceranger directory for multimodal models")
         from gridnext_tpu.data import create_visium_dataset
-        from gridnext_tpu.models import CountMLP, TpuPatchClassifier
+        from gridnext_tpu.models import TpuPatchClassifier
 
         f_count = CountMLP(n_classes=len(classes))
         if meta.get("image_f") == "tpu":
@@ -431,6 +429,25 @@ def _cmd_register(args):
         print(f"registered {name} -> {out_csv}")
 
 
+def _add_image_train_args(s):
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True)
+    s.add_argument("--images", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--f", choices=("densenet", "tpu"), default="densenet",
+                   help="spot classifier: 'densenet' (reference parity, "
+                        "DenseNet-121) or 'tpu' (TpuPatchClassifier, ~3.6x "
+                        "patch throughput for new training)")
+    s.add_argument("--patch-chunk", type=int, default=624)
+    s.add_argument("--epochs", type=int, default=10)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.add_argument("--f-lr", type=float, default=1e-3)
+    s.add_argument("--g-lr", type=float, default=1e-3)
+    s.add_argument("--finetune-f", action="store_true")
+    s.add_argument("--bf16", action="store_true")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gridnext_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -469,22 +486,7 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_train_count)
 
     s = sub.add_parser("train-image", help="train DenseNet-121 f + GridNetHex g")
-    s.add_argument("--spaceranger", nargs="+", required=True)
-    s.add_argument("--annots", nargs="+", required=True)
-    s.add_argument("--images", nargs="+", required=True)
-    s.add_argument("--out", required=True)
-    s.add_argument("--patch-px", type=int, default=128)
-    s.add_argument("--f", choices=("densenet", "tpu"), default="densenet",
-                   help="spot classifier: 'densenet' (reference parity, "
-                        "DenseNet-121) or 'tpu' (TpuPatchClassifier, ~3.6x "
-                        "patch throughput for new training)")
-    s.add_argument("--patch-chunk", type=int, default=624)
-    s.add_argument("--epochs", type=int, default=10)
-    s.add_argument("--batch-size", type=int, default=32)
-    s.add_argument("--f-lr", type=float, default=1e-3)
-    s.add_argument("--g-lr", type=float, default=1e-3)
-    s.add_argument("--finetune-f", action="store_true")
-    s.add_argument("--bf16", action="store_true")
+    _add_image_train_args(s)
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
@@ -492,20 +494,8 @@ def main(argv=None):
 
     s = sub.add_parser("train-mm",
                        help="train multimodal GridNetHexMM (count + image)")
-    s.add_argument("--spaceranger", nargs="+", required=True)
-    s.add_argument("--annots", nargs="+", required=True)
-    s.add_argument("--images", nargs="+", required=True)
-    s.add_argument("--out", required=True)
-    s.add_argument("--patch-px", type=int, default=128)
-    s.add_argument("--f", choices=("densenet", "tpu"), default="densenet")
-    s.add_argument("--patch-chunk", type=int, default=624)
-    s.add_argument("--epochs", type=int, default=10)
-    s.add_argument("--batch-size", type=int, default=32)
-    s.add_argument("--f-lr", type=float, default=1e-3)
-    s.add_argument("--g-lr", type=float, default=1e-3)
+    _add_image_train_args(s)
     s.add_argument("--min-detection", type=float, default=0.02)
-    s.add_argument("--finetune-f", action="store_true")
-    s.add_argument("--bf16", action="store_true")
     s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

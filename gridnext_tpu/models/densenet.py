@@ -74,6 +74,11 @@ class _Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if x.shape[1] < 2 or x.shape[2] < 2:  # trace-time: shapes are static
+            raise ValueError(
+                f"input patches too small: spatial dims are {x.shape[1:3]} "
+                "at a transition's 2x2 pool (would collapse to zero and "
+                "produce NaNs); densenet121 needs >= 32px patches")
         x = _bn(train, self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (1, 1), use_bias=False,

@@ -60,6 +60,11 @@ class TpuPatchClassifier(nn.Module):
         for width, depth in self.stages:
             if x.shape[-1] != width:
                 x = nn.Conv(width, (2, 2), strides=(2, 2), dtype=dtype)(x)
+            if 0 in x.shape[1:3]:  # trace-time: shapes are static
+                raise ValueError(
+                    f"input patches too small: spatial dims collapsed to "
+                    f"{x.shape[1:3]} before the {width}-wide stage; use "
+                    f"patches of at least {self.stem_patch * 2 ** (len(self.stages) - 1)}px")
             for _ in range(depth):
                 h = nn.Conv(width, (3, 3), dtype=dtype)(x)
                 h = nn.relu(nn.LayerNorm(dtype=dtype)(h))
