@@ -221,6 +221,35 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
             yield np.asarray(inputs)[idx], np.asarray(labels)[idx]
 
 
+def _prefetch_to_device(batches, size: int = 2):
+    """Stage upcoming (x, y) minibatches onto the device ahead of use.
+
+    ``jax.device_put`` is asynchronous, so holding ``size`` staged batches
+    lets the host's next disk read / np.stack overlap the device's current
+    step -- the TPU analog of a DataLoader's worker prefetch. Each batch is
+    consumed exactly once, so donation-safe.
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def stage():
+        try:
+            x, y = next(batches)
+        except StopIteration:
+            return False
+        queue.append(jax.device_put((x, y)))
+        return True
+
+    for _ in range(size):
+        if not stage():
+            break
+    while queue:
+        item = queue.popleft()
+        stage()
+        yield item
+
+
 def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
                   redraw_every: Optional[int] = None, redraw_rng=None,
@@ -234,6 +263,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     best_params = jax.device_get(state.params)
     best_bs = jax.device_get(state.batch_stats)
     best_extra = jax.device_get(state.extra_vars)
+    host_step = int(state.step)  # one sync up front, then host-tracked
     saw_val = False
     train_history, val_history = [], []
     since = time.time()
@@ -245,17 +275,25 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         for phase in ("train", "val"):
             if phase not in dataloaders or dataloaders[phase] is None:
                 continue
-            tot_loss, tot_corr, tot_n, n_batches_items = 0.0, 0, 0, 0
-            batches = _iter_batches(dataloaders[phase], batch_size,
-                                    rng if phase == "train" else None)
+            # Deferred metric reads: per-batch losses stay on device so the
+            # loop never blocks on a host round-trip between steps -- JAX's
+            # async dispatch pipelines batch staging (_prefetch_to_device)
+            # with device compute, and one device_get drains the epoch.
+            losses, corrs, ns, bszs = [], [], [], []
+            batches = _prefetch_to_device(
+                _iter_batches(dataloaders[phase], batch_size,
+                              rng if phase == "train" else None))
             for x, y in batches:
                 if phase == "train":
                     state, m = train_step(state, x, y)
                     # periodic FAVOR+ projection redraw (Performer models;
-                    # llm/performer_pytorch.py:532-546 semantics)
+                    # llm/performer_pytorch.py:532-546 semantics). host_step
+                    # mirrors state.step (one increment per train_step) so
+                    # the check doesn't force a device sync.
+                    host_step += 1
                     if (redraw_every and state.extra_vars
                             and "favor" in state.extra_vars
-                            and int(state.step) % redraw_every == 0):
+                            and host_step % redraw_every == 0):
                         from gridnext_tpu.models.performer import redraw_projections
 
                         redraw_rng, sub = jax.random.split(redraw_rng)
@@ -266,13 +304,17 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                         state = state.replace(extra_vars=extra)
                 else:
                     m = eval_step(state, x, y)
-                bsz = len(y)
-                tot_loss += float(m["loss"]) * bsz
-                tot_corr += int(m["n_correct"])
-                tot_n += int(m["n"])
-                n_batches_items += bsz
-            epoch_loss = tot_loss / max(n_batches_items, 1)
-            epoch_acc = tot_corr / max(tot_n, 1)
+                losses.append(m["loss"])
+                corrs.append(m["n_correct"])
+                ns.append(m["n"])
+                bszs.append(len(y))
+            losses = np.asarray(jax.device_get(losses), dtype=float)
+            corrs = np.asarray(jax.device_get(corrs))
+            ns = np.asarray(jax.device_get(ns))
+            bszs = np.asarray(bszs)
+            n_batches_items = int(bszs.sum())
+            epoch_loss = float((losses * bszs).sum()) / max(n_batches_items, 1)
+            epoch_acc = int(corrs.sum()) / max(int(ns.sum()), 1)
             if verbose:
                 print(f"{phase} Loss: {epoch_loss:.4f} Acc: {epoch_acc:.4f}", flush=True)
             if metrics_logger is not None:
