@@ -61,19 +61,21 @@ def _cmd_prepare(args):
 
 
 def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
-              transform=None, stream: bool = False):
+              transform=None, stream: bool = False, corrector: str = "hex"):
     """Shared f-spotwise + g-gridwise training flow for the train-* commands.
 
     ``stream=True`` feeds the loops lazy Subset views (one batch resident at
     a time) instead of materialized cohorts -- the image path's patch grids
     are ~1 GB/array at 128px, so cohort size stays disk-bound, not RAM-bound.
+    ``corrector`` picks the g-network: 'hex' (Visium pseudo-hex lattices) or
+    'square' (the Cartesian GridNet corrector -- right for HD square bins).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from gridnext_tpu.data import Subset
-    from gridnext_tpu.models import GridNetHex
+    from gridnext_tpu.models import GridNet, GridNetHex
     from gridnext_tpu.train import (create_train_state, load_f_params,
                                     make_gridwise_optimizer, save_checkpoint,
                                     train_gridwise, train_spotwise)
@@ -100,8 +102,9 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
         f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
         batch_size=args.batch_size, verbose=True)
 
-    g = GridNetHex(patch_classifier=f, n_classes=len(classes),
-                   patch_chunk=patch_chunk)
+    g_cls = GridNet if corrector == "square" else GridNetHex
+    g = g_cls(patch_classifier=f, n_classes=len(classes),
+              patch_chunk=patch_chunk)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
     gorder = rng.permutation(len(grids))
@@ -139,6 +142,17 @@ def _warn_existing_caches(args, suffix_paths):
               f"has no effect on them (delete *.unified.tsv.gz to refilter)")
 
 
+def _parse_grid_dims(spec):
+    """'auto' | 'HxW' -> the factory's grid_dims value (None passes through)."""
+    if spec is None or spec == "auto":
+        return spec
+    try:
+        h, w = spec.lower().split("x")
+        return (int(h), int(w))
+    except ValueError:
+        sys.exit(f"error: --grid-dims must be 'auto' or HxW; got {spec!r}")
+
+
 def _cmd_train_count(args):
     import numpy as np
 
@@ -146,27 +160,37 @@ def _cmd_train_count(args):
     from gridnext_tpu.io import unified_count_suffix
     from gridnext_tpu.models import CountMLP
 
-    suffix = unified_count_suffix(getattr(args, "hd_binning", None))
+    hd_binning = getattr(args, "hd_binning", None)
+    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
+    if grid_dims is not None and hd_binning is None:
+        sys.exit("error: --grid-dims requires --hd-binning")
+    suffix = unified_count_suffix(hd_binning)
     caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + suffix)
               for s in args.spaceranger]
     _warn_existing_caches(args, caches)
     kw = dict(annot_files=args.annots, use_count=True, use_image=False,
               minimum_detection_rate=args.min_detection,
-              hd_binning=getattr(args, "hd_binning", None))
+              hd_binning=hd_binning)
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
-    grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
+    grids = create_visium_dataset(args.spaceranger, spatial=True,
+                                  grid_dims=grid_dims, **kw)
 
     import pandas as pd
 
     genes = list(pd.read_csv(caches[0], sep="\t", index_col=0,
                              usecols=[0]).index)
 
+    # square HD lattices get the Cartesian corrector (hex taps assume the
+    # Visium pseudo-hex packing)
+    square = grid_dims is not None
     f = CountMLP(n_classes=len(grids.classes))
     _train_fg(args, f, grids, spots,
               {"n_genes": len(genes), "genes": genes, "log1p": True,
-               "hd_binning": getattr(args, "hd_binning", None),
-               "model": "GridNetHex+CountMLP"},
-              transform=np.log1p)
+               "hd_binning": hd_binning,
+               "grid_dims": ([grids.h_st, grids.w_st] if square else None),
+               "model": ("GridNet+CountMLP" if square
+                         else "GridNetHex+CountMLP")},
+              transform=np.log1p, corrector="square" if square else "hex")
 
 
 def _check_image_args(args):
@@ -389,8 +413,14 @@ def _cmd_register(args):
             print(f"registered {name} -> {out_csv}")
         return
 
+    grid_dims = meta.get("grid_dims")  # square HD lattices (GridNet g)
     f = CountMLP(n_classes=len(classes))
-    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+    if grid_dims is not None:
+        from gridnext_tpu.models import GridNet
+
+        g = GridNet(patch_classifier=f, n_classes=len(classes))
+    else:
+        g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
     from gridnext_tpu.io import unified_count_suffix
 
@@ -411,7 +441,11 @@ def _cmd_register(args):
                     f"error: {cfile} has a different gene set/order than the "
                     "model was trained on -- regenerate the unified counts "
                     "with the training cohort's settings")
-        gdat = CountGridDataset([cfile])
+        if grid_dims is not None:
+            gdat = CountGridDataset([cfile], Visium=False,
+                                    h_st=grid_dims[0], w_st=grid_dims[1])
+        else:
+            gdat = CountGridDataset([cfile])
         x, _ = gdat[0]
         if meta.get("log1p"):
             x = np.log1p(x)
@@ -425,7 +459,8 @@ def _cmd_register(args):
             os.makedirs(args.out, exist_ok=True)
         to_loupe_annots(label_grid,
                         find_position_file(srd, meta.get("hd_binning")),
-                        out_csv, annot_names=classes)
+                        out_csv, annot_names=classes,
+                        hex_coords=grid_dims is None)
         print(f"registered {name} -> {out_csv}")
 
 
@@ -474,6 +509,9 @@ def main(argv=None):
     s = sub.add_parser("train-count", help="train CountMLP f + GridNetHex g")
     s.add_argument("--hd-binning", default=None,
                    help="Visium HD binned output to read (e.g. square_008um)")
+    s.add_argument("--grid-dims", default=None,
+                   help="square HD bin lattice: 'auto' (infer from positions) "
+                        "or HxW; selects the Cartesian GridNet corrector")
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--annots", nargs="+", required=True)
     s.add_argument("--out", required=True)

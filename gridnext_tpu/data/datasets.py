@@ -50,9 +50,10 @@ def _check_lengths(files, annot_files, position_files, Visium,
         if position_files is None:
             raise ValueError(
                 "Must provide Spaceranger position files mapping barcodes to array locations.")
-        if len(position_files) != len(annot_files):
-            raise ValueError(
-                "Number of Spaceranger position files does not match number of annotation files.")
+    if (annot_files is not None and position_files is not None
+            and len(position_files) != len(annot_files)):
+        raise ValueError(
+            "Number of Spaceranger position files does not match number of annotation files.")
 
 
 class _GridDatasetBase:
@@ -124,8 +125,13 @@ class CountGridDataset(_GridDatasetBase):
         self.afile_delim = afile_delim
         self._n_arrays = len(self.count_files)
 
+        # Loupe annotations (barcode CSVs + positions) need class encoding
+        # over the cross-array union; this is independent of the grid
+        # placement convention (``Visium``) -- HD square lattices use
+        # Visium=False placement with Loupe annotations.
         self.classes = None
-        if Visium and annot_files is not None and annot_format == "loupe":
+        if (annot_files is not None and annot_format == "loupe"
+                and self.position_files is not None):
             self.classes = union_classes(self.annot_files, self.position_files)
 
     def __getitem__(self, idx):
@@ -221,6 +227,32 @@ def _load_patch(path, transform: Optional[Callable]):
     return img
 
 
+def _load_patches(paths, transform: Optional[Callable]) -> np.ndarray:
+    """Decode a batch of patch files -> (n, ...) float32 in [0, 1].
+
+    Square RGB JPEGs go through the native threaded decoder
+    (native/patchio.cpp, bit-identical to PIL -- both wrap libjpeg);
+    anything else, or a missing toolchain, falls back to the PIL loop.
+    """
+    raw = None
+    if paths and str(paths[0]).lower().endswith((".jpg", ".jpeg")):
+        from PIL import Image
+
+        from gridnext_tpu import native
+
+        with Image.open(paths[0]) as im:  # header-only probe
+            square_rgb = im.mode == "RGB" and im.size[0] == im.size[1]
+            side = im.size[0]
+        if square_rgb:
+            raw = native.decode_jpeg_batch(paths, side)
+    if raw is None:
+        return np.stack([_load_patch(p, transform) for p in paths])
+    imgs = raw.astype(np.float32) / 255.0
+    if transform is not None:
+        imgs = np.stack([transform(im) for im in imgs])
+    return imgs
+
+
 class PatchGridDataset(_GridDatasetBase):
     """Per-array (H, W, P, P, 3) patch grids + (H, W) label grids.
 
@@ -244,15 +276,17 @@ class PatchGridDataset(_GridDatasetBase):
         self.h_st, self.w_st = h_st, w_st
         self._n_arrays = len(self.img_dirs)
 
+        # Loupe class-union encoding whenever positions are available --
+        # decoupled from the placement convention (see CountGridDataset).
         self.classes = None
-        if Visium and annot_files is not None:
+        if annot_files is not None and self.position_files is not None:
             self.classes = union_classes(self.annot_files, self.position_files,
                                          afile_delim)
 
     def __getitem__(self, idx):
         adict = None
         if self.annot_files is not None:
-            if self.Visium:
+            if self.position_files is not None:
                 coord_strs, annot_strs = read_annotfile(
                     self.annot_files[idx], position_file=self.position_files[idx],
                     Visium=True, afile_delim=self.afile_delim)
@@ -263,18 +297,21 @@ class PatchGridDataset(_GridDatasetBase):
             adict = dict(zip(coord_strs, annot_lbls))
 
         annots = np.zeros((self.h_st, self.w_st), dtype=np.int64)
-        patch_grid = None
         rxp = re.compile(_PATCH_RXP_TMPL % self.img_ext)
-        for f in sorted(os.listdir(str(self.img_dirs[idx]))):
+        imdir = str(self.img_dirs[idx])
+        names, coords = [], []
+        for f in sorted(os.listdir(imdir)):
             m = rxp.match(f)
-            if m is None:
-                continue
-            a_x, a_y = int(m.group(1)), int(m.group(2))
-            patch = _load_patch(os.path.join(str(self.img_dirs[idx]), f),
+            if m is not None:
+                names.append(f)
+                coords.append((int(m.group(1)), int(m.group(2))))
+        if not names:
+            raise ValueError(f"No patches found in {self.img_dirs[idx]}")
+        patches = _load_patches([os.path.join(imdir, f) for f in names],
                                 self.transform)
-            if patch_grid is None:
-                patch_grid = np.zeros((self.h_st, self.w_st) + patch.shape,
-                                      dtype=np.float32)
+        patch_grid = np.zeros((self.h_st, self.w_st) + patches.shape[1:],
+                              dtype=np.float32)
+        for (a_x, a_y), patch in zip(coords, patches):
             x, y = (geometry.pseudo_hex_to_oddr(a_x, a_y) if self.Visium
                     else (a_x, a_y))
             if adict is not None:
@@ -282,8 +319,6 @@ class PatchGridDataset(_GridDatasetBase):
                 if cstr in adict:
                     annots[y, x] = adict[cstr] + 1  # 0 reserved for background
             patch_grid[y, x] = patch
-        if patch_grid is None:
-            raise ValueError(f"No patches found in {self.img_dirs[idx]}")
         return patch_grid, annots
 
 
@@ -332,7 +367,7 @@ class PatchSpotDataset:
         return img, np.int64(label)
 
     def materialize(self):
-        xs = np.stack([self[i][0] for i in range(len(self))])
+        xs = _load_patches(self.imgpath_mapping, self.transform)
         ys = np.array(self.annotations if self.annotations
                       else np.zeros(len(self)), dtype=np.int64)
         return xs, ys
@@ -425,7 +460,8 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                           img_transforms: Optional[Callable] = None,
                           select_genes: Optional[Sequence[str]] = None,
                           save_patches_to=None,
-                          hd_binning: Optional[str] = None):
+                          hd_binning: Optional[str] = None,
+                          grid_dims=None):
     """Top-level dataset factory (visium_datasets.py:21-132 parity).
 
     Generates missing ``.unified.tsv.gz`` count caches and ``_patches*`` image
@@ -435,24 +471,46 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
     (``outs/binned_outputs/<binning>``: parquet positions + per-binning MEX,
     utils.py:253-287) -- an extension over the reference, whose factory only
     exposes HD through the AnnData builders (visium_datasets.py:221,277).
-    HD grids exceed the 78x64 Cartesian lattice; pass explicit grid dims to
-    the dataset classes directly for full-resolution HD work.
+
+    ``grid_dims`` enables *square-lattice* HD grids: ``"auto"`` infers
+    (max_row+1, max_col+1) over the arrays' positions, or pass an explicit
+    ``(h, w)``. Grids are then indexed directly by (array_row, array_col)
+    (``Visium=False`` placement) and the image branch extracts per-bin
+    patches from the fullres image. Without ``grid_dims``, HD positions
+    must sit on the 78x64 pseudo-hex lattice (legacy behavior) and the
+    image branch is unavailable.
     """
     if not (use_count or use_image):
         raise ValueError("Must utilize at least one data modality")
     if use_image and not (patch_size_px or patch_size_um):
         raise ValueError("Must specify patch size in pixels (int) or um (float)")
+    if grid_dims is not None and hd_binning is None:
+        raise ValueError("grid_dims is only meaningful with hd_binning")
 
     spaceranger_dirs = [str(s) for s in spaceranger_dirs]
+    hd_square = hd_binning is not None and grid_dims is not None
+    if hd_square:
+        from gridnext_tpu.io.spaceranger import read_positions
+
+        if isinstance(grid_dims, str):
+            if grid_dims != "auto":
+                raise ValueError(f"grid_dims must be 'auto' or (h, w); got {grid_dims!r}")
+            h_hd = w_hd = 0
+            for srd in spaceranger_dirs:
+                pos = read_positions(srd, hd_binning)
+                h_hd = max(h_hd, int(pos["array_row"].astype(int).max()) + 1)
+                w_hd = max(w_hd, int(pos["array_col"].astype(int).max()) + 1)
+        else:
+            h_hd, w_hd = int(grid_dims[0]), int(grid_dims[1])
     if hd_binning is not None:
         from gridnext_tpu.io import unified_count_suffix
 
-        if use_image:
+        if use_image and not hd_square:
             raise NotImplementedError(
-                "hd_binning with use_image=True is not supported: HD runs "
-                "have no 55um spot patch contract; extract patches from the "
-                "fullres image with explicit coordinates instead")
-        if spatial:
+                "hd_binning with use_image=True needs grid_dims (the square "
+                "HD bin lattice the patch grid is indexed by); pass "
+                "grid_dims='auto' or an explicit (h, w)")
+        if spatial and not hd_square:
             # Grid datasets place spots on the 78x64 pseudo-hex Visium
             # lattice. Square-binned HD positions (both column parities per
             # row, indices into the hundreds) do not fit it -- fail loudly
@@ -470,7 +528,8 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                         f"{srd} [{hd_binning}]: positions are not on the "
                         f"{geometry.VISIUM_H_ST}x{geometry.VISIUM_W_ST} "
                         "pseudo-hex Visium lattice (square HD binning); "
-                        "grid datasets cannot represent them. Use "
+                        "grid datasets cannot represent them. Pass "
+                        "grid_dims='auto' (square-lattice grids), use "
                         "spatial=False (spot-level), or the AnnData "
                         "builders (io.anndata_io, hd_binning=...) which "
                         "carry arbitrary HD coordinates.")
@@ -493,6 +552,9 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
 
         patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
                         else f"_patches{int(patch_size_um)}um")
+        if hd_binning is not None:
+            # bin-specific cache dir (same reasoning as the count cache name)
+            patch_suffix = f"_{hd_binning}{patch_suffix}"
         if save_patches_to is None:
             patch_dirs = [os.path.join(srd, Path(srd).name + patch_suffix)
                           for srd in spaceranger_dirs]
@@ -513,23 +575,30 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                 if not os.path.exists(imfile):
                     raise ValueError(f"Could not find image file: {imfile}")
                 ps = (patch_size_px if patch_size_px is not None
-                      else distance_um_to_px(spaceranger_dirs[i], patch_size_um))
+                      else distance_um_to_px(spaceranger_dirs[i], patch_size_um,
+                                             hd_binning=hd_binning))
                 save_visium_patches(imfile, spaceranger_dirs[i], patch_dirs[i],
-                                    patch_size=ps)
+                                    patch_size=ps, hd_binning=hd_binning,
+                                    h_st=h_hd if hd_square else None,
+                                    w_st=w_hd if hd_square else None)
 
     position_files = [find_position_file(srd, hd_binning)
                       for srd in spaceranger_dirs]
 
     if spatial:
+        # HD square lattices index grids directly by (array_row, array_col);
+        # Loupe annotation reading still goes through the positions file.
+        grid_kw = (dict(Visium=False, h_st=h_hd, w_st=w_hd) if hd_square
+                   else dict(Visium=True))
         dat_image = dat_count = None
         if use_image:
             dat_image = PatchGridDataset(patch_dirs, annot_files=annot_files,
-                                         position_files=position_files, Visium=True,
-                                         img_transforms=img_transforms)
+                                         position_files=position_files,
+                                         img_transforms=img_transforms, **grid_kw)
         if use_count:
             dat_count = CountGridDataset(count_files, annot_files=annot_files,
-                                         position_files=position_files, Visium=True,
-                                         select_genes=select_genes)
+                                         position_files=position_files,
+                                         select_genes=select_genes, **grid_kw)
         if use_image and use_count:
             return MMStackDataset(dat_image, dat_count)
         return dat_image if use_image else dat_count

@@ -35,13 +35,22 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
                              seed: int = 0, tissue_fraction: float = 0.6,
                              image: bool = False, spot_spacing_px: int = 12,
                              spaceranger_version: int = 2,
-                             gene_names=None):
+                             gene_names=None, hd_grid=None,
+                             hd_binning: str = "square_008um"):
     """Create ``dest_dir`` as a fake Spaceranger output directory.
 
     The simulated tissue is an ellipse; annotation classes are concentric
     bands within it (spatially coherent, so a corrector has signal to use).
     Per-class gene expression is drawn from class-specific Poisson rates so a
     spot classifier can learn, too.
+
+    ``spaceranger_version="hd"`` writes the Visium HD binned-output layout
+    (``outs/binned_outputs/<hd_binning>``: parquet positions + per-binning
+    MEX, utils.py:253-287). By default the HD fixture reuses the 78x64
+    pseudo-hex lattice (format-only HD: same grids as v2 for a given seed);
+    pass ``hd_grid=(h, w)`` for a *true square* HD bin lattice -- direct
+    ``array_row``/``array_col`` indices with both column parities per row,
+    real-HD barcode names, and a ``(h, w)`` label grid.
 
     Returns a dict with paths and the ground-truth label grid.
     """
@@ -52,9 +61,21 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     spatial.mkdir(parents=True, exist_ok=True)
     matdir.mkdir(parents=True, exist_ok=True)
 
-    h_st, w_st = geometry.VISIUM_H_ST, geometry.VISIUM_W_ST
-    barcodes, col, row = lattice_positions()
-    xs, ys = geometry.pseudo_to_true_hex(col, row)
+    if hd_grid is not None and spaceranger_version != "hd":
+        raise ValueError("hd_grid requires spaceranger_version='hd'")
+    if hd_grid is not None:
+        # True square HD bin lattice: direct row/col indices, unit spacing.
+        h_st, w_st = int(hd_grid[0]), int(hd_grid[1])
+        row = np.repeat(np.arange(h_st), w_st)
+        col = np.tile(np.arange(w_st), h_st)
+        um = hd_binning.split("_")[-1]  # 'square_008um' -> '008um'
+        barcodes = np.array([f"s_{um}_{r:05d}_{c:05d}-1"
+                             for r, c in zip(row, col)])
+        xs, ys = col.astype(float), row.astype(float)
+    else:
+        h_st, w_st = geometry.VISIUM_H_ST, geometry.VISIUM_W_ST
+        barcodes, col, row = lattice_positions()
+        xs, ys = geometry.pseudo_to_true_hex(col, row)
 
     # Elliptical tissue mask around the array center.
     cx, cy = np.mean(xs), np.mean(ys)
@@ -85,12 +106,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
             f"spaceranger_version must be 1, 2, or 'hd'; got {spaceranger_version!r}")
     if spaceranger_version == "hd":
         # Visium HD layout: binned outputs with parquet positions
-        binning = "square_008um"
-        bin_spatial = dest / "outs" / "binned_outputs" / binning / "spatial"
+        bin_spatial = dest / "outs" / "binned_outputs" / hd_binning / "spatial"
         bin_spatial.mkdir(parents=True, exist_ok=True)
         pos_path = bin_spatial / "tissue_positions.parquet"
         pos.to_parquet(pos_path, index=False)
-        matdir = (dest / "outs" / "binned_outputs" / binning /
+        matdir = (dest / "outs" / "binned_outputs" / hd_binning /
                   "filtered_feature_bc_matrix")
         matdir.mkdir(parents=True, exist_ok=True)
     elif spaceranger_version >= 2:
@@ -164,8 +184,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         Image.fromarray(img).save(img_path, "JPEG", quality=95)
 
     label_grid = np.zeros((h_st, w_st), dtype=np.int64)
-    ox, oy = geometry.pseudo_hex_to_oddr(col, row)
-    label_grid[oy, ox] = labels
+    if hd_grid is not None:
+        label_grid[row, col] = labels
+    else:
+        ox, oy = geometry.pseudo_hex_to_oddr(col, row)
+        label_grid[oy, ox] = labels
 
     return {
         "spaceranger_dir": str(dest),

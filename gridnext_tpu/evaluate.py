@@ -115,12 +115,13 @@ def flatten_foreground(pred_grid: np.ndarray, true_grid: np.ndarray):
 
 def to_loupe_annots(annot_grid, position_file, output_file,
                     annot_names: Optional[Sequence[str]] = None,
-                    zero_bg: bool = True):
+                    zero_bg: bool = True, hex_coords: bool = True):
     """Write a Loupe-format (Barcode, AARs) CSV from an odd-right label grid.
 
     ``annot_grid`` is (H, W) integer labels (foreground 1..N when
     ``zero_bg``, else 0..N-1). Unlabeled in-tissue spots export as ''.
-    Matches utils.py:169-193.
+    Matches utils.py:169-193. ``hex_coords=False`` (Visium HD square
+    lattices) indexes the grid directly by (array_row, array_col).
     """
     import pandas as pd
 
@@ -132,8 +133,12 @@ def to_loupe_annots(annot_grid, position_file, output_file,
 
     barcodes, annotations = [], []
     in_tissue = positions[positions["in_tissue"].astype(int) == 1]
-    x, y = geometry.pseudo_hex_to_oddr(in_tissue["array_col"].values,
-                                       in_tissue["array_row"].values)
+    if hex_coords:
+        x, y = geometry.pseudo_hex_to_oddr(in_tissue["array_col"].values,
+                                           in_tissue["array_row"].values)
+    else:
+        x = in_tissue["array_col"].values.astype(int)
+        y = in_tissue["array_row"].values.astype(int)
     for bc, xi, yi in zip(in_tissue.index, np.atleast_1d(x), np.atleast_1d(y)):
         a = int(annot_grid[yi, xi]) - int(zero_bg)
         if a < 0:

@@ -1,15 +1,17 @@
-"""Native (C++) host-I/O tier: fast unified-count-TSV codec.
+"""Native (C++) host-I/O tier: fast unified-count-TSV codec + JPEG batch decode.
 
 Compiled lazily with g++ on first use (cached by source hash under
-``_build/``); every entry point degrades gracefully to the pandas
-implementation when a toolchain is unavailable, so the native tier is an
-accelerator, never a dependency.
+``_build/``); every entry point degrades gracefully to the pandas/PIL
+implementation when a toolchain or library is unavailable, so the native
+tier is an accelerator, never a dependency.
 
 Why it exists: the ``.unified.tsv.gz`` cache contract is the framework's
 hottest host path -- pandas takes minutes to WRITE a full-transcriptome
 array (default formatting + gzip level 9) and seconds to read one;
 the C++ codec does both in a fraction of that (measured ~40x write,
-~4x read on a 15k x 4k matrix).
+~4x read on a 15k x 4k matrix). The JPEG codec (patchio.cpp) batch-decodes
+a patch-cache directory (~3k spot JPEGs per array) across a thread pool
+instead of one PIL call per ``__getitem__`` (image_datasets.py:113-122).
 """
 
 from __future__ import annotations
@@ -158,3 +160,59 @@ def read_tsv_dataframe(path):
 
     rows, cols, values = out
     return pd.DataFrame(values, index=rows, columns=cols)
+
+
+# --- JPEG batch decode (patchio.cpp) ----------------------------------------
+
+_PATCH_SRC = Path(__file__).with_name("patchio.cpp")
+_patch_lib = None
+_patch_lib_failed = False
+
+
+def _build_patch_lib() -> Optional[ctypes.CDLL]:
+    src = _PATCH_SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    so_path = _BUILD_DIR / f"patchio-{tag}.so"
+    if not so_path.exists():
+        _BUILD_DIR.mkdir(exist_ok=True)
+        tmp = so_path.with_suffix(".so.tmp")
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_PATCH_SRC),
+               "-o", str(tmp), "-ljpeg"]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+
+    lib = ctypes.CDLL(str(so_path))
+    lib.jpeg_decode_batch.restype = ctypes.c_int
+    lib.jpeg_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    return lib
+
+
+def get_patch_lib() -> Optional[ctypes.CDLL]:
+    global _patch_lib, _patch_lib_failed
+    if _patch_lib is None and not _patch_lib_failed:
+        try:
+            _patch_lib = _build_patch_lib()
+        except Exception:
+            _patch_lib_failed = True
+    return _patch_lib
+
+
+def decode_jpeg_batch(paths: Sequence, patch_size: int,
+                      n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode ``paths`` into a (n, patch_size, patch_size, 3) uint8 array.
+
+    Returns None when the native codec is unavailable OR any file is not an
+    exact (p, p, 3) JPEG -- callers fall back to the PIL loop. Decodes run
+    across a thread pool (``n_threads<=0`` = hardware concurrency).
+    """
+    lib = get_patch_lib()
+    if lib is None or len(paths) == 0:
+        return None
+    arr, enc = _char_array([str(p) for p in paths])
+    out = np.empty((len(paths), patch_size, patch_size, 3), np.uint8)
+    rc = lib.jpeg_decode_batch(arr, len(paths), patch_size,
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                               int(n_threads))
+    return out if rc == 0 else None

@@ -72,36 +72,61 @@ def make_imagenet_transform(resize: int = 256, crop: int = 224):
     return transform
 
 
-def distance_um_to_px(spaceranger_dir, distance_um: float) -> int:
+def hd_bin_um(hd_binning: str) -> float:
+    """Bin edge length in µm from an HD binning name ('square_008um' -> 8)."""
+    import re
+
+    m = re.search(r"(\d+(?:\.\d+)?)\s*um$", str(hd_binning))
+    if m is None:
+        raise ValueError(f"Cannot parse bin size from binning {hd_binning!r}")
+    return float(m.group(1))
+
+
+def distance_um_to_px(spaceranger_dir, distance_um: float,
+                      hd_binning: Optional[str] = None) -> int:
     """Pixels spanning ``distance_um`` on the fullres image of an array.
 
     Inferred from the ratio of pixel to lattice distances over a 10-spot
     sample, exactly like imgprocess.py:89-109 (spots are 100 µm apart).
+    For Visium HD (``hd_binning``), the lattice is square with bins
+    ``hd_bin_um(hd_binning)`` µm apart and direct array_row/col indices.
     """
-    positions = read_positions(spaceranger_dir)
+    positions = read_positions(spaceranger_dir, hd_binning)
     if len(positions) > 10:
         # fixed seed: the inferred px size names the patch cache directory,
         # so it must be deterministic across runs
         positions = positions.sample(n=10, random_state=0)
 
-    cart = np.stack(geometry.pseudo_to_true_hex(
-        positions["array_col"].values, positions["array_row"].values), axis=1)
+    if hd_binning is not None:
+        cart = np.stack([positions["array_col"].values.astype(float),
+                         positions["array_row"].values.astype(float)], axis=1)
+        lattice_um = hd_bin_um(hd_binning)
+    else:
+        cart = np.stack(geometry.pseudo_to_true_hex(
+            positions["array_col"].values, positions["array_row"].values), axis=1)
+        lattice_um = 100.0  # adjacent Visium spots are 100 µm apart
     px = np.stack([positions["pxl_col_in_fullres"].values,
                    positions["pxl_row_in_fullres"].values], axis=1).astype(float)
 
-    d100 = np.mean(pairwise_distances(px) / pairwise_distances(cart))
-    return int(np.rint(distance_um * d100 / 100))
+    d_unit = np.mean(pairwise_distances(px) / pairwise_distances(cart))
+    return int(np.rint(distance_um * d_unit / lattice_um))
 
 
-def _spot_pixel_boxes(positions, window: int):
+def _spot_pixel_boxes(positions, window: int, hex_coords: bool = True):
     """Foreground spots -> (oddr_x, oddr_y, x_px, y_px) int arrays.
 
     Pixel coords are rounded (fractional coords occur rarely,
     imgprocess.py:212-214) and offset by the edge padding of ``window//2``.
+    ``hex_coords=False`` (Visium HD square bins) indexes the grid directly
+    with array_col/array_row instead of the pseudo-hex -> odd-right map.
     """
     df = positions[positions["in_tissue"].astype(int) == 1]
-    x_ind, y_ind = geometry.pseudo_hex_to_oddr(df["array_col"].values,
-                                               df["array_row"].values)
+    if hex_coords:
+        x_ind, y_ind = geometry.pseudo_hex_to_oddr(df["array_col"].values,
+                                                   df["array_row"].values)
+    else:
+        x_ind = df["array_col"].values.astype(int)
+        y_ind = df["array_row"].values.astype(int)
     x_px = np.rint(df["pxl_col_in_fullres"].values.astype(float)).astype(int) + window // 2
     y_px = np.rint(df["pxl_row_in_fullres"].values.astype(float)).astype(int) + window // 2
     return np.asarray(x_ind), np.asarray(y_ind), x_px, y_px
@@ -171,12 +196,16 @@ def extract_patches_device(img, y_px, x_px, window: int, patch_size: int):
 def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256,
                          window_size: Optional[int] = None,
                          h_st: int = VISIUM_H_ST, w_st: int = VISIUM_W_ST,
-                         dtype=np.float32) -> np.ndarray:
+                         dtype=np.float32,
+                         hd_binning: Optional[str] = None) -> np.ndarray:
     """Extract the odd-right (H_ST, W_ST, P, P, 3) patch grid for one array.
 
     Values are raw pixel intensities 0..255 (cast to ``dtype``), matching the
     reference's tensor contract (imgprocess.py:206-238) up to the
-    channels-LAST layout used throughout this package.
+    channels-LAST layout used throughout this package. With ``hd_binning``
+    the positions come from the HD binned-output parquet and the grid is
+    indexed directly by (array_row, array_col) -- pass the square lattice's
+    dims as ``h_st``/``w_st``.
     """
     from PIL import Image
 
@@ -196,8 +225,9 @@ def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256
 
     img = np.pad(img, [(w // 2, w // 2), (w // 2, w // 2), (0, 0)], mode="edge")
 
-    positions = read_positions(spaceranger_dir)
-    x_ind, y_ind, x_px, y_px = _spot_pixel_boxes(positions, w)
+    positions = read_positions(spaceranger_dir, hd_binning)
+    x_ind, y_ind, x_px, y_px = _spot_pixel_boxes(positions, w,
+                                                 hex_coords=hd_binning is None)
 
     in_bounds = (y_ind < h_st) & (x_ind < w_st)
     if not in_bounds.all():
@@ -214,24 +244,38 @@ def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256
 
 
 def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 256,
-                        window_size: Optional[int] = None):
+                        window_size: Optional[int] = None,
+                        hd_binning: Optional[str] = None,
+                        h_st: Optional[int] = None, w_st: Optional[int] = None):
     """Write per-spot JPEGs named ``{array}_{col}_{row}.jpg`` (cache contract).
 
     Foreground = any nonzero pixel in the patch (imgprocess.py:270-278).
+    Filename coordinates are pseudo-hex for Visium and direct
+    (array_col, array_row) for HD binnings; HD grid dims default to the
+    positions' (max_row+1, max_col+1).
     """
     from PIL import Image
 
+    if hd_binning is not None and (h_st is None or w_st is None):
+        pos = read_positions(spaceranger_dir, hd_binning)
+        h_st = h_st or int(pos["array_row"].astype(int).max()) + 1
+        w_st = w_st or int(pos["array_col"].astype(int).max()) + 1
     grid = grid_from_wsi_visium(img_file, spaceranger_dir,
-                                patch_size=patch_size, window_size=window_size)
+                                patch_size=patch_size, window_size=window_size,
+                                h_st=h_st or VISIUM_H_ST, w_st=w_st or VISIUM_W_ST,
+                                hd_binning=hd_binning)
     os.makedirs(dest_dir, exist_ok=True)
     slide = str(Path(spaceranger_dir).stem)
 
     fg = grid.reshape(grid.shape[0], grid.shape[1], -1).max(axis=-1) > 0
     for oy, ox in zip(*np.nonzero(fg)):
-        x_vis, y_vis = geometry.oddr_to_pseudo_hex(int(ox), int(oy))
+        if hd_binning is None:
+            x_coord, y_coord = geometry.oddr_to_pseudo_hex(int(ox), int(oy))
+        else:
+            x_coord, y_coord = int(ox), int(oy)
         patch = grid[oy, ox].astype(np.uint8)
         Image.fromarray(patch).save(
-            os.path.join(str(dest_dir), f"{slide}_{x_vis}_{y_vis}.jpg"), "JPEG")
+            os.path.join(str(dest_dir), f"{slide}_{x_coord}_{y_coord}.jpg"), "JPEG")
 
 
 def save_visium_patches_all(wsi_files, spaceranger_dirs, dest_dir,

@@ -174,6 +174,78 @@ def test_visium_hd_end_to_end(tmp_path):
     assert x0.shape == (25,) and int(y0) >= 0
 
 
+def test_visium_hd_square_grids_end_to_end(tmp_path):
+    """True square HD bin lattice -> grid_dims='auto' -> count+image+MM grids.
+
+    The reference only reads HD positions (utils.py:253-287); square-lattice
+    grid assembly and per-bin patch extraction are extensions certified here
+    against the simulator's ground-truth label grid.
+    """
+    from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+
+    binning = "square_016um"
+    hd_grid = (24, 20)
+    sims = [simulate_spaceranger_dir(tmp_path / f"hd{i}", seed=i, n_genes=18,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=hd_grid, hd_binning=binning,
+                                     image=True, spot_spacing_px=10)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    # real-HD barcode naming
+    pos = read_positions(dirs[0], hd_binning=binning)
+    assert pos.index[0].startswith("s_016um_")
+    assert len(pos) == hd_grid[0] * hd_grid[1]
+
+    # count grids: auto-inferred square dims, labels == simulator truth
+    gdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=True, annot_files=annots,
+                                 hd_binning=binning, grid_dims="auto",
+                                 minimum_detection_rate=None)
+    x, y = gdat[0]
+    assert x.shape[:2] == hd_grid and x.shape[2] == 18
+    np.testing.assert_array_equal(y, sims[0]["label_grid"])
+    assert x[y == 0].sum() == 0 and x[y > 0].sum() > 0
+
+    # image grids: per-bin patches gathered from the fullres image
+    mm = create_visium_dataset(dirs, use_count=True, use_image=True,
+                               spatial=True, annot_files=annots,
+                               fullres_image_files=imgs, patch_size_px=8,
+                               hd_binning=binning, grid_dims="auto",
+                               minimum_detection_rate=None)
+    (xi, xc), ym = mm[0]
+    assert xi.shape == hd_grid + (8, 8, 3)
+    assert xc.shape[:2] == hd_grid
+    # foreground patches are the simulator's class-colored discs (non-white)
+    fg = sims[0]["label_grid"] > 0
+    assert (xi[fg].reshape(fg.sum(), -1).min(axis=1) < 0.9).mean() > 0.5
+    np.testing.assert_array_equal(ym, sims[0]["label_grid"])
+
+    # explicit (h, w) grid_dims and µm-sized patches agree with auto/px
+    gdat2 = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                  spatial=True, annot_files=annots,
+                                  hd_binning=binning, grid_dims=hd_grid,
+                                  minimum_detection_rate=None)
+    np.testing.assert_array_equal(gdat2[0][1], y)
+
+
+def test_hd_distance_um_to_px(tmp_path):
+    """µm->px inference on the HD square lattice: bins are bin-size µm apart."""
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.pipeline import distance_um_to_px
+
+    sim = simulate_spaceranger_dir(tmp_path / "hd", seed=0, n_genes=5,
+                                   n_classes=2, spaceranger_version="hd",
+                                   hd_grid=(12, 10), hd_binning="square_016um",
+                                   image=True, spot_spacing_px=10)
+    # 10 px between adjacent 16um bins -> 32 um spans 20 px
+    px = distance_um_to_px(sim["spaceranger_dir"], 32.0,
+                           hd_binning="square_016um")
+    assert px == 20
+
+
 def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
     """CLI over Visium HD binned outputs: train-count --hd-binning + register."""
     import sys
@@ -204,6 +276,51 @@ def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
         sys.argv = argv_bak
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) > 1000 and set(df.columns) == {"Barcode", "AARs"}
+
+
+def test_cli_hd_square_train_register_end_to_end(tmp_path):
+    """CLI over a true square HD lattice: --grid-dims auto picks the
+    Cartesian GridNet corrector; register writes direct-coordinate Loupe CSVs."""
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    binning = "square_016um"
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=16,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=(20, 16), hd_binning=binning)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-count", "--hd-binning", binning,
+                     "--grid-dims", "auto", "--spaceranger"] + dirs +
+                    ["--annots"] + annots +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--min-detection", "0"])
+        cli.main()
+        sys.argv = ["x", "register", "--spaceranger", dirs[0],
+                    "--model", str(tmp_path / "model"),
+                    "--out", str(tmp_path / "loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+
+    import json as _json
+    meta = _json.loads((tmp_path / "model" / "model.json").read_text())
+    assert meta["model"] == "GridNet+CountMLP"
+    assert meta["grid_dims"] == [20, 16]
+
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert set(df.columns) == {"Barcode", "AARs"}
+    # every in-tissue bin exported, under real-HD barcode names
+    assert len(df) == int((sims[0]["label_grid"] > 0).sum())
+    assert df["Barcode"].str.startswith("s_016um_").all()
 
 
 def test_hd_square_binning_rejected_for_grids(tmp_path):

@@ -100,3 +100,54 @@ def test_pad_graph_requires_pad_node(lib_ok):
         pad_graph(g, 4, n_edge_pad=8)
     out = pad_graph(g, 5, n_edge_pad=8)
     assert (out["edges"][:, 2:] == 4).all()
+
+
+def test_jpeg_decode_batch_matches_pil(tmp_path):
+    """Native threaded JPEG decode is bit-identical to PIL (both wrap
+    libjpeg); dimension mismatches return None so callers fall back."""
+    from PIL import Image
+
+    if native.get_patch_lib() is None:
+        pytest.skip("native jpeg codec unavailable")
+
+    rng = np.random.default_rng(3)
+    P, N = 24, 12
+    paths = []
+    for i in range(N):
+        img = rng.integers(0, 256, (P, P, 3), dtype=np.uint8)
+        p = tmp_path / f"a_{i}_{i}.jpg"
+        Image.fromarray(img).save(p, "JPEG", quality=92)
+        paths.append(str(p))
+
+    out = native.decode_jpeg_batch(paths, P)
+    assert out is not None and out.shape == (N, P, P, 3)
+    pil = np.stack([np.asarray(Image.open(p)) for p in paths])
+    np.testing.assert_array_equal(out, pil)
+
+    assert native.decode_jpeg_batch(paths, P + 1) is None  # wrong dims
+    assert native.decode_jpeg_batch([str(tmp_path / "missing.jpg")], P) is None
+
+
+def test_load_patches_fallback_equivalence(tmp_path, monkeypatch):
+    """_load_patches: native path == PIL fallback, with and without a
+    transform (PatchGridDataset feeds both through the same helper)."""
+    from PIL import Image
+
+    from gridnext_tpu.data.datasets import _load_patches
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(6):
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        p = tmp_path / f"b_{i}_{i}.jpg"
+        Image.fromarray(img).save(p, "JPEG", quality=92)
+        paths.append(str(p))
+
+    tf = lambda im: im[::2, ::2] * 2.0
+    for transform in (None, tf):
+        fast = _load_patches(paths, transform)
+        monkeypatch.setattr(native, "decode_jpeg_batch",
+                            lambda *a, **k: None)
+        slow = _load_patches(paths, transform)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(fast, slow)
