@@ -144,10 +144,13 @@ def _warn_existing_caches(args, suffix_paths):
 
 def _parse_grid_dims(spec):
     """'auto' | 'HxW' -> the factory's grid_dims value (None passes through)."""
-    if spec is None or spec == "auto":
-        return spec
+    if spec is None:
+        return None
+    spec = spec.lower()
+    if spec == "auto":
+        return "auto"
     try:
-        h, w = spec.lower().split("x")
+        h, w = spec.split("x")
         return (int(h), int(w))
     except ValueError:
         sys.exit(f"error: --grid-dims must be 'auto' or HxW; got {spec!r}")

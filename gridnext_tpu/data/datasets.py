@@ -218,33 +218,43 @@ class CountSpotDataset:
 _PATCH_RXP_TMPL = r".*_(\d+)_(\d+)\.%s"
 
 
-def _load_patch(path, transform: Optional[Callable]):
+def _pil_open(path) -> np.ndarray:
     from PIL import Image
 
-    img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    return np.asarray(Image.open(path))
+
+
+def _load_patch(path, transform: Optional[Callable]):
+    img = np.asarray(_pil_open(path), dtype=np.float32) / 255.0
     if transform is not None:
         img = transform(img)
     return img
 
 
-def _load_patches(paths, transform: Optional[Callable]) -> np.ndarray:
-    """Decode a batch of patch files -> (n, ...) float32 in [0, 1].
+def _decode_patch_batch(paths) -> Optional[np.ndarray]:
+    """Native batch decode -> (n, P, P, 3) uint8, or None (caller uses PIL).
 
-    Square RGB JPEGs go through the native threaded decoder
-    (native/patchio.cpp, bit-identical to PIL -- both wrap libjpeg);
-    anything else, or a missing toolchain, falls back to the PIL loop.
+    Square RGB JPEGs go through the threaded decoder (native/patchio.cpp,
+    bit-identical to PIL -- both wrap libjpeg); anything else, or a missing
+    toolchain, returns None.
     """
-    raw = None
-    if paths and str(paths[0]).lower().endswith((".jpg", ".jpeg")):
-        from PIL import Image
+    if not paths or not str(paths[0]).lower().endswith((".jpg", ".jpeg")):
+        return None
+    from PIL import Image
 
-        from gridnext_tpu import native
+    from gridnext_tpu import native
 
-        with Image.open(paths[0]) as im:  # header-only probe
-            square_rgb = im.mode == "RGB" and im.size[0] == im.size[1]
-            side = im.size[0]
-        if square_rgb:
-            raw = native.decode_jpeg_batch(paths, side)
+    with Image.open(paths[0]) as im:  # header-only probe
+        square_rgb = im.mode == "RGB" and im.size[0] == im.size[1]
+        side = im.size[0]
+    if not square_rgb:
+        return None
+    return native.decode_jpeg_batch(paths, side)
+
+
+def _load_patches(paths, transform: Optional[Callable]) -> np.ndarray:
+    """Decode a batch of patch files -> (n, ...) float32 in [0, 1]."""
+    raw = _decode_patch_batch(paths)
     if raw is None:
         return np.stack([_load_patch(p, transform) for p in paths])
     imgs = raw.astype(np.float32) / 255.0
@@ -307,18 +317,28 @@ class PatchGridDataset(_GridDatasetBase):
                 coords.append((int(m.group(1)), int(m.group(2))))
         if not names:
             raise ValueError(f"No patches found in {self.img_dirs[idx]}")
-        patches = _load_patches([os.path.join(imdir, f) for f in names],
-                                self.transform)
-        patch_grid = np.zeros((self.h_st, self.w_st) + patches.shape[1:],
+        paths = [os.path.join(imdir, f) for f in names]
+        # batch-decode to uint8, then convert/transform per patch while
+        # scattering -- holds 1/4 the transient RAM of a float32 batch
+        # (image grids are ~1 GB/array materialized)
+        raw = _decode_patch_batch(paths)
+
+        def patch_at(i):
+            img = (raw[i].astype(np.float32) / 255.0 if raw is not None
+                   else np.asarray(_pil_open(paths[i]), np.float32) / 255.0)
+            return self.transform(img) if self.transform is not None else img
+
+        first = patch_at(0)
+        patch_grid = np.zeros((self.h_st, self.w_st) + first.shape,
                               dtype=np.float32)
-        for (a_x, a_y), patch in zip(coords, patches):
+        for i, (a_x, a_y) in enumerate(coords):
             x, y = (geometry.pseudo_hex_to_oddr(a_x, a_y) if self.Visium
                     else (a_x, a_y))
             if adict is not None:
                 cstr = f"{a_x}_{a_y}"
                 if cstr in adict:
                     annots[y, x] = adict[cstr] + 1  # 0 reserved for background
-            patch_grid[y, x] = patch
+            patch_grid[y, x] = first if i == 0 else patch_at(i)
         return patch_grid, annots
 
 
@@ -490,16 +510,15 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
     spaceranger_dirs = [str(s) for s in spaceranger_dirs]
     hd_square = hd_binning is not None and grid_dims is not None
     if hd_square:
-        from gridnext_tpu.io.spaceranger import read_positions
+        from gridnext_tpu.io.spaceranger import hd_lattice_dims
 
         if isinstance(grid_dims, str):
             if grid_dims != "auto":
                 raise ValueError(f"grid_dims must be 'auto' or (h, w); got {grid_dims!r}")
             h_hd = w_hd = 0
             for srd in spaceranger_dirs:
-                pos = read_positions(srd, hd_binning)
-                h_hd = max(h_hd, int(pos["array_row"].astype(int).max()) + 1)
-                w_hd = max(w_hd, int(pos["array_col"].astype(int).max()) + 1)
+                h, w = hd_lattice_dims(srd, hd_binning)
+                h_hd, w_hd = max(h_hd, h), max(w_hd, w)
         else:
             h_hd, w_hd = int(grid_dims[0]), int(grid_dims[1])
     if hd_binning is not None:
@@ -553,8 +572,11 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
         patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
                         else f"_patches{int(patch_size_um)}um")
         if hd_binning is not None:
-            # bin-specific cache dir (same reasoning as the count cache name)
-            patch_suffix = f"_{hd_binning}{patch_suffix}"
+            # binning- AND dims-specific cache dir: the writer drops
+            # out-of-bounds patches, so a cache built with smaller explicit
+            # grid_dims must not be reused for a larger-dims run (the
+            # use_image guard above ensures hd_square here)
+            patch_suffix = f"_{hd_binning}_{h_hd}x{w_hd}{patch_suffix}"
         if save_patches_to is None:
             patch_dirs = [os.path.join(srd, Path(srd).name + patch_suffix)
                           for srd in spaceranger_dirs]

@@ -139,6 +139,13 @@ def to_loupe_annots(annot_grid, position_file, output_file,
     else:
         x = in_tissue["array_col"].values.astype(int)
         y = in_tissue["array_row"].values.astype(int)
+        if len(y) and (int(np.max(y)) >= annot_grid.shape[0]
+                       or int(np.max(x)) >= annot_grid.shape[1]):
+            raise ValueError(
+                f"positions extend to ({int(np.max(y))}, {int(np.max(x))}) but "
+                f"the label grid is {annot_grid.shape[:2]} -- the array's HD "
+                "lattice is larger than the model's grid_dims (retrain with "
+                "grid_dims='auto' over a cohort that covers this array)")
     for bc, xi, yi in zip(in_tissue.index, np.atleast_1d(x), np.atleast_1d(y)):
         a = int(annot_grid[yi, xi]) - int(zero_bg)
         if a < 0:

@@ -121,6 +121,15 @@ def read_feature_names(spaceranger_dir=None, individual_files: Optional[Mapping]
                        sep="\t", names=["ENSEMBL", "gene_symbol"], usecols=[0, 1])
 
 
+def hd_lattice_dims(spaceranger_dir, hd_binning: str) -> tuple:
+    """(h, w) of an HD square bin lattice: (max_row+1, max_col+1) over ALL
+    positions (in- and out-of-tissue), the canonical grid dims for
+    ``grid_dims='auto'`` and the patch-cache writer."""
+    pos = read_positions(spaceranger_dir, hd_binning)
+    return (int(pos["array_row"].astype(int).max()) + 1,
+            int(pos["array_col"].astype(int).max()) + 1)
+
+
 def positions_to_coord_strings(positions: pd.DataFrame, barcodes) -> list:
     """Barcodes -> '{array_col}_{array_row}' coordinate strings."""
     sub = positions.loc[barcodes]

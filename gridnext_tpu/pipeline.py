@@ -257,12 +257,15 @@ def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 2
     from PIL import Image
 
     if hd_binning is not None and (h_st is None or w_st is None):
-        pos = read_positions(spaceranger_dir, hd_binning)
-        h_st = h_st or int(pos["array_row"].astype(int).max()) + 1
-        w_st = w_st or int(pos["array_col"].astype(int).max()) + 1
+        from gridnext_tpu.io.spaceranger import hd_lattice_dims
+
+        dims = hd_lattice_dims(spaceranger_dir, hd_binning)
+        h_st = dims[0] if h_st is None else h_st
+        w_st = dims[1] if w_st is None else w_st
     grid = grid_from_wsi_visium(img_file, spaceranger_dir,
                                 patch_size=patch_size, window_size=window_size,
-                                h_st=h_st or VISIUM_H_ST, w_st=w_st or VISIUM_W_ST,
+                                h_st=VISIUM_H_ST if h_st is None else h_st,
+                                w_st=VISIUM_W_ST if w_st is None else w_st,
                                 hd_binning=hd_binning)
     os.makedirs(dest_dir, exist_ok=True)
     slide = str(Path(spaceranger_dir).stem)

@@ -221,7 +221,12 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
             yield np.asarray(inputs)[idx], np.asarray(labels)[idx]
 
 
-def _prefetch_to_device(batches, size: int = 2):
+# Max dispatched-but-unread steps the epoch loop keeps in flight (see the
+# backpressure note in _run_training); also the device staging depth.
+_PIPELINE_DEPTH = 2
+
+
+def _prefetch_to_device(batches, size: int = _PIPELINE_DEPTH):
     """Stage upcoming (x, y) minibatches onto the device ahead of use.
 
     ``jax.device_put`` is asynchronous, so holding ``size`` staged batches
@@ -278,7 +283,10 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
             # Deferred metric reads: per-batch losses stay on device so the
             # loop never blocks on a host round-trip between steps -- JAX's
             # async dispatch pipelines batch staging (_prefetch_to_device)
-            # with device compute, and one device_get drains the epoch.
+            # with device compute. Backpressure: the loss from PIPELINE_DEPTH
+            # steps back is fetched each iteration, bounding in-flight steps
+            # (and their HBM-resident input batches) instead of letting the
+            # host enqueue an unbounded dispatch backlog.
             losses, corrs, ns, bszs = [], [], [], []
             batches = _prefetch_to_device(
                 _iter_batches(dataloaders[phase], batch_size,
@@ -308,6 +316,11 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 corrs.append(m["n_correct"])
                 ns.append(m["n"])
                 bszs.append(len(y))
+                lag = len(losses) - 1 - _PIPELINE_DEPTH
+                if lag >= 0:
+                    losses[lag] = float(losses[lag])  # sync point: step `lag` done
+                    corrs[lag] = int(corrs[lag])
+                    ns[lag] = int(ns[lag])
             losses = np.asarray(jax.device_get(losses), dtype=float)
             corrs = np.asarray(jax.device_get(corrs))
             ns = np.asarray(jax.device_get(ns))
