@@ -29,11 +29,15 @@ import sys
 def _cmd_simulate(args):
     from gridnext_tpu.data import simulate_spaceranger_dir
 
+    kw = {}
+    if args.hd_grid is not None:
+        kw = dict(spaceranger_version="hd", hd_grid=tuple(args.hd_grid),
+                  hd_binning=args.hd_binning)
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.arrays):
         sim = simulate_spaceranger_dir(
             os.path.join(args.out, f"a{i}"), seed=args.seed + i,
-            n_genes=args.genes, n_classes=args.classes, image=args.image)
+            n_genes=args.genes, n_classes=args.classes, image=args.image, **kw)
         print(f"simulated {sim['spaceranger_dir']} "
               f"(annotations: {sim['annot_file']})")
 
@@ -498,6 +502,12 @@ def main(argv=None):
     s.add_argument("--classes", type=int, default=4)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--image", action="store_true")
+    s.add_argument("--hd-grid", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="emit square-lattice Visium HD binned outputs on an "
+                        "HxW bin grid instead of the 78x64 Visium lattice")
+    s.add_argument("--hd-binning", default="square_008um",
+                   help="binning name for --hd-grid output layout")
     s.set_defaults(fn=_cmd_simulate)
 
     s = sub.add_parser("prepare", help="generate unified counts / patch caches")

@@ -79,3 +79,18 @@ def test_cli_train_mm_register_end_to_end(tmp_path):
         sys.argv = argv_bak
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) > 1000
+
+
+def test_visium_hd_example_floor():
+    """Square-lattice HD workflow: bins classified well above 4-class chance
+    and direct-coordinate Loupe export round-trips to real-HD barcodes."""
+    import pandas as pd
+
+    import visium_hd
+
+    m = visium_hd.main(["--epochs", "6", "--arrays", "3",
+                        "--grid", "32", "28"])
+    assert m["grid"] == (32, 28)
+    assert m["acc_g"] > 0.5
+    df = pd.read_csv(m["loupe_csv"])
+    assert df["Barcode"].str.startswith("s_016um_").all()
