@@ -58,9 +58,17 @@ def _cmd_prepare(args):
             sys.exit("error: --images must list one fullres image per "
                      "--spaceranger directory")
         for srd, im in zip(args.spaceranger, args.images):
-            pdir = os.path.join(srd, os.path.basename(srd.rstrip("/"))
-                                + f"_patches{args.patch_px}px")
-            save_visium_patches(im, srd, pdir, patch_size=args.patch_px)
+            suffix = f"_patches{args.patch_px}px"
+            h_st = w_st = None
+            if args.hd_binning is not None:
+                # match create_visium_dataset's binning+dims cache naming
+                from gridnext_tpu.io.spaceranger import hd_lattice_dims
+
+                h_st, w_st = hd_lattice_dims(srd, args.hd_binning)
+                suffix = f"_{args.hd_binning}_{h_st}x{w_st}{suffix}"
+            pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+            save_visium_patches(im, srd, pdir, patch_size=args.patch_px,
+                                hd_binning=args.hd_binning, h_st=h_st, w_st=w_st)
             print(f"wrote {pdir}")
 
 
