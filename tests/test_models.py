@@ -187,6 +187,41 @@ def test_gridnet_mm_with_scbert_count_f():
     assert y.shape == (1, 4, 4, 3)
 
 
+def test_densenet_torch_parity_after_training():
+    """Converter parity on a TRAINED torch model: a few SGD steps in train()
+    mode give every BatchNorm non-trivial running stats (fresh init has
+    mean=0/var=1, which would mask a BN running-stat mapping bug -- the
+    closest this environment gets to a real densenet_ba44 checkpoint)."""
+    tm = _torch_densenet()
+    opt = torch.optim.SGD(tm.parameters(), lr=1e-2)
+    rng = np.random.default_rng(7)
+    tm.train()
+    for _ in range(4):
+        xb = torch.from_numpy(
+            rng.normal(size=(8, 3, 64, 64)).astype(np.float32))
+        yb = torch.from_numpy(rng.integers(0, 5, size=8))
+        loss = torch.nn.functional.cross_entropy(tm(xb), yb)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    tm.eval()
+    sd = tm.state_dict()
+    # the stats really moved -- otherwise this test is no stronger than
+    # the fresh-init one
+    rm = [v for k, v in sd.items() if k.endswith("running_mean")]
+    assert max(float(v.abs().max()) for v in rm) > 1e-3
+
+    from gridnext_tpu.compat.torch_convert import densenet_from_torch
+    variables = densenet_from_torch(sd, block_config=(2, 2), small_inputs=False)
+    m = DenseNet(growth_rate=4, block_config=(2, 2), num_init_features=8,
+                 bn_size=4, num_classes=5, small_inputs=False)
+    x = rng.normal(size=(4, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_densenet_torch_label_map_identity():
     """North-star check (BASELINE.json): converted weights reproduce the
     torch pipeline's per-spot LABELS exactly on a batch of random patches."""
