@@ -119,10 +119,14 @@ def bench_tpu_image(f=None, chunk: int = 624, label: str = "tpu image pipeline")
 
     log(f"compiling image pipeline [{label}] (~minutes via remote compile)...")
     int(serve(wsi, f_vars, jax.random.key(3)))
-    t0 = time.perf_counter()
-    int(serve(wsi, f_vars, jax.random.key(4)))
-    dt = time.perf_counter() - t0
-    per_slide = dt / REPEATS
+    # median of 3 timed dispatches: one-shot timings through the shared
+    # relay/container jitter run-to-run (r1 vs r2 headline drifted ~2%)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        int(serve(wsi, f_vars, jax.random.key(4 + i)))
+        times.append(time.perf_counter() - t0)
+    per_slide = float(np.median(times)) / REPEATS
     rate = N_SPOTS / per_slide
     log(f"{label}: {per_slide*1e3:.1f} ms/slide "
         f"({rate:,.0f} spots/s) on {jax.devices()[0].device_kind}")
@@ -181,11 +185,16 @@ def bench_torch_cpu_image():
     with torch.no_grad():
         f(torch.from_numpy(crop(*centers[0]).transpose(2, 0, 1)[None]))
 
-    t0 = time.perf_counter()
-    batch = np.stack([crop(cy, cx) for cy, cx in centers])
-    with torch.no_grad():
-        f(torch.from_numpy(batch.transpose(0, 3, 1, 2)))
-    per_spot = (time.perf_counter() - t0) / CPU_SUBSAMPLE
+    # median of 3: the 1-CPU container is shared, and a one-shot baseline
+    # measurement swung the r1->r2 headline ratio by ~25%
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batch = np.stack([crop(cy, cx) for cy, cx in centers])
+        with torch.no_grad():
+            f(torch.from_numpy(batch.transpose(0, 3, 1, 2)))
+        trials.append((time.perf_counter() - t0) / CPU_SUBSAMPLE)
+    per_spot = float(np.median(trials))
     # corrector cost on CPU is negligible next to 4,992 DenseNet forwards
     rate = 1.0 / per_spot
     log(f"torch-cpu image pipeline: {per_spot*1e3:.1f} ms/spot "
