@@ -49,16 +49,21 @@ class _DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        def bottleneck(h):
-            h = _bn(train, self.dtype)(h)
+        def bottleneck(mdl, h):
+            # lifted-transform signature: module first (nn.remat treats the
+            # first argument as the module scope)
+            h = _bn(train, mdl.dtype)(h)
             h = nn.relu(h)
-            return nn.Conv(self.bn_size * self.growth_rate, (1, 1),
+            return nn.Conv(mdl.bn_size * mdl.growth_rate, (1, 1),
                            use_bias=False, kernel_init=_conv_init,
-                           dtype=self.dtype)(h)
+                           dtype=mdl.dtype)(h)
 
-        if self.efficient:
-            bottleneck = nn.remat(bottleneck, prevent_cse=False)
-        h = bottleneck(x)
+        # remat only outside initialization (param creation inside the
+        # checkpoint trace fails; memory saving only matters under grad)
+        if self.efficient and not self.is_initializing():
+            h = nn.remat(bottleneck, prevent_cse=False)(self, x)
+        else:
+            h = bottleneck(self, x)
         h = _bn(train, self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,

@@ -121,6 +121,19 @@ def apply_f_chunked(f: nn.Module, flat: jnp.ndarray, chunk: Optional[int]):
     return out[:n] if pad else out
 
 
+def _apply_f_grid(f, x, chunk, f_dim=None, what="patch classifier"):
+    """(B, H, W, *spot_shape) -> (B, H, W, f_dim): flatten, run f chunked,
+    re-grid; shared by the unimodal base and each multimodal branch."""
+    b, h, w = x.shape[:3]
+    flat = x.reshape((b * h * w,) + x.shape[3:])
+    out = apply_f_chunked(f, flat, chunk)
+    if f_dim is not None and out.shape[-1] != f_dim:
+        raise ValueError(
+            f"{what} produced {out.shape[-1]} features, "
+            f"but f_dim={f_dim} was declared")
+    return out.reshape(b, h, w, out.shape[-1])
+
+
 class _GridNetBase(nn.Module):
     """Shared f-application machinery; subclasses define the corrector."""
 
@@ -132,14 +145,8 @@ class _GridNetBase(nn.Module):
 
     def patch_predictions(self, x, train: bool = False):
         """(B, H, W, *spot_shape) -> (B, H, W, f_dim) grid of f outputs."""
-        b, h, w = x.shape[:3]
-        flat = x.reshape((b * h * w,) + x.shape[3:])
-        out = apply_f_chunked(self.patch_classifier, flat, self.patch_chunk)
-        if self.f_dim is not None and out.shape[-1] != self.f_dim:
-            raise ValueError(
-                f"patch classifier produced {out.shape[-1]} features, "
-                f"but f_dim={self.f_dim} was declared")
-        return out.reshape(b, h, w, out.shape[-1])
+        return _apply_f_grid(self.patch_classifier, x, self.patch_chunk,
+                             self.f_dim)
 
     def __call__(self, x, train: bool = False):
         ppred = self.patch_predictions(x, train=train)
@@ -212,26 +219,14 @@ class GridNetHexMM(nn.Module):
     def setup(self):
         self.corrector = _HexCorrector(self.n_classes, self.use_bn)
 
-    def _branch(self, f, x):
-        b, h, w = x.shape[:3]
-        flat = x.reshape((b * h * w,) + x.shape[3:])
-        out = apply_f_chunked(f, flat, self.patch_chunk)
-        return out.reshape(b, h, w, out.shape[-1])
-
     def patch_predictions(self, x, train: bool = False):
         x_image, x_count = x
-        ppg_count = self._branch(self.count_classifier, x_count)
-        ppg_image = self._branch(self.image_classifier, x_image)
-        if (self.count_f_dim is not None
-                and ppg_count.shape[-1] != self.count_f_dim):
-            raise ValueError(
-                f"count classifier produced {ppg_count.shape[-1]} features, "
-                f"declared count_f_dim={self.count_f_dim}")
-        if (self.image_f_dim is not None
-                and ppg_image.shape[-1] != self.image_f_dim):
-            raise ValueError(
-                f"image classifier produced {ppg_image.shape[-1]} features, "
-                f"declared image_f_dim={self.image_f_dim}")
+        ppg_count = _apply_f_grid(self.count_classifier, x_count,
+                                  self.patch_chunk, self.count_f_dim,
+                                  what="count classifier")
+        ppg_image = _apply_f_grid(self.image_classifier, x_image,
+                                  self.patch_chunk, self.image_f_dim,
+                                  what="image classifier")
         return jnp.concatenate([ppg_count, ppg_image], axis=-1)
 
     def __call__(self, x, train: bool = False):

@@ -18,12 +18,20 @@ class HexConv(nn.Module):
 
     Init parity: xavier-uniform weights / zero bias, matching the reference's
     ``init_weights`` (gridnet_models.py:14-20).
+
+    Dtype convention (same as flax.linen.Dense): parameters live in
+    ``param_dtype`` (float32 master weights regardless of activation dtype);
+    ``dtype`` is the compute dtype, inputs and params are promoted to it for
+    the tap einsum. Feeding bf16 activations no longer creates bf16
+    *parameters* (which would starve optimizer updates below the bf16 ulp
+    and produce mixed-dtype checkpoints).
     """
 
     features: int
     radius: int = 1
     use_bias: bool = True
     dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
     precision: object = None
 
     @nn.compact
@@ -32,9 +40,11 @@ class HexConv(nn.Module):
         c_in = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.xavier_uniform(in_axis=(0, 1), out_axis=2),
-            (t, c_in, self.features), self.dtype or x.dtype)
+            (t, c_in, self.features), self.param_dtype)
         bias = None
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), self.dtype or x.dtype)
+                              (self.features,), self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
         return hex_conv(x, kernel, bias, radius=self.radius, precision=self.precision)

@@ -186,6 +186,13 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
         m = m & key_mask[:, None, :, None, :]
     scores = jnp.where(m, scores, big_neg)
     attn = jax.nn.softmax(scores, axis=-1)
+    # a query whose keys are ALL masked (e.g. causal + mask[b, 0]=False)
+    # would otherwise get a uniform softmax over invalid keys, leaking
+    # masked/out-of-window values -- zero its output instead (the
+    # lucidrains package's own all-masked-row convention)
+    any_valid = jnp.any(jnp.broadcast_to(m, scores.shape), axis=-1,
+                        keepdims=True)
+    attn = jnp.where(any_valid, attn, 0.0)
     out = jnp.einsum("bhgnm,bhgmd->bhgnd", attn, vcat)
     out = out.reshape(b, h, nb * window, d)
     return out[:, :, :n]
@@ -360,7 +367,11 @@ class Performer(nn.Module):
                 h = h + self._wrapped(ff, h, None, train, f"wrap_{i}_ff")
                 return h
 
-            if self.remat:
+            # remat only outside initialization: creating params inside the
+            # lifted checkpoint trace raises UnexpectedTracerError, and the
+            # saved-memory semantics only matter under grad anyway. Param
+            # names are identical either way (pinned by test_performer).
+            if self.remat and not self.is_initializing():
                 x = nn.remat(block, prevent_cse=False)(self, x)
             else:
                 x = block(self, x)

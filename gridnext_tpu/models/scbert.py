@@ -33,6 +33,13 @@ class AttentionClassifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: (B, n, dim). Torch Conv2d(1,1,(1,dim)) == Dense(dim -> 1).
+        if x.shape[1] != self.seq_len:
+            # the torch head's fc1 in_features bakes in the sequence length
+            # (llm/scbert.py:149-153); catch a mismatch at trace time instead
+            # of silently training a differently-shaped head
+            raise ValueError(
+                f"AttentionClassifier built for seq_len={self.seq_len} but "
+                f"got {x.shape[1]} tokens")
         h = nn.Dense(1, name="conv1")(x)[..., 0]  # (B, n)
         h = nn.relu(h)
         h = nn.Dense(512, name="fc1")(h)

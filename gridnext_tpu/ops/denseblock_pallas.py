@@ -240,8 +240,11 @@ def build_densenet_fused_infer(variables: dict, block_config=(6, 12, 24, 16),
                 t = jnp.maximum(x.astype(jnp.float32) * ta + tb_, 0.0)
                 t = jnp.einsum("bhwc,cd->bhwd", t.astype(jnp.bfloat16), tw,
                                preferred_element_type=jnp.float32)
-                # 2x2 avg pool stride 2
+                # 2x2 avg pool stride 2, VALID: odd spatial dims floor like
+                # torch AvgPool2d / nn.avg_pool (drop the trailing row/col
+                # before the pooling reshape)
                 b_, hh, ww, cc = t.shape
+                t = t[:, :hh - hh % 2, :ww - ww % 2]
                 t = t.reshape(b_, hh // 2, 2, ww // 2, 2, cc).mean((2, 4))
                 x = t.astype(jnp.bfloat16)
 

@@ -69,3 +69,20 @@ def test_fused_densenet_infer_matches_flax_interpret():
     got = np.asarray(infer(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_fused_densenet_infer_odd_spatial_dims():
+    """Transitions floor odd spatial dims like nn.avg_pool/torch AvgPool2d
+    (round-2 review fix: the pooling reshape required even dims)."""
+    # 36px: stem+maxpool -> 9x9 (odd), first transition pools 9 -> 4
+    m, variables = _dense_variables(growth=8, block_config=(2, 3),
+                                    init_feats=16, classes=5, patch=36)
+    infer = build_densenet_fused_infer(
+        variables, block_config=(2, 3), num_init_features=16, growth=8,
+        batch_tiles=(2, 2), interpret=True)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 36, 36, 3)).astype(np.float32)
+    want = np.asarray(m.apply(variables, jnp.asarray(x), train=False))
+    got = np.asarray(infer(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))

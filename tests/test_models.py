@@ -279,3 +279,43 @@ def test_tpu_patch_classifier_trains():
         f, {"train": (X[:48], y[:48]), "val": (X[48:], y[48:])},
         num_epochs=3, batch_size=16, verbose=False)
     assert val_hist[-1] < val_hist[0]
+
+
+def test_densenet_efficient_remat_usable_and_equivalent():
+    """efficient=True (the documented memory-saving flag) must init, match
+    efficient=False outputs, and backprop (round-2 review fix: the remat
+    closure's first arg was an array, crashing flax's lifted transform)."""
+    kw = dict(growth_rate=4, block_config=(2, 2), num_init_features=8,
+              bn_size=4, num_classes=5, small_inputs=True)
+    m_eff = DenseNet(efficient=True, **kw)
+    m_std = DenseNet(efficient=False, **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 32, 32, 3)).astype(np.float32))
+    v = m_eff.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(m_eff.apply(v, x, train=False)),
+        np.asarray(m_std.apply(v, x, train=False)), rtol=1e-5, atol=1e-5)
+
+    def loss(p, model):
+        out, _ = model.apply({**v, "params": p}, x, train=True,
+                             mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g_eff = jax.grad(loss)(v["params"], m_eff)
+    g_std = jax.grad(loss)(v["params"], m_std)
+    for a, b in zip(jax.tree.leaves(g_eff), jax.tree.leaves(g_std)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_hexconv_params_stay_float32_under_bf16():
+    """bf16 activations must not create bf16 master weights (round-2 review
+    fix): params stay param_dtype=float32, output follows the compute dtype."""
+    from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+
+    g = GridNetHex(patch_classifier=TpuPatchClassifier(
+        n_classes=5, dtype=jnp.bfloat16), n_classes=5)
+    x = jnp.zeros((1, 4, 4, 32, 32, 3), jnp.float32)
+    v = g.init(jax.random.key(0), x)
+    dtypes = {a.dtype for a in jax.tree.leaves(v["params"])}
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes

@@ -288,3 +288,42 @@ def test_self_attention_local_heads_with_rel_pos():
                        local_window_size=8, local_rel_pos=False)
     out0 = m0.apply(v, x, train=False)
     assert np.abs(np.asarray(out - out0)).max() > 1e-4
+
+
+def test_performer_remat_init_works():
+    """remat=True must be usable from scratch: init (no UnexpectedTracerError),
+    apply parity with remat=False, grad parity (round-2 review fix)."""
+    x = jax.random.normal(jax.random.key(0), (2, 16, 24))
+    m_remat = Performer(dim=24, depth=2, heads=3, dim_head=8, remat=True)
+    v = m_remat.init(jax.random.key(1), x)          # crashed before the fix
+    m = Performer(dim=24, depth=2, heads=3, dim_head=8)
+    np.testing.assert_allclose(np.asarray(m_remat.apply(v, x)),
+                               np.asarray(m.apply(v, x)), rtol=1e-5, atol=1e-5)
+
+    def loss(p, model):
+        return jnp.sum(model.apply({**v, "params": p}, x) ** 2)
+
+    g_r = jax.grad(loss)(v["params"], m_remat)
+    g_n = jax.grad(loss)(v["params"], m)
+    # recompute reorders fp ops (exp-heavy FAVOR features): tolerance loose
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_local_block_attention_all_masked_row_is_zero():
+    """A query whose keys are ALL masked must output zeros, not a uniform
+    average over masked values (round-2 review fix)."""
+    from gridnext_tpu.models.performer import local_block_attention
+
+    b, h, n, d, w = 1, 2, 8, 4, 4
+    q = jax.random.normal(jax.random.key(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.key(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.key(2), (b, h, n, d))
+    mask = jnp.ones((b, n), bool).at[0, 0].set(False)
+    # causal: query 0's only visible key is position 0, which is masked
+    out = local_block_attention(q, k, v, window=w, causal=True, mask=mask,
+                                rel_pos=False)
+    np.testing.assert_allclose(np.asarray(out[0, :, 0]), 0.0, atol=1e-7)
+    # other rows unaffected vs an unmasked-except-0 run remains finite
+    assert np.isfinite(np.asarray(out)).all()
