@@ -83,7 +83,7 @@ def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
                                     st.st_mtime_ns, st.st_size)
 
 
-@functools.lru_cache(maxsize=2)
+@functools.lru_cache(maxsize=4)
 def _read_count_frame_cached(count_file: str, cfile_delim: str,
                              _mtime_ns: int, _size: int):
     import pandas as pd
@@ -156,6 +156,12 @@ class CountSpotDataset:
     a whole-file read with a small LRU cache instead of one TSV scan per spot
     (the reference's pathological per-__getitem__ pd.read_csv,
     count_datasets.py:185-187).
+
+    Access-pattern note: the frame cache holds 4 files. Globally-shuffled
+    lazy iteration over a LARGER cohort thrashes it (a frame re-parse per
+    spot); count cohorts are small enough that ``materialize()`` -- the form
+    the jitted loops prefer anyway -- is the right call there. Lazy
+    streaming is aimed at the image datasets, whose patches load per file.
     """
 
     def __init__(self, count_files: Sequence, annot_files: Optional[Sequence] = None,
@@ -564,6 +570,11 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
             print(f"No unified countfiles detected (*{count_suffix}) -- generating...")
             prepare_count_files(spaceranger_dirs, count_suffix, minimum_detection_rate,
                                 hd_binning=hd_binning)
+        elif len(count_files) > 1:
+            # caches from separate prepare runs may not share a gene axis
+            from gridnext_tpu.io.unify import check_unified_gene_axis
+
+            check_unified_gene_axis(count_files)
 
     patch_dirs = None
     if use_image:

@@ -118,7 +118,14 @@ def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
     if array_lbls is not None:
         classes = np.unique(array_lbls)
         y_enc = np.searchsorted(classes, array_lbls).astype(np.int64)
-    elif ys[0] is not None:
+    elif any(y is not None for y in ys):
+        if any(y is None for y in ys):
+            # checking only ys[0] would either crash in np.concatenate or
+            # silently drop the later arrays' labels depending on order
+            raise ValueError(
+                "annot_files mixes annotated and unannotated arrays; node "
+                "labels need an annotation file per array (or use "
+                "array_lbls for graph-level labels)")
         y_all = np.concatenate(ys)
         classes = np.unique(y_all)
         y_enc = np.searchsorted(classes, y_all).astype(np.int64)

@@ -52,7 +52,11 @@ def create_visium_anndata(spaceranger_dirs: Sequence, annot_files: Optional[Sequ
         df_annot = None
         if annot_files is not None:
             df_annot = pd.read_csv(annot_files[i], header=0, index_col=0, sep=",")
-            df_annot = df_annot.loc[df_annot.iloc[:, 0] != ""]
+            # blank Loupe cells parse as NaN, not "" -- the reference's
+            # `!= ''` filter keeps them and poisons the class list
+            # (visium_datasets.py:243; same fix as annotations.py read_annotfile)
+            first = df_annot.iloc[:, 0]
+            df_annot = df_annot.loc[first.notna() & (first.astype(str) != "")]
             barcodes = barcodes.intersection(df_annot.index)
 
         arr = Path(srd).stem
@@ -100,22 +104,39 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
     if imgpatch_dirs is None:
         patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
                         else f"_patches{int(patch_size_um)}um")
+        if hd_binning is not None:
+            # match create_visium_dataset's binning+dims cache naming; HD
+            # patch filenames carry direct (array_col, array_row), which is
+            # exactly what obs x/y hold for HD, so the imgpath join works
+            from gridnext_tpu.io.spaceranger import hd_lattice_dims
+
+            hd_dims = [hd_lattice_dims(srd, hd_binning)
+                       for srd in spaceranger_dirs]
+            suffixes = [f"_{hd_binning}_{h}x{w}{patch_suffix}"
+                        for h, w in hd_dims]
+        else:
+            hd_dims = [None] * len(spaceranger_dirs)
+            suffixes = [patch_suffix] * len(spaceranger_dirs)
         if save_patches_to is None:
-            imgpatch_dirs = [os.path.join(str(srd), Path(srd).name + patch_suffix)
-                             for srd in spaceranger_dirs]
+            imgpatch_dirs = [os.path.join(str(srd), Path(srd).name + sfx)
+                             for srd, sfx in zip(spaceranger_dirs, suffixes)]
         else:
             os.makedirs(save_patches_to, exist_ok=True)
             imgpatch_dirs = [os.path.join(str(save_patches_to),
-                                          Path(srd).name + patch_suffix)
-                             for srd in spaceranger_dirs]
-        for imfile, pdir, srd in zip(fullres_image_files, imgpatch_dirs,
-                                     spaceranger_dirs):
+                                          Path(srd).name + sfx)
+                             for srd, sfx in zip(spaceranger_dirs, suffixes)]
+        for imfile, pdir, srd, dims in zip(fullres_image_files, imgpatch_dirs,
+                                           spaceranger_dirs, hd_dims):
             if not os.path.exists(pdir):
                 if not os.path.exists(imfile):
                     raise ValueError(f"Could not find image file: {imfile}")
                 ps = (patch_size_px if patch_size_px is not None
-                      else distance_um_to_px(srd, patch_size_um))
-                save_visium_patches(imfile, srd, pdir, patch_size=ps)
+                      else distance_um_to_px(srd, patch_size_um,
+                                             hd_binning=hd_binning))
+                save_visium_patches(imfile, srd, pdir, patch_size=ps,
+                                    hd_binning=hd_binning,
+                                    h_st=dims[0] if dims else None,
+                                    w_st=dims[1] if dims else None)
 
     adata_list = []
     for srd, pdir in zip(spaceranger_dirs, imgpatch_dirs):

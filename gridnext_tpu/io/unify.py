@@ -32,6 +32,31 @@ def unified_count_suffix(hd_binning=None,
     return f".{hd_binning}{base}" if hd_binning else base
 
 
+def check_unified_gene_axis(count_files: Sequence) -> list:
+    """Assert pre-existing unified caches share one gene axis; return it.
+
+    Caches written by separate ``prepare_count_files`` runs over different
+    cohorts have different detection-rate-filtered gene sets; mixing them
+    would train on misaligned gene axes (or die in np.stack). The unified
+    contract is cohort-wide, so this is a user error worth a clear message.
+    """
+    genes0, bad = None, None
+    for cf in count_files:
+        genes = list(pd.read_csv(cf, sep="\t", index_col=0, usecols=[0]).index)
+        if genes0 is None:
+            genes0 = genes
+        elif genes != genes0:
+            bad = cf
+            break
+    if bad is not None:
+        raise ValueError(
+            f"unified count caches do not share a gene axis: {bad} differs "
+            f"from {count_files[0]} (prepared in separate runs?). Delete the "
+            "*.unified.tsv.gz caches and regenerate them over the full "
+            "cohort in one prepare_count_files/create_visium_dataset call.")
+    return genes0
+
+
 def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.gz",
                         minimum_detection_rate: Optional[float] = 0.02,
                         verbose: bool = True,
@@ -74,7 +99,10 @@ def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.
     from gridnext_tpu import native
 
     written = []
-    for stem in result.columns.levels[0]:
+    # iterate in INPUT order: MultiIndex.levels is always lexicographically
+    # sorted, which would silently reorder the returned paths relative to
+    # spaceranger_dirs (callers pair written[i] with their own lists)
+    for stem in out_stems:
         path = stem + suffix
         frame = result[stem]
         # native writer is ~40x pandas for gz TSVs; same file contract

@@ -33,15 +33,18 @@ from gridnext_tpu.ops.hexcorrector_pallas import (
 def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
                       w_st: int = geometry.VISIUM_W_ST):
     """Positions DataFrame -> (oddr_y, oddr_x, y_px, x_px) int32 arrays over
-    in-tissue spots (pixel coords NOT yet offset for padding)."""
-    df = positions[positions["in_tissue"].astype(int) == 1]
-    ox, oy = geometry.pseudo_hex_to_oddr(df["array_col"].values,
-                                         df["array_row"].values)
-    y_px = np.rint(df["pxl_row_in_fullres"].values.astype(float)).astype(np.int32)
-    x_px = np.rint(df["pxl_col_in_fullres"].values.astype(float)).astype(np.int32)
+    in-tissue spots (pixel coords NOT yet offset for padding).
+
+    Thin wrapper over the canonical positions->(grid index, pixel) mapping
+    (pipeline._spot_pixel_boxes), plus the out-of-lattice bounds filter the
+    serving scatter needs.
+    """
+    from gridnext_tpu.pipeline import _spot_pixel_boxes
+
+    ox, oy, x_px, y_px = _spot_pixel_boxes(positions, window=0)
     keep = (oy < h_st) & (ox < w_st)
-    return (np.asarray(oy)[keep], np.asarray(ox)[keep],
-            y_px[keep], x_px[keep])
+    return (oy[keep], ox[keep],
+            y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 
 
 class SlideRegistrar:
@@ -128,12 +131,15 @@ class SlideRegistrar:
     def _register(self, wsi, oy, ox, y_px, x_px):
         patches = self._extract(wsi, y_px, x_px)
         feats = self._apply_f(patches)                       # (N, f_dim)
-        # Background cells must carry f(zero-patch) -- GridNetHex runs f on
-        # ALL patches including background (gridnet_models.py:76-79), and a
-        # trained f's output on a blank patch is a nonzero constant the
-        # corrector sees as boundary context. One f call reproduces it.
-        bg_patch = self._normalize(
-            jnp.zeros((1, self.patch_size, self.patch_size, 3), jnp.uint8))
+        # Background cells must carry f(zero-CELL) -- GridNetHex runs f on
+        # ALL grid cells including background (gridnet_models.py:76-79), and
+        # in training grids background cells are literal zeros (transforms
+        # apply to foreground patches only; PatchGridDataset leaves bg at
+        # 0.0), so the corrector learned boundary context from f(0). The bg
+        # patch therefore bypasses normalization: normalizing it would feed
+        # f((0-mean)/std), a vector training never produced.
+        bg_patch = jnp.zeros((1, self.patch_size, self.patch_size, 3),
+                             jnp.float32)
         bg_vec = self.f_apply(bg_patch)[0].astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
                                          feats.shape[-1]))

@@ -21,11 +21,13 @@ import numpy as np
 
 
 def _load_counts(count_file) -> "pandas.DataFrame":
-    import pandas as pd
-
     if hasattr(count_file, "values"):  # already a DataFrame
         return count_file
-    return pd.read_csv(count_file, header=0, index_col=0, sep="\t")
+    # same native-fast, mtime-keyed cached read the dataset layer uses
+    # (select_hvgs + preprocess_cohorts read the same files in one session)
+    from gridnext_tpu.data.datasets import _read_count_frame
+
+    return _read_count_frame(str(count_file))
 
 
 def filtered_norm_logcounts(count_file, min_counts: int = 100,
@@ -81,8 +83,13 @@ def fit_pca(X: np.ndarray, n_components: Optional[int] = None,
 
 def n_pcs_for_variance(pca, fraction: float = 0.5) -> int:
     """Smallest PC count explaining > ``fraction`` of variance
-    (fit_pca_unified_cortex.py:100-101)."""
-    return int(np.where(np.cumsum(pca.explained_variance_ratio_) > fraction)[0][0]) + 1
+    (fit_pca_unified_cortex.py:100-101). If the fitted components never
+    reach ``fraction`` (truncated PCA or fraction ~1.0), all of them are
+    returned rather than raising from an empty argwhere."""
+    above = np.where(np.cumsum(pca.explained_variance_ratio_) > fraction)[0]
+    if len(above) == 0:
+        return int(len(pca.explained_variance_ratio_))
+    return int(above[0]) + 1
 
 
 def pca_transform(X, components: np.ndarray, mean: np.ndarray,

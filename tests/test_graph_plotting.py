@@ -174,3 +174,9 @@ def test_class_boundaries_and_hexplots():
     assert ax is not None
     with pytest.raises(ValueError):
         plotting.plot_hextensor(base, layout="bogus")
+
+
+def test_visium_to_graphdata_mixed_annots_rejected(sims):
+    with pytest.raises(ValueError, match="mixes annotated"):
+        visium_to_graphdata([s["spaceranger_dir"] for s in sims],
+                            annot_files=[sims[0]["annot_file"], None])

@@ -357,3 +357,37 @@ def test_hd_square_binning_rejected_for_grids(tmp_path):
         create_visium_dataset([sim["spaceranger_dir"]], spatial=True,
                               use_count=False, use_image=True,
                               patch_size_px=16, hd_binning=binning)
+
+
+def test_prepare_count_files_returns_input_order(tmp_path):
+    """Written paths must pair with the input spaceranger_dirs order --
+    MultiIndex.levels iteration would silently sort them (round-2 review fix)."""
+    from gridnext_tpu.io import prepare_count_files
+
+    # names chosen so lexicographic order != input order
+    simulate_spaceranger_dir(tmp_path / "zz", seed=0, n_genes=8, n_classes=2)
+    simulate_spaceranger_dir(tmp_path / "aa", seed=1, n_genes=8, n_classes=2)
+    written = prepare_count_files([str(tmp_path / "zz"), str(tmp_path / "aa")],
+                                  minimum_detection_rate=None, verbose=False)
+    assert [os.path.basename(w) for w in written] == [
+        "zz.unified.tsv.gz", "aa.unified.tsv.gz"]
+
+
+def test_mismatched_unified_caches_rejected(tmp_path):
+    """Caches prepared in separate runs (different gene axes) must fail
+    loudly at the factory, not train on misaligned genes (round-2 review fix)."""
+    import pytest
+
+    from gridnext_tpu.io import prepare_count_files
+
+    s0 = simulate_spaceranger_dir(tmp_path / "a0", seed=0, n_genes=10, n_classes=2)
+    s1 = simulate_spaceranger_dir(tmp_path / "a1", seed=1, n_genes=12, n_classes=2)
+    # prepared separately -> different gene sets
+    prepare_count_files([s0["spaceranger_dir"]], minimum_detection_rate=None,
+                        verbose=False)
+    prepare_count_files([s1["spaceranger_dir"]], minimum_detection_rate=None,
+                        verbose=False)
+    with pytest.raises(ValueError, match="gene axis"):
+        create_visium_dataset([s0["spaceranger_dir"], s1["spaceranger_dir"]],
+                              use_count=True, use_image=False, spatial=True,
+                              minimum_detection_rate=None)

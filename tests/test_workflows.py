@@ -74,3 +74,16 @@ def test_n_pcs_monotone():
     n50 = n_pcs_for_variance(pca, 0.5)
     n90 = n_pcs_for_variance(pca, 0.9)
     assert 1 <= n50 <= n90 <= 10
+
+
+def test_n_pcs_for_variance_never_reaching_fraction():
+    """fraction above the truncated PCA's total EV returns all PCs instead
+    of raising IndexError (round-2 review fix)."""
+    import numpy as np
+
+    from gridnext_tpu.workflows.pca import fit_pca, n_pcs_for_variance
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(50, 20)).astype(np.float32)
+    pca = fit_pca(X, n_components=3)  # 3 PCs of isotropic noise: low EV
+    assert n_pcs_for_variance(pca, fraction=0.99) == 3
