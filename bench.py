@@ -271,12 +271,13 @@ def bench_count_training_secondary():
 def main():
     tpu_rate = bench_tpu_image()
     cpu_rate = bench_torch_cpu_image()
-    try:
-        bench_tpu_image_alt()
-        bench_count_secondary()
-        bench_count_training_secondary()
-    except Exception as e:  # secondary metric must not sink the headline
-        log(f"secondary bench failed: {e}")
+    # secondary metrics must not sink the headline OR each other
+    for fn in (bench_tpu_image_alt, bench_count_secondary,
+               bench_count_training_secondary):
+        try:
+            fn()
+        except Exception as e:
+            log(f"secondary bench {fn.__name__} failed: {e}")
 
     ratio = tpu_rate / cpu_rate
     log(f"HEADLINE: tpu {tpu_rate:,.0f} spots/s vs torch-cpu {cpu_rate:.1f} "

@@ -42,6 +42,12 @@ def _cmd_simulate(args):
               f"(annotations: {sim['annot_file']})")
 
 
+def _require_one_image_per_dir(images, spaceranger_dirs):
+    if not images or len(images) != len(spaceranger_dirs):
+        sys.exit("error: --images must list one fullres image per "
+                 "--spaceranger directory")
+
+
 def _cmd_prepare(args):
     from gridnext_tpu.io import prepare_count_files, unified_count_suffix
 
@@ -54,18 +60,21 @@ def _cmd_prepare(args):
     if args.images:
         from gridnext_tpu.pipeline import save_visium_patches
 
-        if len(args.images) != len(args.spaceranger):
-            sys.exit("error: --images must list one fullres image per "
-                     "--spaceranger directory")
-        for srd, im in zip(args.spaceranger, args.images):
-            suffix = f"_patches{args.patch_px}px"
-            h_st = w_st = None
-            if args.hd_binning is not None:
-                # match create_visium_dataset's binning+dims cache naming
-                from gridnext_tpu.io.spaceranger import hd_lattice_dims
+        _require_one_image_per_dir(args.images, args.spaceranger)
+        h_st = w_st = None
+        suffix = f"_patches{args.patch_px}px"
+        if args.hd_binning is not None:
+            # COHORT-max lattice dims, exactly like the factory's
+            # grid_dims='auto' -- per-array dims would name caches the
+            # factory never looks for
+            from gridnext_tpu.io.spaceranger import hd_lattice_dims
 
-                h_st, w_st = hd_lattice_dims(srd, args.hd_binning)
-                suffix = f"_{args.hd_binning}_{h_st}x{w_st}{suffix}"
+            for srd in args.spaceranger:
+                h, w = hd_lattice_dims(srd, args.hd_binning)
+                h_st = max(h_st or 0, h)
+                w_st = max(w_st or 0, w)
+            suffix = f"_{args.hd_binning}_{h_st}x{w_st}{suffix}"
+        for srd, im in zip(args.spaceranger, args.images):
             pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
             save_visium_patches(im, srd, pdir, patch_size=args.patch_px,
                                 hd_binning=args.hd_binning, h_st=h_st, w_st=w_st)
@@ -147,6 +156,29 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     print(f"saved model to {args.out}")
 
 
+def _validated_count_cache(srd, meta):
+    """Path of ``srd``'s unified count cache, verified to exist and (when
+    the model recorded its training genes) to carry that exact gene axis."""
+    from gridnext_tpu.io import unified_count_suffix
+
+    suffix = unified_count_suffix(meta.get("hd_binning"))
+    cfile = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+    if not os.path.exists(cfile):
+        sys.exit(f"error: {cfile} not found -- run "
+                 f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
+    if meta.get("genes") is not None:
+        import pandas as pd
+
+        genes = list(pd.read_csv(cfile, sep="\t", index_col=0,
+                                 usecols=[0]).index)
+        if genes != meta["genes"]:
+            sys.exit(
+                f"error: {cfile} has a different gene set/order than the "
+                "model was trained on -- regenerate the unified counts "
+                "with the training cohort's settings")
+    return cfile
+
+
 def _warn_existing_caches(args, suffix_paths):
     if args.min_detection is not None and all(os.path.exists(c)
                                               for c in suffix_paths):
@@ -209,9 +241,7 @@ def _cmd_train_count(args):
 
 
 def _check_image_args(args):
-    if len(args.images) != len(args.spaceranger):
-        sys.exit("error: --images must list one fullres image per "
-                 "--spaceranger directory")
+    _require_one_image_per_dir(args.images, args.spaceranger)
     if args.patch_px < 32:
         sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
                  "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
@@ -272,19 +302,27 @@ def _cmd_train_mm(args):
                                         patch_size_px=args.patch_px)
     classes = list(mm_grids.classes)
     n_classes = len(classes)
+    stream = not getattr(args, "no_stream", False)
     print(f"{len(count_spots)} count spots, {len(image_spots)} image spots, "
-          f"{len(mm_grids)} arrays, classes: {classes}")
+          f"{len(mm_grids)} arrays, classes: {classes}"
+          + (" [streaming]" if stream else ""))
+
+    from gridnext_tpu.data import Subset
 
     def spot_train(f, spots, transform=None):
-        X, Y = spots.materialize()
-        if transform is not None:
-            X = transform(X)
-        order = np.random.default_rng(0).permutation(len(X))
-        X, Y = X[order], Y[order]
-        n_val = max(1, len(X) // 5)
+        order = np.random.default_rng(0).permutation(len(spots))
+        n_val = max(1, len(order) // 5)
+        if stream:
+            dls = {"train": Subset(spots, order[n_val:], transform),
+                   "val": Subset(spots, order[:n_val], transform)}
+        else:
+            X, Y = spots.materialize()
+            if transform is not None:
+                X = transform(X)
+            X, Y = X[order], Y[order]
+            dls = {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])}
         state, *_ = train_spotwise(
-            f, {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])},
-            learning_rate=args.f_lr, num_epochs=args.epochs,
+            f, dls, learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True)
         return state
 
@@ -299,21 +337,31 @@ def _cmd_train_mm(args):
 
     g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
                      n_classes=n_classes, patch_chunk=args.patch_chunk)
-    (Xi, Xc), Yg = mm_grids.materialize()
-    Xc = np.log1p(Xc)
-    gorder = np.random.default_rng(0).permutation(len(Yg))
-    Xi, Xc, Yg = Xi[gorder], Xc[gorder], Yg[gorder]
-    n_valg = max(1, len(Yg) // 4) if len(Yg) > 1 else 0
+    # log1p the count modality only; image grids pass through
+    mm_transform = lambda x: (x[0], np.log1p(x[1]))  # noqa: E731
+    gorder = np.random.default_rng(0).permutation(len(mm_grids))
+    n_valg = max(1, len(mm_grids) // 4) if len(mm_grids) > 1 else 0
+    if stream:
+        dls = {"train": Subset(mm_grids, gorder[n_valg:], mm_transform),
+               "val": Subset(mm_grids, gorder[:n_valg], mm_transform)
+               if n_valg else None}
+        (xi0, xc0) = dls["train"][0][0]
+        sample = (jnp.asarray(xi0)[None], jnp.asarray(xc0)[None])
+    else:
+        (Xi, Xc), Yg = mm_grids.materialize()
+        Xc = np.log1p(Xc)
+        Xi, Xc, Yg = Xi[gorder], Xc[gorder], Yg[gorder]
+        dls = {"train": ((Xi[n_valg:], Xc[n_valg:]), Yg[n_valg:]),
+               "val": ((Xi[:n_valg], Xc[:n_valg]), Yg[:n_valg])
+               if n_valg else None}
+        sample = (jnp.asarray(Xi[:1]), jnp.asarray(Xc[:1]))
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
-    state = create_train_state(g, jax.random.key(0),
-                               (jnp.asarray(Xi[:1]), jnp.asarray(Xc[:1])), tx)
+    state = create_train_state(g, jax.random.key(0), sample, tx)
     state = load_f_params(state, f_image_state.variables(),
                           key="image_classifier")
     state = load_f_params(state, f_count_state.variables(),
                           key="count_classifier")
-    dls = {"train": ((Xi[n_valg:], Xc[n_valg:]), Yg[n_valg:]),
-           "val": ((Xi[:n_valg], Xc[:n_valg]), Yg[:n_valg]) if n_valg else None}
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True)
 
@@ -329,6 +377,7 @@ def _cmd_train_mm(args):
     genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
     with open(os.path.join(args.out, "model.json"), "w") as fh:
         json.dump({"classes": classes, "patch_px": args.patch_px,
+                   "patch_chunk": args.patch_chunk,
                    "n_genes": len(genes), "genes": genes, "log1p": True,
                    "image_f": args.f, "model": "GridNetHexMM"}, fh)
     print(f"saved model to {args.out}")
@@ -357,19 +406,25 @@ def _cmd_register(args):
     model_name = meta.get("model", "")
     if model_name == "GridNetHexMM":
         # multimodal registration: count grids + patch grids through g
-        if not args.images or len(args.images) != len(args.spaceranger):
-            sys.exit("error: --images must list one fullres image per "
-                     "--spaceranger directory for multimodal models")
+        _require_one_image_per_dir(args.images, args.spaceranger)
         from gridnext_tpu.data import create_visium_dataset
         from gridnext_tpu.models import TpuPatchClassifier
+
+        # count caches must exist AND carry the training gene axis before
+        # the factory touches them (it would otherwise regenerate with a
+        # different detection filter and feed f a misaligned gene axis)
+        for srd in args.spaceranger:
+            _validated_count_cache(srd, meta)
 
         f_count = CountMLP(n_classes=len(classes))
         if meta.get("image_f") == "tpu":
             f_image = TpuPatchClassifier(n_classes=len(classes))
         else:
             f_image = densenet121(num_classes=len(classes))
+        # chunk f like training did (activation memory on real slides)
         g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
-                         n_classes=len(classes))
+                         n_classes=len(classes),
+                         patch_chunk=meta.get("patch_chunk", 624))
         mm = create_visium_dataset(args.spaceranger, spatial=True,
                                    use_count=True, use_image=True,
                                    fullres_image_files=args.images,
@@ -396,9 +451,7 @@ def _cmd_register(args):
     if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
         # image model: register straight from the fullres slides via the
         # jitted serving path (patch gather + f + fused Pallas corrector)
-        if not args.images or len(args.images) != len(args.spaceranger):
-            sys.exit("error: --images must list one fullres image per "
-                     "--spaceranger directory for image models")
+        _require_one_image_per_dir(args.images, args.spaceranger)
         from PIL import Image
 
         from gridnext_tpu.io import read_positions
@@ -417,7 +470,9 @@ def _cmd_register(args):
         Image.MAX_IMAGE_PIXELS = None
         for srd, im in zip(args.spaceranger, args.images):
             name = os.path.basename(srd.rstrip("/"))
-            wsi = jax.device_put(np.asarray(Image.open(im)))
+            # RGBA/grayscale slides -> 3 channels (the prepare path slices
+            # patches[..., :3]; the serving gather has no such guard)
+            wsi = jax.device_put(np.asarray(Image.open(im).convert("RGB")))
             label_grid = registrar(wsi, read_positions(srd))
             out_csv = (args.out if len(args.spaceranger) == 1
                        else os.path.join(args.out, f"{name}_loupe.csv"))
@@ -437,25 +492,9 @@ def _cmd_register(args):
     else:
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
-    from gridnext_tpu.io import unified_count_suffix
-
-    suffix = unified_count_suffix(meta.get("hd_binning"))
     for srd in args.spaceranger:
         name = os.path.basename(srd.rstrip("/"))
-        cfile = os.path.join(srd, name + suffix)
-        if not os.path.exists(cfile):
-            sys.exit(f"error: {cfile} not found -- run "
-                     f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
-        if meta.get("genes") is not None:
-            import pandas as pd
-
-            genes = list(pd.read_csv(cfile, sep="\t", index_col=0,
-                                     usecols=[0]).index)
-            if genes != meta["genes"]:
-                sys.exit(
-                    f"error: {cfile} has a different gene set/order than the "
-                    "model was trained on -- regenerate the unified counts "
-                    "with the training cohort's settings")
+        cfile = _validated_count_cache(srd, meta)
         if grid_dims is not None:
             gdat = CountGridDataset([cfile], Visium=False,
                                     h_st=grid_dims[0], w_st=grid_dims[1])
@@ -555,6 +594,9 @@ def main(argv=None):
                        help="train multimodal GridNetHexMM (count + image)")
     _add_image_train_args(s)
     s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--no-stream", action="store_true",
+                   help="materialize the cohort in RAM instead of streaming "
+                        "batches off disk")
     s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

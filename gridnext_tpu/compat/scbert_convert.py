@@ -43,8 +43,8 @@ def _layernorm(sd, prefix):
     return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
 
 
-def performer_lm_from_torch(sd: Mapping, depth: int,
-                            lm_scope: str = "") -> Tuple[dict, Optional[np.ndarray]]:
+def performer_lm_from_torch(sd: Mapping,
+                            depth: int) -> Tuple[dict, Optional[np.ndarray]]:
     """Convert a PerformerLM state_dict.
 
     Returns (variables, g2v_weights): variables has 'params' and 'favor'

@@ -1,4 +1,5 @@
 from gridnext_tpu.parallel.mesh import (  # noqa: F401
+    default_mesh_shape,
     make_mesh,
     replicate,
     shard_grid_batch,
