@@ -189,3 +189,33 @@ def gridnethex_from_torch(sd: Mapping, f_variables: Mapping, use_bn: bool = True
     if bs:
         variables["batch_stats"] = bs
     return variables
+
+
+def gridnethexmm_from_torch(sd: Mapping, image_f_variables: Mapping,
+                            count_f_variables: Mapping, use_bn: bool = True):
+    """Convert a trained reference GridNetHexMM state_dict to our GridNetHexMM.
+
+    The reference MM model (gridnet_models.py:193-235) shares the
+    GridNetHexOddr corrector (its input width = count_f_dim + image_f_dim;
+    concat order count-first, :235) and carries two f networks. Pass each
+    f's flax variables converted separately (densenet_from_torch /
+    count_mlp_from_torch / scbert converters); the corrector tap map is the
+    same hexagdly round-trip as :func:`gridnethex_from_torch`.
+    """
+    base = gridnethex_from_torch(sd, f_variables={"params": {}},
+                                 use_bn=use_bn)
+    variables = {"params": {
+        "image_classifier": dict(image_f_variables["params"]),
+        "count_classifier": dict(count_f_variables["params"]),
+        "corrector": base["params"]["corrector"],
+    }}
+    bs: dict = {}
+    if "batch_stats" in image_f_variables:
+        bs["image_classifier"] = dict(image_f_variables["batch_stats"])
+    if "batch_stats" in count_f_variables:
+        bs["count_classifier"] = dict(count_f_variables["batch_stats"])
+    if base.get("batch_stats", {}).get("corrector"):
+        bs["corrector"] = base["batch_stats"]["corrector"]
+    if bs:
+        variables["batch_stats"] = bs
+    return variables

@@ -160,3 +160,69 @@ def test_gridnethex_full_model_from_torch():
     y = model.apply(variables, jnp.asarray(x), train=False)
     np.testing.assert_allclose(
         np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), rtol=1e-3, atol=1e-3)
+
+
+def test_gridnethexmm_full_model_from_torch():
+    """End to end multimodal: torch DenseNet image-f + count-MLP f + the
+    shared hexagdly corrector -> our GridNetHexMM, identical logits.
+
+    The reference concatenates count-first (gridnet_models.py:235) and the
+    corrector consumes 2*n_classes channels; a converted trained MM
+    checkpoint must reproduce that exactly."""
+    import sys
+
+    from gridnext_tpu.compat.torch_convert import (densenet_from_torch,
+                                                   gridnethexmm_from_torch)
+    from gridnext_tpu.models import CountMLP, DenseNet, GridNetHexMM
+
+    sys.path.insert(0, "/root/reference")
+    from gridnext.densenet import DenseNet as TorchDenseNet
+
+    torch.manual_seed(1)
+    rng = np.random.default_rng(11)
+    n_genes, n_classes, width, h, w, p = 10, 3, 32, 6, 5, 16
+
+    f_img_torch = TorchDenseNet(growth_rate=4, block_config=(2, 2),
+                                compression=0.5, num_init_features=8,
+                                bn_size=4, drop_rate=0,
+                                num_classes=n_classes, small_inputs=True,
+                                efficient=False).eval()
+    f_cnt_torch = torch.nn.Sequential(
+        torch.nn.Linear(n_genes, 500), torch.nn.Linear(500, 100),
+        torch.nn.BatchNorm1d(100), torch.nn.ReLU(),
+        torch.nn.Linear(100, 100), torch.nn.Linear(100, 50),
+        torch.nn.BatchNorm1d(50), torch.nn.ReLU(),
+        torch.nn.Linear(50, n_classes),
+    ).eval()
+
+    sd = _rand_corrector_sd(rng, 2 * n_classes, width, n_classes)
+    x_img = rng.normal(size=(1, h, w, p, p, 3)).astype(np.float32)
+    x_cnt = rng.normal(size=(1, h, w, n_genes)).astype(np.float32)
+
+    # reference forward: per-modality f over flattened spots, concat
+    # count-first, rot/flip + hexagdly corrector + inverse
+    with torch.no_grad():
+        fo_cnt = f_cnt_torch(
+            torch.from_numpy(x_cnt.reshape(-1, n_genes))).numpy()
+        img_flat = x_img.reshape(-1, p, p, 3).transpose(0, 3, 1, 2)
+        fo_img = f_img_torch(torch.from_numpy(
+            np.ascontiguousarray(img_flat))).numpy()
+    ppred = np.concatenate([fo_cnt, fo_img], axis=1)
+    ppred = ppred.reshape(1, h, w, 2 * n_classes).transpose(0, 3, 1, 2)
+    y_ref = _reference_corrector_forward(np.ascontiguousarray(ppred), sd)
+
+    variables = gridnethexmm_from_torch(
+        sd,
+        image_f_variables=densenet_from_torch(
+            f_img_torch.state_dict(), block_config=(2, 2), small_inputs=True),
+        count_f_variables=count_mlp_from_torch(f_cnt_torch.state_dict()))
+    model = GridNetHexMM(
+        image_classifier=DenseNet(growth_rate=4, block_config=(2, 2),
+                                  num_init_features=8, bn_size=4,
+                                  num_classes=n_classes, small_inputs=True),
+        count_classifier=CountMLP(n_classes=n_classes),
+        n_classes=n_classes)
+    y = model.apply(variables, (jnp.asarray(x_img), jnp.asarray(x_cnt)),
+                    train=False)
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), rtol=1e-3, atol=1e-3)
