@@ -255,22 +255,38 @@ def _cmd_train_image(args):
     from gridnext_tpu.models import TpuPatchClassifier, densenet121
 
     _check_image_args(args)
+    hd_binning = getattr(args, "hd_binning", None)
+    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
+    if grid_dims is not None and hd_binning is None:
+        sys.exit("error: --grid-dims requires --hd-binning")
+    if hd_binning is not None and grid_dims is None:
+        sys.exit("error: --hd-binning image training needs --grid-dims "
+                 "(the square HD bin lattice the patch grid is indexed by)")
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
-              fullres_image_files=args.images, patch_size_px=args.patch_px)
-    spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
-    grids = create_visium_dataset(args.spaceranger, spatial=True, **kw)
+              fullres_image_files=args.images, patch_size_px=args.patch_px,
+              hd_binning=hd_binning)
+    spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                  grid_dims=grid_dims, **kw)
+    grids = create_visium_dataset(args.spaceranger, spatial=True,
+                                  grid_dims=grid_dims, **kw)
 
+    square = grid_dims is not None  # Cartesian corrector on HD bin lattices
+    g_name = "GridNet" if square else "GridNetHex"
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.f == "tpu":
         # MXU-shaped f: 3.6x DenseNet patch throughput (models/tpu_f.py)
         f = TpuPatchClassifier(n_classes=len(grids.classes), dtype=dtype)
-        model_name = "GridNetHex+TpuPatchClassifier"
+        model_name = f"{g_name}+TpuPatchClassifier"
     else:
         f = densenet121(num_classes=len(grids.classes), dtype=dtype)
-        model_name = "GridNetHex+DenseNet121"
+        model_name = f"{g_name}+DenseNet121"
     _train_fg(args, f, grids, spots,
-              {"patch_px": args.patch_px, "model": model_name},
-              patch_chunk=args.patch_chunk, stream=not args.no_stream)
+              {"patch_px": args.patch_px, "model": model_name,
+               "image_f": args.f, "hd_binning": hd_binning,
+               "grid_dims": ([grids.h_st, grids.w_st] if square else None),
+               "patch_chunk": args.patch_chunk},
+              patch_chunk=args.patch_chunk, stream=not args.no_stream,
+              corrector="square" if square else "hex")
 
 
 def _cmd_train_mm(args):
@@ -463,6 +479,40 @@ def _cmd_register(args):
             f = TpuPatchClassifier(n_classes=len(classes))
         else:
             f = densenet121(num_classes=len(classes))
+
+        grid_dims = meta.get("grid_dims")
+        if grid_dims is not None:
+            # square HD image model: per-array patch-grid forward through
+            # the Cartesian GridNet g (SlideRegistrar assumes the 78x64
+            # pseudo-hex lattice + hex corrector)
+            from gridnext_tpu.data import create_visium_dataset
+            from gridnext_tpu.models import GridNet
+
+            g = GridNet(patch_classifier=f, n_classes=len(classes),
+                        patch_chunk=meta.get("patch_chunk", 624))
+            pdat = create_visium_dataset(
+                args.spaceranger, spatial=True, use_count=False,
+                use_image=True, fullres_image_files=args.images,
+                patch_size_px=meta.get("patch_px", 128),
+                hd_binning=meta.get("hd_binning"), grid_dims=tuple(grid_dims))
+            for i, srd in enumerate(args.spaceranger):
+                name = os.path.basename(srd.rstrip("/"))
+                xi, _ = pdat[i]
+                logits = g.apply(variables, xi[None], train=False)
+                labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
+                fg = xi.reshape(xi.shape[0], xi.shape[1], -1).max(-1) > 0
+                label_grid = np.where(fg, labels, 0)
+                out_csv = (args.out if len(args.spaceranger) == 1
+                           else os.path.join(args.out, f"{name}_loupe.csv"))
+                if len(args.spaceranger) > 1:
+                    os.makedirs(args.out, exist_ok=True)
+                to_loupe_annots(
+                    label_grid,
+                    find_position_file(srd, meta.get("hd_binning")),
+                    out_csv, annot_names=classes, hex_coords=False)
+                print(f"registered {name} -> {out_csv}")
+            return
+
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
         registrar = SlideRegistrar.from_gridnet(
             g, variables, patch_size=meta.get("patch_px", 128),
@@ -588,6 +638,12 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um); "
+                        "requires --grid-dims")
+    s.add_argument("--grid-dims", default=None,
+                   help="square HD bin lattice: 'auto' or HxW; selects the "
+                        "Cartesian GridNet corrector")
     s.set_defaults(fn=_cmd_train_image)
 
     s = sub.add_parser("train-mm",

@@ -323,6 +323,52 @@ def test_cli_hd_square_train_register_end_to_end(tmp_path):
     assert df["Barcode"].str.startswith("s_016um_").all()
 
 
+def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
+    """CLI image flow on a square HD lattice: train-image --hd-binning
+    --grid-dims auto (Cartesian GridNet g) then register from the slides."""
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    binning = "square_016um"
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=8,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=(14, 12), hd_binning=binning,
+                                     image=True, spot_spacing_px=12)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-image", "--hd-binning", binning,
+                     "--grid-dims", "auto", "--f", "tpu",
+                     "--patch-px", "32", "--spaceranger"] + dirs +
+                    ["--annots"] + annots + ["--images"] + imgs +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--batch-size", "16"])
+        cli.main()
+        sys.argv = (["x", "register", "--spaceranger", dirs[0],
+                     "--model", str(tmp_path / "model"),
+                     "--images", imgs[0],
+                     "--out", str(tmp_path / "loupe.csv")])
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+
+    import json as _json
+    meta = _json.loads((tmp_path / "model" / "model.json").read_text())
+    assert meta["model"] == "GridNet+TpuPatchClassifier"
+    assert meta["grid_dims"] == [14, 12]
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert df["Barcode"].str.startswith("s_016um_").all()
+    assert len(df) == int((sims[0]["label_grid"] > 0).sum())
+
+
 def test_hd_square_binning_rejected_for_grids(tmp_path):
     """Square-binned HD positions must fail loudly at the factory, not
     overflow/alias inside grid assembly (code-review finding, round 2)."""
