@@ -94,3 +94,10 @@ def test_visium_hd_example_floor():
     assert m["acc_g"] > 0.5
     df = pd.read_csv(m["loupe_csv"])
     assert df["Barcode"].str.startswith("s_016um_").all()
+
+
+def test_graph_gcn_example_floor():
+    import graph_gcn
+
+    m = graph_gcn.main(["--steps", "50", "--arrays", "2"])
+    assert m["acc"] > 0.6  # 4-class chance is 0.25
