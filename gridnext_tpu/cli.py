@@ -81,6 +81,56 @@ def _cmd_prepare(args):
             print(f"wrote {pdir}")
 
 
+def _split_dls(dataset, val_den: int, stream: bool, transform=None,
+               val_if_single: bool = True):
+    """Shuffled train/val split as loop-ready dataloaders.
+
+    ``stream=True`` -> lazy Subset views (one batch resident at a time);
+    otherwise materialized arrays (``transform`` applied whole-cohort).
+    ``val_den``: validation fraction denominator (len // val_den items).
+    The single shared split policy of every train-* command.
+    """
+    import numpy as np
+
+    from gridnext_tpu.data import Subset
+
+    order = np.random.default_rng(0).permutation(len(dataset))
+    n_val = (max(1, len(order) // val_den)
+             if (val_if_single or len(order) > 1) else 0)
+    if stream:
+        return {"train": Subset(dataset, order[n_val:], transform),
+                "val": Subset(dataset, order[:n_val], transform)
+                if n_val else None}
+    X, Y = dataset.materialize()
+    if transform is not None:
+        X = transform(X)
+    multi = isinstance(X, tuple)
+    X = tuple(a[order] for a in X) if multi else X[order]
+    Y = Y[order]
+
+    def part(sl):
+        return (tuple(a[sl] for a in X) if multi else X[sl]), Y[sl]
+
+    return {"train": part(slice(n_val, None)),
+            "val": part(slice(None, n_val)) if n_val else None}
+
+
+def _first_sample(dls):
+    """Leading-1 model-init sample from a dataloader's train split."""
+    import jax.numpy as jnp
+
+    data = dls["train"]
+    if hasattr(data, "dataset"):  # streaming Subset: items, not batches
+        x0 = data[0][0]
+        if isinstance(x0, tuple):
+            return tuple(jnp.asarray(a)[None] for a in x0)
+        return jnp.asarray(x0)[None]
+    X, _ = data                   # materialized (inputs, labels) pair
+    if isinstance(X, tuple):
+        return tuple(jnp.asarray(a[:1]) for a in X)
+    return jnp.asarray(X[:1])
+
+
 def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
               transform=None, stream: bool = False, corrector: str = "hex"):
     """Shared f-spotwise + g-gridwise training flow for the train-* commands.
@@ -92,10 +142,7 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     'square' (the Cartesian GridNet corrector -- right for HD square bins).
     """
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from gridnext_tpu.data import Subset
     from gridnext_tpu.models import GridNet, GridNetHex
     from gridnext_tpu.train import (create_train_state, load_f_params,
                                     make_gridwise_optimizer, save_checkpoint,
@@ -106,19 +153,7 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
           + (" [streaming]" if stream else ""))
 
     # shuffled stratification-friendly split (file order is spatially sorted)
-    rng = np.random.default_rng(0)
-    order = rng.permutation(len(spots))
-    n_val = max(1, len(spots) // 5)
-    if stream:
-        dls_f = {"train": Subset(spots, order[n_val:], transform),
-                 "val": Subset(spots, order[:n_val], transform)}
-    else:
-        Xs, Ys = spots.materialize()
-        if transform is not None:
-            Xs = transform(Xs)
-        Xs, Ys = Xs[order], Ys[order]
-        dls_f = {"train": (Xs[n_val:], Ys[n_val:]),
-                 "val": (Xs[:n_val], Ys[:n_val])}
+    dls_f = _split_dls(spots, 5, stream, transform)
     f_state, *_ = train_spotwise(
         f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
         batch_size=args.batch_size, verbose=True)
@@ -128,23 +163,8 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
               patch_chunk=patch_chunk)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
-    gorder = rng.permutation(len(grids))
-    n_valg = max(1, len(grids) // 4) if len(grids) > 1 else 0
-    if stream:
-        dls = {"train": Subset(grids, gorder[n_valg:], transform),
-               "val": Subset(grids, gorder[:n_valg], transform) if n_valg
-               else None}
-        x0 = dls["train"][0][0]
-        sample = jnp.asarray(x0)[None]
-    else:
-        Xg, Yg = grids.materialize()
-        if transform is not None:
-            Xg = transform(Xg)
-        Xg, Yg = Xg[gorder], Yg[gorder]
-        dls = {"train": (Xg[n_valg:], Yg[n_valg:]),
-               "val": (Xg[:n_valg], Yg[:n_valg]) if n_valg else None}
-        sample = jnp.asarray(Xg[:1])
-    state = create_train_state(g, jax.random.key(0), sample, tx)
+    dls = _split_dls(grids, 4, stream, transform, val_if_single=False)
+    state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
     state = load_f_params(state, f_state.variables())
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True)
@@ -323,22 +343,10 @@ def _cmd_train_mm(args):
           f"{len(mm_grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else ""))
 
-    from gridnext_tpu.data import Subset
-
     def spot_train(f, spots, transform=None):
-        order = np.random.default_rng(0).permutation(len(spots))
-        n_val = max(1, len(order) // 5)
-        if stream:
-            dls = {"train": Subset(spots, order[n_val:], transform),
-                   "val": Subset(spots, order[:n_val], transform)}
-        else:
-            X, Y = spots.materialize()
-            if transform is not None:
-                X = transform(X)
-            X, Y = X[order], Y[order]
-            dls = {"train": (X[n_val:], Y[n_val:]), "val": (X[:n_val], Y[:n_val])}
         state, *_ = train_spotwise(
-            f, dls, learning_rate=args.f_lr, num_epochs=args.epochs,
+            f, _split_dls(spots, 5, stream, transform),
+            learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True)
         return state
 
@@ -355,25 +363,10 @@ def _cmd_train_mm(args):
                      n_classes=n_classes, patch_chunk=args.patch_chunk)
     # log1p the count modality only; image grids pass through
     mm_transform = lambda x: (x[0], np.log1p(x[1]))  # noqa: E731
-    gorder = np.random.default_rng(0).permutation(len(mm_grids))
-    n_valg = max(1, len(mm_grids) // 4) if len(mm_grids) > 1 else 0
-    if stream:
-        dls = {"train": Subset(mm_grids, gorder[n_valg:], mm_transform),
-               "val": Subset(mm_grids, gorder[:n_valg], mm_transform)
-               if n_valg else None}
-        (xi0, xc0) = dls["train"][0][0]
-        sample = (jnp.asarray(xi0)[None], jnp.asarray(xc0)[None])
-    else:
-        (Xi, Xc), Yg = mm_grids.materialize()
-        Xc = np.log1p(Xc)
-        Xi, Xc, Yg = Xi[gorder], Xc[gorder], Yg[gorder]
-        dls = {"train": ((Xi[n_valg:], Xc[n_valg:]), Yg[n_valg:]),
-               "val": ((Xi[:n_valg], Xc[:n_valg]), Yg[:n_valg])
-               if n_valg else None}
-        sample = (jnp.asarray(Xi[:1]), jnp.asarray(Xc[:1]))
+    dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
-    state = create_train_state(g, jax.random.key(0), sample, tx)
+    state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
     state = load_f_params(state, f_image_state.variables(),
                           key="image_classifier")
     state = load_f_params(state, f_count_state.variables(),
@@ -399,13 +392,28 @@ def _cmd_train_mm(args):
     print(f"saved model to {args.out}")
 
 
+def _write_loupe(label_grid, srd, args, classes, hd_binning=None,
+                 hex_coords=True):
+    """Shared Loupe-CSV export for every register branch: output naming
+    (single file vs per-array directory), positions lookup, write, log."""
+    from gridnext_tpu.evaluate import to_loupe_annots
+    from gridnext_tpu.io import find_position_file
+
+    name = os.path.basename(srd.rstrip("/"))
+    out_csv = (args.out if len(args.spaceranger) == 1
+               else os.path.join(args.out, f"{name}_loupe.csv"))
+    if len(args.spaceranger) > 1:
+        os.makedirs(args.out, exist_ok=True)
+    to_loupe_annots(label_grid, find_position_file(srd, hd_binning), out_csv,
+                    annot_names=classes, hex_coords=hex_coords)
+    print(f"registered {name} -> {out_csv}")
+
+
 def _cmd_register(args):
     import jax
     import numpy as np
 
     from gridnext_tpu.data import CountGridDataset
-    from gridnext_tpu.evaluate import to_loupe_annots
-    from gridnext_tpu.io import find_position_file
     from gridnext_tpu.models import (CountMLP, GridNetHex, GridNetHexMM,
                                      densenet121)
     from gridnext_tpu.train import load_checkpoint
@@ -447,21 +455,13 @@ def _cmd_register(args):
                                    patch_size_px=meta.get("patch_px", 128),
                                    minimum_detection_rate=None)
         for i, srd in enumerate(args.spaceranger):
-            name = os.path.basename(srd.rstrip("/"))
             (xi, xc), _ = mm[i]
             if meta.get("log1p"):
                 xc = np.log1p(xc)
             logits = g.apply(variables, (xi[None], xc[None]), train=False)
             labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
-            fg = xc.sum(-1) > 0
-            label_grid = np.where(fg, labels, 0)
-            out_csv = (args.out if len(args.spaceranger) == 1
-                       else os.path.join(args.out, f"{name}_loupe.csv"))
-            if len(args.spaceranger) > 1:
-                os.makedirs(args.out, exist_ok=True)
-            to_loupe_annots(label_grid, find_position_file(srd), out_csv,
-                            annot_names=classes)
-            print(f"registered {name} -> {out_csv}")
+            label_grid = np.where(xc.sum(-1) > 0, labels, 0)
+            _write_loupe(label_grid, srd, args, classes)
         return
 
     if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
@@ -496,21 +496,14 @@ def _cmd_register(args):
                 patch_size_px=meta.get("patch_px", 128),
                 hd_binning=meta.get("hd_binning"), grid_dims=tuple(grid_dims))
             for i, srd in enumerate(args.spaceranger):
-                name = os.path.basename(srd.rstrip("/"))
                 xi, _ = pdat[i]
                 logits = g.apply(variables, xi[None], train=False)
                 labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
                 fg = xi.reshape(xi.shape[0], xi.shape[1], -1).max(-1) > 0
                 label_grid = np.where(fg, labels, 0)
-                out_csv = (args.out if len(args.spaceranger) == 1
-                           else os.path.join(args.out, f"{name}_loupe.csv"))
-                if len(args.spaceranger) > 1:
-                    os.makedirs(args.out, exist_ok=True)
-                to_loupe_annots(
-                    label_grid,
-                    find_position_file(srd, meta.get("hd_binning")),
-                    out_csv, annot_names=classes, hex_coords=False)
-                print(f"registered {name} -> {out_csv}")
+                _write_loupe(label_grid, srd, args, classes,
+                             hd_binning=meta.get("hd_binning"),
+                             hex_coords=False)
             return
 
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
@@ -519,18 +512,11 @@ def _cmd_register(args):
             normalize=None)
         Image.MAX_IMAGE_PIXELS = None
         for srd, im in zip(args.spaceranger, args.images):
-            name = os.path.basename(srd.rstrip("/"))
             # RGBA/grayscale slides -> 3 channels (the prepare path slices
             # patches[..., :3]; the serving gather has no such guard)
             wsi = jax.device_put(np.asarray(Image.open(im).convert("RGB")))
             label_grid = registrar(wsi, read_positions(srd))
-            out_csv = (args.out if len(args.spaceranger) == 1
-                       else os.path.join(args.out, f"{name}_loupe.csv"))
-            if len(args.spaceranger) > 1:
-                os.makedirs(args.out, exist_ok=True)
-            to_loupe_annots(label_grid, find_position_file(srd), out_csv,
-                            annot_names=classes)
-            print(f"registered {name} -> {out_csv}")
+            _write_loupe(label_grid, srd, args, classes)
         return
 
     grid_dims = meta.get("grid_dims")  # square HD lattices (GridNet g)
@@ -543,7 +529,6 @@ def _cmd_register(args):
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
     for srd in args.spaceranger:
-        name = os.path.basename(srd.rstrip("/"))
         cfile = _validated_count_cache(srd, meta)
         if grid_dims is not None:
             gdat = CountGridDataset([cfile], Visium=False,
@@ -555,17 +540,10 @@ def _cmd_register(args):
             x = np.log1p(x)
         logits = g.apply(variables, x[None], train=False)
         labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
-        fg = x.sum(-1) > 0
-        label_grid = np.where(fg, labels, 0)
-        out_csv = (args.out if len(args.spaceranger) == 1
-                   else os.path.join(args.out, f"{name}_loupe.csv"))
-        if len(args.spaceranger) > 1:
-            os.makedirs(args.out, exist_ok=True)
-        to_loupe_annots(label_grid,
-                        find_position_file(srd, meta.get("hd_binning")),
-                        out_csv, annot_names=classes,
-                        hex_coords=grid_dims is None)
-        print(f"registered {name} -> {out_csv}")
+        label_grid = np.where(x.sum(-1) > 0, labels, 0)
+        _write_loupe(label_grid, srd, args, classes,
+                     hd_binning=meta.get("hd_binning"),
+                     hex_coords=grid_dims is None)
 
 
 def _add_image_train_args(s):
