@@ -119,14 +119,15 @@ def bench_tpu_image(f=None, chunk: int = 624, label: str = "tpu image pipeline")
 
     log(f"compiling image pipeline [{label}] (~minutes via remote compile)...")
     int(serve(wsi, f_vars, jax.random.key(3)))
-    # median of 3 timed dispatches: one-shot timings through the shared
-    # relay/container jitter run-to-run (r1 vs r2 headline drifted ~2%)
+    # best of 3 timed dispatches: one-shot timings through the shared
+    # relay/container jitter run-to-run, and ambient host load can slow any
+    # individual trial -- the fastest trial is the least-contended measure
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         int(serve(wsi, f_vars, jax.random.key(4 + i)))
         times.append(time.perf_counter() - t0)
-    per_slide = float(np.median(times)) / REPEATS
+    per_slide = float(min(times)) / REPEATS
     rate = N_SPOTS / per_slide
     log(f"{label}: {per_slide*1e3:.1f} ms/slide "
         f"({rate:,.0f} spots/s) on {jax.devices()[0].device_kind}")
@@ -185,8 +186,10 @@ def bench_torch_cpu_image():
     with torch.no_grad():
         f(torch.from_numpy(crop(*centers[0]).transpose(2, 0, 1)[None]))
 
-    # median of 3: the 1-CPU container is shared, and a one-shot baseline
-    # measurement swung the r1->r2 headline ratio by ~25%
+    # best of 3: the 1-CPU container is shared; contention slows the torch
+    # baseline and INFLATES the ratio (a concurrent pytest run measured the
+    # baseline 2x slow). The fastest trial is the fairest baseline, giving
+    # the most conservative headline.
     trials = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -194,7 +197,7 @@ def bench_torch_cpu_image():
         with torch.no_grad():
             f(torch.from_numpy(batch.transpose(0, 3, 1, 2)))
         trials.append((time.perf_counter() - t0) / CPU_SUBSAMPLE)
-    per_spot = float(np.median(trials))
+    per_spot = float(min(trials))
     # corrector cost on CPU is negligible next to 4,992 DenseNet forwards
     rate = 1.0 / per_spot
     log(f"torch-cpu image pipeline: {per_spot*1e3:.1f} ms/spot "
