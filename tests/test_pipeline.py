@@ -173,3 +173,29 @@ def test_device_resize_pil_parity():
     diff = np.abs(host.astype(np.int32) - dev.astype(np.int32))
     assert diff.max() <= 2, diff.max()
     assert diff.mean() < 0.5, diff.mean()
+
+
+def test_hd_bin_um_parsing():
+    import pytest
+
+    from gridnext_tpu.pipeline import hd_bin_um
+
+    assert hd_bin_um("square_008um") == 8.0
+    assert hd_bin_um("square_016um") == 16.0
+    assert hd_bin_um("square_2um") == 2.0
+    with pytest.raises(ValueError, match="binning"):
+        hd_bin_um("square_raw")
+
+
+def test_parse_grid_dims():
+    import pytest
+
+    from gridnext_tpu.cli import _parse_grid_dims
+
+    assert _parse_grid_dims(None) is None
+    assert _parse_grid_dims("auto") == "auto"
+    assert _parse_grid_dims("AUTO") == "auto"
+    assert _parse_grid_dims("24x20") == (24, 20)
+    assert _parse_grid_dims("24X20") == (24, 20)
+    with pytest.raises(SystemExit):
+        _parse_grid_dims("24")
