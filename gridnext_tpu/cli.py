@@ -310,32 +310,44 @@ def _cmd_train_image(args):
 
 
 def _cmd_train_mm(args):
-    """Multimodal: per-modality f spotwise, then GridNetHexMM g gridwise."""
+    """Multimodal: per-modality f spotwise, then the MM g gridwise."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.models import (CountMLP, GridNetHexMM,
+    from gridnext_tpu.models import (CountMLP, GridNetHexMM, GridNetMM,
                                      TpuPatchClassifier, densenet121)
     from gridnext_tpu.train import (create_train_state, load_f_params,
                                     make_gridwise_optimizer, save_checkpoint,
                                     train_gridwise, train_spotwise)
 
     _check_image_args(args)
+    hd_binning = getattr(args, "hd_binning", None)
+    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
+    if grid_dims is not None and hd_binning is None:
+        sys.exit("error: --grid-dims requires --hd-binning")
+    if hd_binning is not None and grid_dims is None:
+        sys.exit("error: --hd-binning multimodal training needs --grid-dims "
+                 "(the square HD bin lattice the patch grid is indexed by)")
     kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
-              fullres_image_files=args.images, patch_size_px=args.patch_px)
+              fullres_image_files=args.images, patch_size_px=args.patch_px,
+              hd_binning=hd_binning)
     mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
-                                     use_count=True, use_image=True, **kw)
+                                     use_count=True, use_image=True,
+                                     grid_dims=grid_dims, **kw)
     count_spots = create_visium_dataset(args.spaceranger, spatial=False,
                                         use_count=True, use_image=False,
                                         annot_files=args.annots,
-                                        minimum_detection_rate=args.min_detection)
+                                        minimum_detection_rate=args.min_detection,
+                                        hd_binning=hd_binning)
     image_spots = create_visium_dataset(args.spaceranger, spatial=False,
                                         use_count=False, use_image=True,
                                         annot_files=args.annots,
                                         fullres_image_files=args.images,
-                                        patch_size_px=args.patch_px)
+                                        patch_size_px=args.patch_px,
+                                        hd_binning=hd_binning,
+                                        grid_dims=grid_dims)
     classes = list(mm_grids.classes)
     n_classes = len(classes)
     stream = not getattr(args, "no_stream", False)
@@ -359,8 +371,10 @@ def _cmd_train_mm(args):
         f_image = densenet121(num_classes=n_classes, dtype=dtype)
     f_image_state = spot_train(f_image, image_spots)
 
-    g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
-                     n_classes=n_classes, patch_chunk=args.patch_chunk)
+    square = grid_dims is not None  # Cartesian corrector on HD bin lattices
+    mm_cls = GridNetMM if square else GridNetHexMM
+    g = mm_cls(image_classifier=f_image, count_classifier=f_count,
+               n_classes=n_classes, patch_chunk=args.patch_chunk)
     # log1p the count modality only; image grids pass through
     mm_transform = lambda x: (x[0], np.log1p(x[1]))  # noqa: E731
     dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False)
@@ -380,7 +394,7 @@ def _cmd_train_mm(args):
 
     from gridnext_tpu.io import unified_count_suffix
 
-    suffix = unified_count_suffix()
+    suffix = unified_count_suffix(hd_binning)
     cache0 = os.path.join(args.spaceranger[0],
                           os.path.basename(args.spaceranger[0].rstrip("/")) + suffix)
     genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
@@ -388,7 +402,12 @@ def _cmd_train_mm(args):
         json.dump({"classes": classes, "patch_px": args.patch_px,
                    "patch_chunk": args.patch_chunk,
                    "n_genes": len(genes), "genes": genes, "log1p": True,
-                   "image_f": args.f, "model": "GridNetHexMM"}, fh)
+                   "hd_binning": hd_binning,
+                   "grid_dims": ([mm_grids.image_dataset.h_st,
+                                  mm_grids.image_dataset.w_st] if square
+                                 else None),
+                   "image_f": args.f,
+                   "model": "GridNetMM" if square else "GridNetHexMM"}, fh)
     print(f"saved model to {args.out}")
 
 
@@ -428,11 +447,11 @@ def _cmd_register(args):
         variables["batch_stats"] = payload["batch_stats"]
 
     model_name = meta.get("model", "")
-    if model_name == "GridNetHexMM":
+    if model_name in ("GridNetHexMM", "GridNetMM"):
         # multimodal registration: count grids + patch grids through g
         _require_one_image_per_dir(args.images, args.spaceranger)
         from gridnext_tpu.data import create_visium_dataset
-        from gridnext_tpu.models import TpuPatchClassifier
+        from gridnext_tpu.models import GridNetMM, TpuPatchClassifier
 
         # count caches must exist AND carry the training gene axis before
         # the factory touches them (it would otherwise regenerate with a
@@ -446,13 +465,18 @@ def _cmd_register(args):
         else:
             f_image = densenet121(num_classes=len(classes))
         # chunk f like training did (activation memory on real slides)
-        g = GridNetHexMM(image_classifier=f_image, count_classifier=f_count,
-                         n_classes=len(classes),
-                         patch_chunk=meta.get("patch_chunk", 624))
+        grid_dims = meta.get("grid_dims")  # square HD (Cartesian corrector)
+        mm_cls = GridNetMM if model_name == "GridNetMM" else GridNetHexMM
+        g = mm_cls(image_classifier=f_image, count_classifier=f_count,
+                   n_classes=len(classes),
+                   patch_chunk=meta.get("patch_chunk", 624))
         mm = create_visium_dataset(args.spaceranger, spatial=True,
                                    use_count=True, use_image=True,
                                    fullres_image_files=args.images,
                                    patch_size_px=meta.get("patch_px", 128),
+                                   hd_binning=meta.get("hd_binning"),
+                                   grid_dims=(tuple(grid_dims)
+                                              if grid_dims else None),
                                    minimum_detection_rate=None)
         for i, srd in enumerate(args.spaceranger):
             (xi, xc), _ = mm[i]
@@ -461,7 +485,9 @@ def _cmd_register(args):
             logits = g.apply(variables, (xi[None], xc[None]), train=False)
             labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
             label_grid = np.where(xc.sum(-1) > 0, labels, 0)
-            _write_loupe(label_grid, srd, args, classes)
+            _write_loupe(label_grid, srd, args, classes,
+                         hd_binning=meta.get("hd_binning"),
+                         hex_coords=grid_dims is None)
         return
 
     if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
@@ -631,6 +657,12 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um); "
+                        "requires --grid-dims")
+    s.add_argument("--grid-dims", default=None,
+                   help="square HD bin lattice: 'auto' or HxW; selects the "
+                        "Cartesian GridNetMM corrector")
     s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

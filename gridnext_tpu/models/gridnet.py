@@ -153,6 +153,36 @@ class _GridNetBase(nn.Module):
         return self.corrector(ppred, train=train)
 
 
+class GridNetMMBase(nn.Module):
+    """Multimodal base: separate f per modality, channel-concat fusion.
+
+    Subclasses define the corrector lattice (hex for Visium pseudo-hex,
+    Cartesian for HD square bins).
+    """
+
+    image_classifier: nn.Module
+    count_classifier: nn.Module
+    n_classes: int
+    image_f_dim: Optional[int] = None
+    count_f_dim: Optional[int] = None
+    use_bn: bool = True
+    patch_chunk: Optional[int] = None
+
+    def patch_predictions(self, x, train: bool = False):
+        x_image, x_count = x
+        ppg_count = _apply_f_grid(self.count_classifier, x_count,
+                                  self.patch_chunk, self.count_f_dim,
+                                  what="count classifier")
+        ppg_image = _apply_f_grid(self.image_classifier, x_image,
+                                  self.patch_chunk, self.image_f_dim,
+                                  what="image classifier")
+        return jnp.concatenate([ppg_count, ppg_image], axis=-1)
+
+    def __call__(self, x, train: bool = False):
+        ppred = self.patch_predictions(x, train=train)
+        return self.corrector(ppred, train=train)
+
+
 class GridNet(_GridNetBase):
     """Square-lattice (non-Visium) GridNet: Cartesian conv corrector."""
 
@@ -197,7 +227,7 @@ class ConcatGridNet(nn.Module):
         return x
 
 
-class GridNetHexMM(nn.Module):
+class GridNetHexMM(GridNetMMBase):
     """Multimodal GridNet: separate f per modality, channel-concat fusion.
 
     ``__call__((x_image, x_count))`` with x_image (B, H, W, P, P, 3) and
@@ -208,27 +238,16 @@ class GridNetHexMM(nn.Module):
     (the reference's ``_set_mode`` hack, gridnet_models.py:212-222).
     """
 
-    image_classifier: nn.Module
-    count_classifier: nn.Module
-    n_classes: int
-    image_f_dim: Optional[int] = None
-    count_f_dim: Optional[int] = None
-    use_bn: bool = True
-    patch_chunk: Optional[int] = None
-
     def setup(self):
         self.corrector = _HexCorrector(self.n_classes, self.use_bn)
 
-    def patch_predictions(self, x, train: bool = False):
-        x_image, x_count = x
-        ppg_count = _apply_f_grid(self.count_classifier, x_count,
-                                  self.patch_chunk, self.count_f_dim,
-                                  what="count classifier")
-        ppg_image = _apply_f_grid(self.image_classifier, x_image,
-                                  self.patch_chunk, self.image_f_dim,
-                                  what="image classifier")
-        return jnp.concatenate([ppg_count, ppg_image], axis=-1)
 
-    def __call__(self, x, train: bool = False):
-        ppred = self.patch_predictions(x, train=train)
-        return self.corrector(ppred, train=train)
+class GridNetMM(GridNetMMBase):
+    """Square-lattice multimodal GridNet (Cartesian corrector).
+
+    For HD square bin lattices, where the hex taps' pseudo-hex packing
+    assumption does not hold; same concat fusion as :class:`GridNetHexMM`.
+    """
+
+    def setup(self):
+        self.corrector = _CartesianCorrector(self.n_classes, self.use_bn)

@@ -101,3 +101,50 @@ def test_graph_gcn_example_floor():
 
     m = graph_gcn.main(["--steps", "50", "--arrays", "2"])
     assert m["acc"] > 0.6  # 4-class chance is 0.25
+
+
+@pytest.mark.slow
+def test_cli_train_mm_hd_square_end_to_end(tmp_path):
+    """CLI multimodal flow on a square HD lattice: train-mm --hd-binning
+    --grid-dims (GridNetMM, Cartesian corrector) then register."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    binning = "square_016um"
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=12,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=(14, 12), hd_binning=binning,
+                                     image=True, spot_spacing_px=12)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-mm", "--hd-binning", binning,
+                     "--grid-dims", "auto", "--spaceranger"] + dirs +
+                    ["--annots"] + annots + ["--images"] + imgs +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--patch-px", "32", "--patch-chunk", "168",
+                     "--min-detection", "0", "--batch-size", "32",
+                     "--f", "tpu"])
+        cli.main()
+        sys.argv = ["x", "register", "--spaceranger", dirs[0],
+                    "--images", imgs[0], "--model", str(tmp_path / "model"),
+                    "--out", str(tmp_path / "loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+
+    meta = json.loads((tmp_path / "model" / "model.json").read_text())
+    assert meta["model"] == "GridNetMM"
+    assert meta["grid_dims"] == [14, 12]
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert df["Barcode"].str.startswith("s_016um_").all()
+    assert len(df) == int((sims[0]["label_grid"] > 0).sum())
