@@ -121,7 +121,14 @@ def _first_sample(dls):
 
     data = dls["train"]
     if hasattr(data, "dataset"):  # streaming Subset: items, not batches
-        x0 = data[0][0]
+        if hasattr(data.dataset, "sample_item"):
+            # cheap path: shape-correct zeros (decodes at most one patch)
+            # instead of materializing a full ~GB grid item just for init
+            x0 = data.dataset.sample_item()
+            if data.transform is not None:
+                x0 = data.transform(x0)
+        else:
+            x0 = data[0][0]
         if isinstance(x0, tuple):
             return tuple(jnp.asarray(a)[None] for a in x0)
         return jnp.asarray(x0)[None]

@@ -148,6 +148,14 @@ class CountGridDataset(_GridDatasetBase):
             annots = encode_annot_grid(annots, self.classes)
         return counts.astype(np.float32), annots.astype(np.int64)
 
+    def sample_item(self):
+        """Zero input item with the real per-array shape, without assembling
+        a grid -- the cheap model-init sample for streaming trainers."""
+        frame = _read_count_frame(self.count_files[0], self.cfile_delim)
+        n_genes = (len(self.select_genes) if self.select_genes is not None
+                   else frame.shape[0])
+        return np.zeros((self.h_st, self.w_st, n_genes), np.float32)
+
 
 class CountSpotDataset:
     """Flattened annotated spots: (n_genes,) vectors with labels in [0, N).
@@ -347,6 +355,19 @@ class PatchGridDataset(_GridDatasetBase):
             patch_grid[y, x] = first if i == 0 else patch_at(i)
         return patch_grid, annots
 
+    def sample_item(self):
+        """Zero input item with the real per-array shape: decodes ONE patch
+        (for its post-transform shape) instead of the ~3k a full __getitem__
+        costs -- the cheap model-init sample for streaming trainers."""
+        rxp = re.compile(_PATCH_RXP_TMPL % self.img_ext)
+        imdir = str(self.img_dirs[0])
+        for f in sorted(os.listdir(imdir)):
+            if rxp.match(f):
+                patch = _load_patch(os.path.join(imdir, f), self.transform)
+                return np.zeros((self.h_st, self.w_st) + patch.shape,
+                                np.float32)
+        raise ValueError(f"No patches found in {self.img_dirs[0]}")
+
 
 class PatchSpotDataset:
     """Individual spot patches with labels in [0, N) (image_datasets.py:20-122)."""
@@ -418,6 +439,11 @@ class MMStackDataset(_GridDatasetBase):
         x2, y2 = self.count_dataset[idx]
         y = np.where(y1 != y2, 0, y1)
         return (x1, x2), y
+
+    def sample_item(self):
+        """Cheap model-init sample: per-modality zero items."""
+        return (self.image_dataset.sample_item(),
+                self.count_dataset.sample_item())
 
     def materialize(self):
         xi, xc, ys = [], [], []

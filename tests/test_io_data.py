@@ -437,3 +437,25 @@ def test_mismatched_unified_caches_rejected(tmp_path):
         create_visium_dataset([s0["spaceranger_dir"], s1["spaceranger_dir"]],
                               use_count=True, use_image=False, spatial=True,
                               minimum_detection_rate=None)
+
+
+def test_sample_item_shapes(sim_dirs, tmp_path):
+    """sample_item: shape-correct zero init samples without full grid
+    assembly (count, image, and MM stack; streaming-trainer init path)."""
+    dirs = [s["spaceranger_dir"] for s in sim_dirs]
+    gdat = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                 spatial=True, minimum_detection_rate=None)
+    s = gdat.sample_item()
+    assert s.shape == gdat[0][0].shape and s.sum() == 0
+
+    sim = simulate_spaceranger_dir(tmp_path / "img0", seed=0, n_genes=10,
+                                   n_classes=3, image=True,
+                                   spot_spacing_px=14)
+    mm = create_visium_dataset([sim["spaceranger_dir"]],
+                               annot_files=[sim["annot_file"]],
+                               use_count=True, use_image=True, spatial=True,
+                               fullres_image_files=[sim["image_file"]],
+                               patch_size_px=8, minimum_detection_rate=None)
+    si, sc = mm.sample_item()
+    (xi, xc), _ = mm[0]
+    assert si.shape == xi.shape and sc.shape == xc.shape
