@@ -227,6 +227,19 @@ def _parse_grid_dims(spec):
         sys.exit(f"error: --grid-dims must be 'auto' or HxW; got {spec!r}")
 
 
+def _parse_hd_args(args, require_dims: bool, what: str = "training"):
+    """(hd_binning, grid_dims) with the shared validation: --grid-dims needs
+    --hd-binning; image/MM flows additionally need dims for any HD run."""
+    hd_binning = getattr(args, "hd_binning", None)
+    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
+    if grid_dims is not None and hd_binning is None:
+        sys.exit("error: --grid-dims requires --hd-binning")
+    if require_dims and hd_binning is not None and grid_dims is None:
+        sys.exit(f"error: --hd-binning {what} needs --grid-dims "
+                 "(the square HD bin lattice the patch grid is indexed by)")
+    return hd_binning, grid_dims
+
+
 def _cmd_train_count(args):
     import numpy as np
 
@@ -234,10 +247,7 @@ def _cmd_train_count(args):
     from gridnext_tpu.io import unified_count_suffix
     from gridnext_tpu.models import CountMLP
 
-    hd_binning = getattr(args, "hd_binning", None)
-    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
-    if grid_dims is not None and hd_binning is None:
-        sys.exit("error: --grid-dims requires --hd-binning")
+    hd_binning, grid_dims = _parse_hd_args(args, require_dims=False)
     suffix = unified_count_suffix(hd_binning)
     caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + suffix)
               for s in args.spaceranger]
@@ -282,13 +292,8 @@ def _cmd_train_image(args):
     from gridnext_tpu.models import TpuPatchClassifier, densenet121
 
     _check_image_args(args)
-    hd_binning = getattr(args, "hd_binning", None)
-    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
-    if grid_dims is not None and hd_binning is None:
-        sys.exit("error: --grid-dims requires --hd-binning")
-    if hd_binning is not None and grid_dims is None:
-        sys.exit("error: --hd-binning image training needs --grid-dims "
-                 "(the square HD bin lattice the patch grid is indexed by)")
+    hd_binning, grid_dims = _parse_hd_args(args, require_dims=True,
+                                           what="image training")
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
               fullres_image_files=args.images, patch_size_px=args.patch_px,
               hd_binning=hd_binning)
@@ -330,13 +335,8 @@ def _cmd_train_mm(args):
                                     train_gridwise, train_spotwise)
 
     _check_image_args(args)
-    hd_binning = getattr(args, "hd_binning", None)
-    grid_dims = _parse_grid_dims(getattr(args, "grid_dims", None))
-    if grid_dims is not None and hd_binning is None:
-        sys.exit("error: --grid-dims requires --hd-binning")
-    if hd_binning is not None and grid_dims is None:
-        sys.exit("error: --hd-binning multimodal training needs --grid-dims "
-                 "(the square HD bin lattice the patch grid is indexed by)")
+    hd_binning, grid_dims = _parse_hd_args(args, require_dims=True,
+                                           what="multimodal training")
     kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
               fullres_image_files=args.images, patch_size_px=args.patch_px,
               hd_binning=hd_binning)
@@ -598,6 +598,14 @@ def _add_image_train_args(s):
     s.add_argument("--bf16", action="store_true")
 
 
+def _add_hd_args(s, corrector: str):
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um)")
+    s.add_argument("--grid-dims", default=None,
+                   help="square HD bin lattice: 'auto' (infer from positions) "
+                        f"or HxW; selects the Cartesian {corrector} corrector")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gridnext_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -628,11 +636,7 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_prepare)
 
     s = sub.add_parser("train-count", help="train CountMLP f + GridNetHex g")
-    s.add_argument("--hd-binning", default=None,
-                   help="Visium HD binned output to read (e.g. square_008um)")
-    s.add_argument("--grid-dims", default=None,
-                   help="square HD bin lattice: 'auto' (infer from positions) "
-                        "or HxW; selects the Cartesian GridNet corrector")
+    _add_hd_args(s, "GridNet")
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--annots", nargs="+", required=True)
     s.add_argument("--out", required=True)
@@ -649,12 +653,7 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
-    s.add_argument("--hd-binning", default=None,
-                   help="Visium HD binned output to read (e.g. square_008um); "
-                        "requires --grid-dims")
-    s.add_argument("--grid-dims", default=None,
-                   help="square HD bin lattice: 'auto' or HxW; selects the "
-                        "Cartesian GridNet corrector")
+    _add_hd_args(s, "GridNet")
     s.set_defaults(fn=_cmd_train_image)
 
     s = sub.add_parser("train-mm",
@@ -664,12 +663,7 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
-    s.add_argument("--hd-binning", default=None,
-                   help="Visium HD binned output to read (e.g. square_008um); "
-                        "requires --grid-dims")
-    s.add_argument("--grid-dims", default=None,
-                   help="square HD bin lattice: 'auto' or HxW; selects the "
-                        "Cartesian GridNetMM corrector")
+    _add_hd_args(s, "GridNetMM")
     s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

@@ -150,10 +150,16 @@ class CountGridDataset(_GridDatasetBase):
 
     def sample_item(self):
         """Zero input item with the real per-array shape, without assembling
-        a grid -- the cheap model-init sample for streaming trainers."""
-        frame = _read_count_frame(self.count_files[0], self.cfile_delim)
-        n_genes = (len(self.select_genes) if self.select_genes is not None
-                   else frame.shape[0])
+        a grid or parsing the count matrix -- the cheap model-init sample
+        for streaming trainers (index-only read for the gene count)."""
+        if self.select_genes is not None:
+            n_genes = len(self.select_genes)
+        else:
+            import pandas as pd
+
+            n_genes = len(pd.read_csv(self.count_files[0],
+                                      sep=self.cfile_delim, index_col=0,
+                                      usecols=[0]).index)
         return np.zeros((self.h_st, self.w_st, n_genes), np.float32)
 
 
@@ -230,6 +236,20 @@ class CountSpotDataset:
 
 
 _PATCH_RXP_TMPL = r".*_(\d+)_(\d+)\.%s"
+
+
+def _matched_patch_files(imdir: str, img_ext: str):
+    """(names, coords) of the patch-cache files in ``imdir`` -- the single
+    definition of the ``*_{col}_{row}.{ext}`` filename contract's discovery
+    (sorted listing, coordinate parse)."""
+    rxp = re.compile(_PATCH_RXP_TMPL % img_ext)
+    names, coords = [], []
+    for f in sorted(os.listdir(imdir)):
+        m = rxp.match(f)
+        if m is not None:
+            names.append(f)
+            coords.append((int(m.group(1)), int(m.group(2))))
+    return names, coords
 
 
 def _pil_open(path) -> np.ndarray:
@@ -321,14 +341,8 @@ class PatchGridDataset(_GridDatasetBase):
             adict = dict(zip(coord_strs, annot_lbls))
 
         annots = np.zeros((self.h_st, self.w_st), dtype=np.int64)
-        rxp = re.compile(_PATCH_RXP_TMPL % self.img_ext)
         imdir = str(self.img_dirs[idx])
-        names, coords = [], []
-        for f in sorted(os.listdir(imdir)):
-            m = rxp.match(f)
-            if m is not None:
-                names.append(f)
-                coords.append((int(m.group(1)), int(m.group(2))))
+        names, coords = _matched_patch_files(imdir, self.img_ext)
         if not names:
             raise ValueError(f"No patches found in {self.img_dirs[idx]}")
         paths = [os.path.join(imdir, f) for f in names]
@@ -359,14 +373,12 @@ class PatchGridDataset(_GridDatasetBase):
         """Zero input item with the real per-array shape: decodes ONE patch
         (for its post-transform shape) instead of the ~3k a full __getitem__
         costs -- the cheap model-init sample for streaming trainers."""
-        rxp = re.compile(_PATCH_RXP_TMPL % self.img_ext)
         imdir = str(self.img_dirs[0])
-        for f in sorted(os.listdir(imdir)):
-            if rxp.match(f):
-                patch = _load_patch(os.path.join(imdir, f), self.transform)
-                return np.zeros((self.h_st, self.w_st) + patch.shape,
-                                np.float32)
-        raise ValueError(f"No patches found in {self.img_dirs[0]}")
+        names, _ = _matched_patch_files(imdir, self.img_ext)
+        if not names:
+            raise ValueError(f"No patches found in {self.img_dirs[0]}")
+        patch = _load_patch(os.path.join(imdir, names[0]), self.transform)
+        return np.zeros((self.h_st, self.w_st) + patch.shape, np.float32)
 
 
 class PatchSpotDataset:
