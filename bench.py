@@ -282,14 +282,27 @@ def main():
         except Exception as e:
             log(f"secondary bench {fn.__name__} failed: {e}")
 
-    ratio = tpu_rate / cpu_rate
+    # Honest baseline: this container pins torch to ONE thread. A production
+    # CPU host runs the torch pipeline multi-core; assume ideal scaling over
+    # PROD_CPU_CORES (generous to the baseline -- DenseNet inference scales
+    # sub-linearly) and report THAT ratio as vs_baseline, with the measured
+    # single-thread figure alongside.
+    PROD_CPU_CORES = 16
+    ratio_1t = tpu_rate / cpu_rate
+    ratio = ratio_1t / PROD_CPU_CORES
     log(f"HEADLINE: tpu {tpu_rate:,.0f} spots/s vs torch-cpu {cpu_rate:.1f} "
-        f"spots/s -> {ratio:,.0f}x")
+        f"spots/s (1 thread) -> {ratio_1t:,.0f}x single-thread, "
+        f"reported as {ratio:,.1f}x vs an assumed {PROD_CPU_CORES}-core host")
     print(json.dumps({
         "metric": "full_slide_registration_spots_per_sec_image_f_plus_g",
         "value": round(tpu_rate, 1),
         "unit": "spots/sec",
         "vs_baseline": round(ratio, 1),
+        "vs_baseline_1thread": round(ratio_1t, 1),
+        "vs_baseline_note": (
+            f"baseline measured single-threaded on a 1-CPU container; "
+            f"vs_baseline assumes ideal {PROD_CPU_CORES}-core scaling of the "
+            f"torch pipeline (conservative for the TPU side)"),
     }))
 
 

@@ -362,15 +362,21 @@ def _cmd_train_mm(args):
           f"{len(mm_grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else ""))
 
-    def spot_train(f, spots, transform=None):
+    def spot_train(f, spots, transform=None, stream_spots=stream):
         state, *_ = train_spotwise(
-            f, _split_dls(spots, 5, stream, transform),
+            f, _split_dls(spots, 5, stream_spots, transform),
             learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True)
         return state
 
     f_count = CountMLP(n_classes=n_classes)
-    f_count_state = spot_train(f_count, count_spots, np.log1p)
+    # Counts always materialize: streaming count spots does globally-shuffled
+    # per-spot reads through a 4-entry frame LRU, so cohorts >4 arrays would
+    # re-parse a full gzip TSV per spot per epoch (see the cohort-cache note
+    # in data/datasets.py). Count cohorts are small in RAM; only image spots
+    # and MM grids benefit from streaming.
+    f_count_state = spot_train(f_count, count_spots, np.log1p,
+                               stream_spots=False)
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.f == "tpu":
         f_image = TpuPatchClassifier(n_classes=n_classes, dtype=dtype)

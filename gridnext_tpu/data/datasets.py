@@ -134,6 +134,17 @@ class CountGridDataset(_GridDatasetBase):
                 and self.position_files is not None):
             self.classes = union_classes(self.annot_files, self.position_files)
 
+        # Caches from separate prepare runs may not share a gene axis; fail
+        # at construction with a clear message instead of as an np.stack
+        # shape error mid-training (the factory checks only when all caches
+        # pre-exist in one call; direct construction must check too).
+        if (self._n_arrays > 1 and select_genes is None
+                and cfile_delim == "\t"
+                and all(os.path.exists(cf) for cf in self.count_files)):
+            from gridnext_tpu.io.unify import check_unified_gene_axis
+
+            check_unified_gene_axis(self.count_files)
+
     def __getitem__(self, idx):
         af = self.annot_files[idx] if self.annot_files is not None else None
         pf = (self.position_files[idx]
@@ -195,8 +206,19 @@ class CountSpotDataset:
             self.classes = union_classes(annot_files, position_files, afile_delim)
 
         rxp = re.compile(r"\d+_\d+")
+        genes0 = None  # cross-file gene-axis consistency (see CountGridDataset)
         for i, cf in enumerate(self.count_files):
             frame = _read_count_frame(cf, cfile_delim)
+            if self.select_genes is None:
+                if genes0 is None:
+                    genes0 = list(frame.index)
+                elif list(frame.index) != genes0:
+                    raise ValueError(
+                        f"count files do not share a gene axis: {cf} differs "
+                        f"from {self.count_files[0]} (unified caches prepared "
+                        "in separate runs?). Regenerate them over the full "
+                        "cohort in one prepare_count_files call, or pass "
+                        "select_genes to align by name.")
             if annot_files is not None:
                 if Visium:
                     coord_strs, annot_strs = read_annotfile(

@@ -107,13 +107,19 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
         if hd_binning is not None:
             # match create_visium_dataset's binning+dims cache naming; HD
             # patch filenames carry direct (array_col, array_row), which is
-            # exactly what obs x/y hold for HD, so the imgpath join works
+            # exactly what obs x/y hold for HD, so the imgpath join works.
+            # Dims are the COHORT-MAX lattice (identical to the factory's
+            # grid_dims='auto'), so caches written here and there share names
+            # even when per-array HD lattices differ.
             from gridnext_tpu.io.spaceranger import hd_lattice_dims
 
-            hd_dims = [hd_lattice_dims(srd, hd_binning)
-                       for srd in spaceranger_dirs]
-            suffixes = [f"_{hd_binning}_{h}x{w}{patch_suffix}"
-                        for h, w in hd_dims]
+            h_hd = w_hd = 0
+            for srd in spaceranger_dirs:
+                h, w = hd_lattice_dims(srd, hd_binning)
+                h_hd, w_hd = max(h_hd, h), max(w_hd, w)
+            hd_dims = [(h_hd, w_hd)] * len(spaceranger_dirs)
+            suffixes = [f"_{hd_binning}_{h_hd}x{w_hd}{patch_suffix}"
+                        for _ in spaceranger_dirs]
         else:
             hd_dims = [None] * len(spaceranger_dirs)
             suffixes = [patch_suffix] * len(spaceranger_dirs)

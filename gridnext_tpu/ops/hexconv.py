@@ -93,10 +93,14 @@ def hex_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = Non
         raise ValueError(
             f"kernel has {kernel.shape[0]} taps, expected {t_expected} for radius {radius}")
     stacked = _shifted_tap_maps(x, radius)  # (..., H, W, T, C_in)
+    # f32 accumulation regardless of compute dtype: the 7*C_in-tap
+    # contraction would otherwise accumulate in bf16 under bf16 activations,
+    # silently diverging from the Pallas corrector backend (which accumulates
+    # f32, ops/hexcorrector_pallas.py) and the flax Dense convention.
     out = jnp.einsum(
         "...tc,tcd->...d", stacked, kernel,
-        precision=precision, preferred_element_type=x.dtype,
-    )
+        precision=precision, preferred_element_type=jnp.float32,
+    ).astype(jnp.result_type(x.dtype, kernel.dtype))
     if bias is not None:
         out = out + bias
     return out

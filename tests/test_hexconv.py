@@ -103,3 +103,25 @@ def test_hexconv_randomized_shapes(seed):
                               radius=radius))
     want = hex_conv_reference(x, k, bias, radius=radius)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_hexconv_bf16_accumulates_in_f32():
+    # Under bf16 activations the 7*C_in-tap contraction must accumulate in
+    # f32 (matching the Pallas corrector backend and the flax Dense
+    # convention): with C_in large, bf16 accumulation would drift far beyond
+    # input-rounding error, while f32 accumulation stays at ~bf16 input
+    # precision relative to the f32 result.
+    rng = np.random.default_rng(7)
+    c_in = 256
+    x = rng.normal(size=(1, 10, 8, c_in)).astype(np.float32)
+    k = rng.normal(size=(7, c_in, 4)).astype(np.float32) / np.sqrt(7 * c_in)
+    want = np.asarray(hex_conv(jnp.asarray(x), jnp.asarray(k)))
+
+    got = hex_conv(jnp.asarray(x, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16))
+    assert got.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(got, np.float32) - want)
+    scale = np.abs(want) + 1.0
+    # bf16 has ~3 decimal digits; f32 accumulation keeps relative error at
+    # the input-rounding level (~1e-2 over a 1792-term sum of rounded
+    # operands), far below what bf16 accumulation produces.
+    assert np.max(err / scale) < 3e-2
