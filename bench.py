@@ -245,8 +245,8 @@ def bench_count_training_secondary():
     import jax.numpy as jnp
 
     from gridnext_tpu.models import CountMLP, GridNetHex
-    from gridnext_tpu.train.loops import (_make_steps, create_train_state,
-                                          make_gridwise_optimizer)
+    from gridnext_tpu.train.loops import (create_train_state,
+                                          make_gridwise_optimizer, make_steps)
 
     f = CountMLP(n_classes=N_CLASSES)
     g = GridNetHex(patch_classifier=f, n_classes=N_CLASSES)
@@ -254,7 +254,7 @@ def bench_count_training_secondary():
     shape = (N_ARRAYS_COUNT, H_ST, W_ST, N_GENES)
     state = create_train_state(g, jax.random.key(0),
                                jnp.zeros((1,) + shape[1:]), tx)
-    train_step, _ = _make_steps(g, tx, "grid")
+    train_step, _ = make_steps(g, tx, "grid")
     x = jax.device_put(jnp.ones(shape, jnp.float32))
     y = jax.device_put(jnp.ones(shape[:3], jnp.int32))
 

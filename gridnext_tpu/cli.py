@@ -156,14 +156,16 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
                                     train_gridwise, train_spotwise)
 
     classes = list(grids.classes)
+    mesh_shape = _parse_mesh(args)
     print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}"
-          + (" [streaming]" if stream else ""))
+          + (" [streaming]" if stream else "")
+          + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
     # shuffled stratification-friendly split (file order is spatially sorted)
     dls_f = _split_dls(spots, 5, stream, transform)
     f_state, *_ = train_spotwise(
         f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
-        batch_size=args.batch_size, verbose=True)
+        batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape)
 
     g_cls = GridNet if corrector == "square" else GridNetHex
     g = g_cls(patch_classifier=f, n_classes=len(classes),
@@ -174,7 +176,9 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
     state = load_f_params(state, f_state.variables())
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
-                               num_epochs=args.epochs, verbose=True)
+                               num_epochs=args.epochs, verbose=True,
+                               batch_size=args.grid_batch_size,
+                               mesh_shape=mesh_shape)
 
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
@@ -211,6 +215,27 @@ def _warn_existing_caches(args, suffix_paths):
                                               for c in suffix_paths):
         print(f"note: unified count caches already exist -- --min-detection "
               f"has no effect on them (delete *.unified.tsv.gz to refilter)")
+
+
+def _parse_mesh(args):
+    """--mesh 'data=4,spot=2' | 'auto' -> the trainers' mesh_shape value."""
+    spec = getattr(args, "mesh", None)
+    if spec is None:
+        return None
+    spec = spec.lower()
+    if spec == "auto":
+        return "auto"
+    try:
+        shape = {}
+        for part in spec.split(","):
+            name, size = part.split("=")
+            shape[name.strip()] = int(size)
+        if not shape:
+            raise ValueError
+        return shape
+    except ValueError:
+        sys.exit(f"error: --mesh must be 'auto' or like 'data=4,spot=2'; "
+                 f"got {spec!r}")
 
 
 def _parse_grid_dims(spec):
@@ -358,15 +383,17 @@ def _cmd_train_mm(args):
     classes = list(mm_grids.classes)
     n_classes = len(classes)
     stream = not getattr(args, "no_stream", False)
+    mesh_shape = _parse_mesh(args)
     print(f"{len(count_spots)} count spots, {len(image_spots)} image spots, "
           f"{len(mm_grids)} arrays, classes: {classes}"
-          + (" [streaming]" if stream else ""))
+          + (" [streaming]" if stream else "")
+          + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
     def spot_train(f, spots, transform=None, stream_spots=stream):
         state, *_ = train_spotwise(
             f, _split_dls(spots, 5, stream_spots, transform),
             learning_rate=args.f_lr, num_epochs=args.epochs,
-            batch_size=args.batch_size, verbose=True)
+            batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape)
         return state
 
     f_count = CountMLP(n_classes=n_classes)
@@ -399,7 +426,9 @@ def _cmd_train_mm(args):
     state = load_f_params(state, f_count_state.variables(),
                           key="count_classifier")
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
-                               num_epochs=args.epochs, verbose=True)
+                               num_epochs=args.epochs, verbose=True,
+                               batch_size=args.grid_batch_size,
+                               mesh_shape=mesh_shape)
 
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
@@ -604,6 +633,17 @@ def _add_image_train_args(s):
     s.add_argument("--bf16", action="store_true")
 
 
+def _add_mesh_args(s):
+    s.add_argument("--mesh", default=None,
+                   help="multi-chip device mesh: 'auto' (data x spot over "
+                        "all visible devices) or axis sizes like "
+                        "'data=4,spot=2'; params replicate, batches shard, "
+                        "XLA inserts the collectives")
+    s.add_argument("--grid-batch-size", type=int, default=1,
+                   help="arrays per gridwise training step (must be "
+                        "divisible by the mesh's data axis size)")
+
+
 def _add_hd_args(s, corrector: str):
     s.add_argument("--hd-binning", default=None,
                    help="Visium HD binned output to read (e.g. square_008um)")
@@ -652,6 +692,7 @@ def main(argv=None):
     s.add_argument("--g-lr", type=float, default=1e-3)
     s.add_argument("--finetune-f", action="store_true")
     s.add_argument("--min-detection", type=float, default=0.02)
+    _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_count)
 
     s = sub.add_parser("train-image", help="train DenseNet-121 f + GridNetHex g")
@@ -660,6 +701,7 @@ def main(argv=None):
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
     _add_hd_args(s, "GridNet")
+    _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_image)
 
     s = sub.add_parser("train-mm",
@@ -670,6 +712,7 @@ def main(argv=None):
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
     _add_hd_args(s, "GridNetMM")
+    _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_mm)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")

@@ -3,5 +3,6 @@ from gridnext_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicate,
     shard_grid_batch,
+    shard_spot_batch,
     shard_token_batch,
 )

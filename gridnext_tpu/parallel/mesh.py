@@ -77,6 +77,19 @@ def shard_grid_batch(tree, mesh: Mesh, data_axis: str = "data",
     return jax.tree.map(place, tree)
 
 
+def shard_spot_batch(tree, mesh: Mesh):
+    """Place spot-level batches: the item axis (dim 0) shards over EVERY mesh
+    axis. Spots/patches are embarrassingly parallel, so a {'data': 4,
+    'spot': 2} mesh simply acts as 8-way DP for spotwise training -- the
+    layout behind ``train_spotwise(mesh=...)``."""
+    spec = P(tuple(mesh.axis_names))
+
+    def place(x):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
+
+
 def shard_token_batch(tree, mesh: Mesh, data_axis: str = "data",
                       token_axis: str = "seq"):
     """Place (B, N, ...) token batches: batch over ``data``, tokens over

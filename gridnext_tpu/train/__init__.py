@@ -4,7 +4,9 @@ from gridnext_tpu.train.loops import (  # noqa: F401
     load_checkpoint,
     load_f_params,
     make_gridwise_optimizer,
+    make_steps,
     masked_cross_entropy,
+    restore_train_state,
     save_checkpoint,
     train_gridwise,
     train_spotwise,

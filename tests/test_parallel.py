@@ -7,7 +7,7 @@ from gridnext_tpu.models import CountMLP, GridNetHex
 from gridnext_tpu.parallel import make_mesh, replicate, shard_grid_batch
 from gridnext_tpu.parallel.mesh import default_mesh_shape
 from gridnext_tpu.train.loops import (
-    _make_steps,
+    make_steps,
     create_train_state,
     make_gridwise_optimizer,
 )
@@ -46,7 +46,7 @@ def test_sharded_step_matches_single_device(eight_devices):
     # which amplifies f32 reduction-order noise on near-zero gradients.
     tx = optax.sgd(1e-2)
     state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
-    train_step, eval_step = _make_steps(g, tx, "grid")
+    train_step, eval_step = make_steps(g, tx, "grid")
 
     # single device
     s1, m1 = train_step(state, jnp.asarray(x), jnp.asarray(y))
@@ -73,7 +73,7 @@ def test_sharded_eval_and_input_placement(eight_devices):
                               spot_axis=None)
     # batch axis really is distributed
     assert len(xs.sharding.device_set) == 8
-    _, eval_step = _make_steps(g, tx, "grid")
+    _, eval_step = make_steps(g, tx, "grid")
     m = eval_step(replicate(state, mesh), xs, ys)
     assert np.isfinite(float(m["loss"]))
 
@@ -118,7 +118,7 @@ def test_sharded_image_model_matches_single_device(eight_devices):
     g = GridNetHex(patch_classifier=f, n_classes=classes)
     tx = optax.sgd(1e-2)
     state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
-    train_step, _ = _make_steps(g, tx, "grid")
+    train_step, _ = make_steps(g, tx, "grid")
 
     s1, m1 = train_step(state, jnp.asarray(x), jnp.asarray(y))
 
@@ -166,3 +166,80 @@ def test_scbert_sequence_parallel_matches_single_device(eight_devices):
     x_sh = shard_token_batch(jnp.asarray(x), mesh)
     out = np.asarray(fwd(v_rep, x_sh))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_public_train_gridwise_mesh_matches_single_device(eight_devices):
+    """The PUBLIC multi-chip path: train_gridwise(mesh=...) must reproduce
+    single-device training -- same losses, same final params -- including a
+    partial final batch (padded with all-background arrays)."""
+    import optax
+
+    from gridnext_tpu.train import train_gridwise
+
+    rng = np.random.default_rng(3)
+    b, h, w, genes, classes = 6, 16, 8, 24, 5  # 6 arrays, batch 4 -> pad
+    x = rng.normal(size=(b, h, w, genes)).astype(np.float32)
+    y = rng.integers(0, classes + 1, size=(b, h, w)).astype(np.int64)
+    g = GridNetHex(patch_classifier=CountMLP(n_classes=classes),
+                   n_classes=classes)
+    dls = {"train": (x, y), "val": (x[:2], y[:2])}
+
+    def run(**kw):
+        tx = optax.sgd(1e-2)  # avoid adam's reduction-order sensitivity
+        state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
+        return train_gridwise(g, dls, state=state, tx=tx, num_epochs=2,
+                              batch_size=4, verbose=False, **kw)
+
+    s1, vh1, th1 = run()
+    mesh = make_mesh(default_mesh_shape(8), eight_devices)
+    s8, vh8, th8 = run(mesh=mesh)
+
+    np.testing.assert_allclose(th1, th8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vh1, vh8, rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_public_train_spotwise_mesh_matches_single_device(eight_devices):
+    """train_spotwise(mesh_shape=...) == single-device, with a partial final
+    batch exercising the -1-label padding of the masked spot CE."""
+    import optax
+
+    from gridnext_tpu.train import train_spotwise
+
+    rng = np.random.default_rng(4)
+    n, genes, classes = 44, 24, 5  # batch 16 -> final batch of 12 pads
+    x = rng.normal(size=(n, genes)).astype(np.float32)
+    y = rng.integers(0, classes, size=(n,)).astype(np.int64)
+    f = CountMLP(n_classes=classes)
+    dls = {"train": (x, y), "val": (x[:10], y[:10])}
+
+    def run(**kw):
+        tx = optax.sgd(1e-2)
+        state = create_train_state(f, jax.random.key(0), jnp.asarray(x[:1]), tx)
+        return train_spotwise(f, dls, state=state, tx=tx, num_epochs=2,
+                              batch_size=16, verbose=False, **kw)
+
+    s1, vh1, th1 = run()
+    s8, vh8, th8 = run(mesh_shape={"data": 8})
+
+    np.testing.assert_allclose(th1, th8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vh1, vh8, rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_mesh_batch_size_divisibility_error(eight_devices):
+    from gridnext_tpu.train import train_spotwise
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    y = rng.integers(0, 3, size=(16,)).astype(np.int64)
+    f = CountMLP(n_classes=3)
+    with pytest.raises(ValueError, match="divisible"):
+        train_spotwise(f, {"train": (x, y)}, num_epochs=1, batch_size=12,
+                       mesh_shape={"data": 8}, verbose=False)
