@@ -161,11 +161,16 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
           + (" [streaming]" if stream else "")
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
+    os.makedirs(args.out, exist_ok=True)
+    f_out = os.path.join(args.out, "f_state.msgpack")
+    g_out = os.path.join(args.out, "g_state.msgpack")
+
     # shuffled stratification-friendly split (file order is spatially sorted)
     dls_f = _split_dls(spots, 5, stream, transform)
     f_state, *_ = train_spotwise(
         f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
-        batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape)
+        batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
+        outfile=f_out, resume=_resume_path(args, f_out))
 
     g_cls = GridNet if corrector == "square" else GridNetHex
     g = g_cls(patch_classifier=f, n_classes=len(classes),
@@ -178,10 +183,10 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True,
                                batch_size=args.grid_batch_size,
-                               mesh_shape=mesh_shape)
+                               mesh_shape=mesh_shape,
+                               outfile=g_out, resume=_resume_path(args, g_out))
 
-    os.makedirs(args.out, exist_ok=True)
-    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    save_checkpoint(g_out, state)
     with open(os.path.join(args.out, "model.json"), "w") as fh:
         json.dump({"classes": classes, **meta_extra}, fh)
     print(f"saved model to {args.out}")
@@ -215,6 +220,17 @@ def _warn_existing_caches(args, suffix_paths):
                                               for c in suffix_paths):
         print(f"note: unified count caches already exist -- --min-detection "
               f"has no effect on them (delete *.unified.tsv.gz to refilter)")
+
+
+def _resume_path(args, outfile):
+    """Under --resume, the '.latest' continuation checkpoint for ``outfile``
+    if one exists (a run killed before its first epoch end restarts clean).
+    A completed stage resumes to a no-op: epochs_done == --epochs, so the
+    trainer returns the restored best state without recomputing."""
+    if not getattr(args, "resume", False):
+        return None
+    p = str(outfile) + ".latest"
+    return p if os.path.exists(p) else None
 
 
 def _parse_mesh(args):
@@ -389,11 +405,16 @@ def _cmd_train_mm(args):
           + (" [streaming]" if stream else "")
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
-    def spot_train(f, spots, transform=None, stream_spots=stream):
+    os.makedirs(args.out, exist_ok=True)
+
+    def spot_train(f, spots, transform=None, stream_spots=stream,
+                   name="f_state"):
+        f_out = os.path.join(args.out, f"{name}.msgpack")
         state, *_ = train_spotwise(
             f, _split_dls(spots, 5, stream_spots, transform),
             learning_rate=args.f_lr, num_epochs=args.epochs,
-            batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape)
+            batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
+            outfile=f_out, resume=_resume_path(args, f_out))
         return state
 
     f_count = CountMLP(n_classes=n_classes)
@@ -403,13 +424,13 @@ def _cmd_train_mm(args):
     # in data/datasets.py). Count cohorts are small in RAM; only image spots
     # and MM grids benefit from streaming.
     f_count_state = spot_train(f_count, count_spots, np.log1p,
-                               stream_spots=False)
+                               stream_spots=False, name="f_count_state")
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.f == "tpu":
         f_image = TpuPatchClassifier(n_classes=n_classes, dtype=dtype)
     else:
         f_image = densenet121(num_classes=n_classes, dtype=dtype)
-    f_image_state = spot_train(f_image, image_spots)
+    f_image_state = spot_train(f_image, image_spots, name="f_image_state")
 
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
     mm_cls = GridNetMM if square else GridNetHexMM
@@ -425,13 +446,14 @@ def _cmd_train_mm(args):
                           key="image_classifier")
     state = load_f_params(state, f_count_state.variables(),
                           key="count_classifier")
+    g_out = os.path.join(args.out, "g_state.msgpack")
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True,
                                batch_size=args.grid_batch_size,
-                               mesh_shape=mesh_shape)
+                               mesh_shape=mesh_shape,
+                               outfile=g_out, resume=_resume_path(args, g_out))
 
-    os.makedirs(args.out, exist_ok=True)
-    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    save_checkpoint(g_out, state)
     import pandas as pd
 
     from gridnext_tpu.io import unified_count_suffix
@@ -642,6 +664,11 @@ def _add_mesh_args(s):
     s.add_argument("--grid-batch-size", type=int, default=1,
                    help="arrays per gridwise training step (must be "
                         "divisible by the mesh's data axis size)")
+    s.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from the '.latest' "
+                        "checkpoints in --out (written every epoch); the "
+                        "continuation reproduces an uninterrupted run "
+                        "bit-for-bit (--epochs is the TOTAL epoch count)")
 
 
 def _add_hd_args(s, corrector: str):

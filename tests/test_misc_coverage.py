@@ -221,3 +221,71 @@ def test_cli_train_count_mesh(tmp_path):
     r = run("register", "--spaceranger", dirs[0],
             "--model", str(out / "model"), "--out", str(out / "loupe.csv"))
     assert r.returncode == 0, r.stderr
+
+
+def test_cli_resume_matches_straight_run(tmp_path):
+    """Kill train-count mid-run, rerun with --resume: the continuation picks
+    up from the .latest checkpoints and the final registration output is
+    bit-identical to an uninterrupted run. Also: rerunning a COMPLETED run
+    with --resume is a no-op continuation (stages skip; output unchanged)."""
+    import subprocess, sys, os, time
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    code = ("import jax; jax.config.update('jax_platforms','cpu');"
+            "from gridnext_tpu.cli import main; import sys;"
+            "main(sys.argv[1:])")
+
+    def run(*cli_args):
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "2", "--classes", "3",
+            "--genes", "25")
+    assert r.returncode == 0, r.stderr
+    dirs = [str(out / "a0"), str(out / "a1")]
+    annots = [str(out / "a0" / "a0_annotations.csv"),
+              str(out / "a1" / "a1_annotations.csv")]
+
+    def train_args(model_dir, *extra):
+        return ("train-count", "--spaceranger", *dirs, "--annots", *annots,
+                "--out", model_dir, "--epochs", "3", *extra)
+
+    # straight 3-epoch run
+    r = run(*train_args(str(out / "m_straight")))
+    assert r.returncode == 0, r.stderr
+
+    # same run, killed once the g stage has checkpointed its first epoch
+    mdir = out / "m_resumed"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, *train_args(str(mdir))],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env)
+    g_latest = mdir / "g_state.msgpack.latest"
+    for _ in range(1200):  # up to 2 min; g epoch 1 lands well before that
+        if g_latest.exists() or proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    proc.kill()
+    proc.wait()
+
+    r = run(*train_args(str(mdir), "--resume"))
+    assert r.returncode == 0, r.stderr
+
+    for model in ("m_straight", "m_resumed"):
+        r = run("register", "--spaceranger", dirs[0],
+                "--model", str(out / model), "--out",
+                str(out / f"{model}.csv"))
+        assert r.returncode == 0, r.stderr
+    assert (out / "m_straight.csv").read_text() == \
+        (out / "m_resumed.csv").read_text()
+
+    # idempotent re-resume of a completed run
+    r = run(*train_args(str(mdir), "--resume"))
+    assert r.returncode == 0, r.stderr
+    r = run("register", "--spaceranger", dirs[0], "--model", str(mdir),
+            "--out", str(out / "m_resumed2.csv"))
+    assert r.returncode == 0, r.stderr
+    assert (out / "m_resumed.csv").read_text() == \
+        (out / "m_resumed2.csv").read_text()
