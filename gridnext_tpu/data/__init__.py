@@ -1,6 +1,7 @@
 from gridnext_tpu.data.datasets import (  # noqa: F401
     CountGridDataset,
     CountSpotDataset,
+    MMSpotDataset,
     MMStackDataset,
     PatchGridDataset,
     PatchSpotDataset,

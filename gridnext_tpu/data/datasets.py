@@ -454,6 +454,102 @@ class PatchSpotDataset:
         return xs, ys
 
 
+class MMSpotDataset:
+    """Spot-level multimodal dataset: ``((x_image, x_count), y)`` per spot.
+
+    The reference ships this capability as ``MMAnnDataset``
+    (multimodal_datasets.py:41-70, AnnData-backed -- see
+    ``io.anndata_io.MMAnnSpotDataset`` for that form) but its factory refuses
+    the cache-contract form ("Need to ensure indexing matches between spots",
+    visium_datasets.py:126-127). Here alignment is proven by construction:
+    spots are keyed on their ``"x_y"`` coordinate string per array, and only
+    coordinates present in BOTH the unified count frame and the patch cache
+    (and annotated, when annotations are given) are indexed -- so the image
+    and count halves of every item describe the same physical spot.
+
+    Count access goes through the shared frame LRU; like CountSpotDataset,
+    globally-shuffled lazy iteration over >4 arrays thrashes it -- call
+    ``materialize()`` (the jitted loops' preferred form) for such cohorts.
+    """
+
+    def __init__(self, count_files: Sequence, img_dirs: Sequence,
+                 annot_files: Optional[Sequence] = None,
+                 position_files: Optional[Sequence] = None, Visium: bool = True,
+                 select_genes: Optional[Sequence[str]] = None,
+                 img_transforms: Optional[Callable] = None,
+                 cfile_delim: str = "\t", afile_delim: str = ",",
+                 img_ext: str = "jpg"):
+        if len(count_files) != len(img_dirs):
+            raise ValueError("need one patch dir per count file")
+        _check_lengths(count_files, annot_files, position_files, Visium)
+        self.count_files = [str(c) for c in count_files]
+        self.select_genes = select_genes
+        self.transform = img_transforms
+        self.cfile_delim = cfile_delim
+
+        self.classes = None
+        if annot_files is not None and Visium:
+            self.classes = union_classes(annot_files, position_files, afile_delim)
+
+        self._index = []   # (count_file, image_path, coord_str)
+        self.annotations = []
+        for i, (cf, imdir) in enumerate(zip(self.count_files, img_dirs)):
+            frame_cols = set(_read_count_frame(cf, cfile_delim).columns)
+            adict = None
+            if annot_files is not None:
+                if Visium:
+                    coord_strs, annot_strs = read_annotfile(
+                        annot_files[i], position_file=position_files[i],
+                        afile_delim=afile_delim)
+                    annot_lbls = encode_labels(annot_strs, self.classes)
+                else:
+                    coord_strs, annot_lbls = read_annotfile(
+                        annot_files[i], Visium=False, afile_delim=afile_delim)
+                adict = dict(zip(coord_strs, annot_lbls))
+            names, coords = _matched_patch_files(str(imdir), img_ext)
+            for f, (a_x, a_y) in zip(names, coords):
+                cstr = f"{a_x}_{a_y}"
+                if cstr not in frame_cols:
+                    continue
+                if adict is not None:
+                    if cstr not in adict:
+                        continue
+                    self.annotations.append(int(adict[cstr]))
+                self._index.append((cf, os.path.join(str(imdir), f), cstr))
+        if not self._index:
+            raise ValueError(
+                "no spots shared between count and patch caches -- were they "
+                "generated from the same Spaceranger runs?")
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, idx):
+        cf, imfile, cstr = self._index[idx]
+        col = _read_count_frame(cf, self.cfile_delim)[cstr]
+        if self.select_genes is not None:
+            col = col.loc[self.select_genes]
+        img = _load_patch(imfile, self.transform)
+        label = self.annotations[idx] if self.annotations else 0
+        return (img, col.values.astype(np.float32)), np.int64(label)
+
+    def sample_item(self):
+        (img, cnt), _ = self[0]
+        return (np.zeros_like(img), np.zeros_like(cnt))
+
+    def materialize(self):
+        imgs = _load_patches([im for _, im, _ in self._index], self.transform)
+        counts = []  # index is file-ordered, so the frame LRU never thrashes
+        for cf, _, cstr in self._index:
+            col = _read_count_frame(cf, self.cfile_delim)[cstr]
+            if self.select_genes is not None:
+                col = col.loc[self.select_genes]
+            counts.append(col.values.astype(np.float32))
+        ys = np.array(self.annotations if self.annotations
+                      else np.zeros(len(self)), dtype=np.int64)
+        return (imgs, np.stack(counts)), ys
+
+
 class MMStackDataset(_GridDatasetBase):
     """Pairs an image and a count grid dataset; zeroes label disagreements.
 
@@ -697,8 +793,13 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
         return dat_image if use_image else dat_count
 
     if use_image and use_count:
-        raise NotImplementedError(
-            "Need to ensure indexing matches between spots in datasets")
+        # the reference factory refuses this combination
+        # (visium_datasets.py:126-127, "Need to ensure indexing matches");
+        # MMSpotDataset aligns modalities by coordinate key, so it exists here
+        return MMSpotDataset(count_files, patch_dirs, annot_files=annot_files,
+                             position_files=position_files, Visium=True,
+                             select_genes=select_genes,
+                             img_transforms=img_transforms)
     if use_image:
         return PatchSpotDataset(patch_dirs, annot_files=annot_files,
                                 position_files=position_files, Visium=True,

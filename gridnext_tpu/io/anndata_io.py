@@ -204,6 +204,53 @@ def anndata_to_spot_arrays(adata, obs_label: str, use_pcs=False):
     return np.asarray(X, np.float32), y, classes
 
 
+class MMAnnSpotDataset:
+    """Lazy spot-level multimodal dataset over an imgpath-bearing AnnData:
+    ``((x_image, x_count), y)`` per spot.
+
+    Direct ``MMAnnDataset`` parity (multimodal_datasets.py:41-70): counts
+    come from ``adata.X`` (or the first ``use_pcs`` columns of
+    ``obsm['X_pca']``), images load from ``obs[obs_img]`` paths as written by
+    :func:`create_visium_anndata_img`, labels encode alphanumerically over
+    ``obs[obs_label]``. Map-style: feeds the train loops' streaming form
+    directly, or ``materialize()`` for the jitted array form.
+    """
+
+    def __init__(self, adata, obs_label: str, obs_img: str = "imgpath",
+                 use_pcs=None, img_transforms=None):
+        from scipy import sparse
+
+        labels_raw = np.asarray(adata.obs[obs_label])
+        self.classes = np.unique(labels_raw)
+        self.annotations = np.searchsorted(self.classes, labels_raw).astype(np.int64)
+        X = (adata.obsm["X_pca"][:, :use_pcs] if use_pcs
+             else adata.X)
+        if sparse.issparse(X):
+            X = np.asarray(X.todense())
+        self._X = np.asarray(X, np.float32)
+        self.imgfiles = [str(p) for p in adata.obs[obs_img]]
+        self.transform = img_transforms
+
+    def __len__(self):
+        return len(self.imgfiles)
+
+    def __getitem__(self, idx):
+        from gridnext_tpu.data.datasets import _load_patch
+
+        img = _load_patch(self.imgfiles[idx], self.transform)
+        return (img, self._X[idx]), np.int64(self.annotations[idx])
+
+    def sample_item(self):
+        (img, cnt), _ = self[0]
+        return (np.zeros_like(img), np.zeros_like(cnt))
+
+    def materialize(self):
+        from gridnext_tpu.data.datasets import _load_patches
+
+        imgs = _load_patches(self.imgfiles, self.transform)
+        return (imgs, self._X.copy()), self.annotations.copy()
+
+
 def anndata_mm_to_grid_arrays(adata, obs_label: str, obs_arr: str,
                               obs_img: str = "imgpath", obs_x="x", obs_y="y",
                               h_st: int = 78, w_st: int = 64, use_pcs=False,

@@ -459,3 +459,109 @@ def test_sample_item_shapes(sim_dirs, tmp_path):
     si, sc = mm.sample_item()
     (xi, xc), _ = mm[0]
     assert si.shape == xi.shape and sc.shape == xc.shape
+
+
+def test_mm_spot_dataset_factory(tmp_path):
+    """Spot-level multimodal (use_count + use_image, spatial=False): the
+    reference raises NotImplementedError (visium_datasets.py:126-127); our
+    MMSpotDataset aligns modalities by coordinate key. Items must agree with
+    the single-modality spot datasets for the same physical spot."""
+    from gridnext_tpu.data.datasets import (CountSpotDataset, MMSpotDataset,
+                                            PatchSpotDataset)
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=20,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=10)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    kw = dict(annot_files=annots, fullres_image_files=imgs, patch_size_px=8,
+              minimum_detection_rate=None)
+    mm = create_visium_dataset(dirs, use_count=True, use_image=True,
+                               spatial=False, **kw)
+    assert isinstance(mm, MMSpotDataset)
+    assert len(mm) > 100
+    (img0, cnt0), y0 = mm[0]
+    assert img0.shape == (8, 8, 3) and cnt0.shape == (20,)
+
+    # cross-check against the single-modality datasets at a shared coordinate
+    counts = create_visium_dataset(dirs, use_count=True, use_image=False,
+                                   spatial=False, annot_files=annots,
+                                   minimum_detection_rate=None)
+    images = create_visium_dataset(dirs, use_count=False, use_image=True,
+                                   spatial=False, **kw)
+    assert isinstance(counts, CountSpotDataset)
+    assert isinstance(images, PatchSpotDataset)
+    cf0, im0, cstr0 = mm._index[0]
+    ci = counts._index.index((cf0, cstr0))
+    xc, yc = counts[ci]
+    np.testing.assert_array_equal(cnt0, xc)
+    assert int(y0) == int(yc)
+    ii = images.imgpath_mapping.index(im0)
+    xi, yi = images[ii]
+    np.testing.assert_array_equal(img0, xi)
+    assert int(y0) == int(yi)
+
+    # materialize() matches itemwise access and trains
+    (XI, XC), Y = mm.materialize()
+    assert XI.shape == (len(mm), 8, 8, 3) and XC.shape == (len(mm), 20)
+    np.testing.assert_array_equal(XI[0], img0)
+    np.testing.assert_array_equal(XC[0], cnt0)
+    assert set(np.unique(Y)) <= {0, 1, 2}
+
+
+def test_mm_ann_spot_dataset(tmp_path):
+    """MMAnnSpotDataset == MMAnnDataset parity: per-spot ((img, count), y)
+    from an imgpath-bearing AnnData (multimodal_datasets.py:41-70). Runs on
+    a duck-typed AnnData (the class touches only X/obs/obsm), so the parity
+    logic is exercised even without the anndata package."""
+    from gridnext_tpu.io.anndata_io import MMAnnSpotDataset
+
+    sim = simulate_spaceranger_dir(tmp_path / "a0", seed=0, n_genes=15,
+                                   n_classes=3, image=True,
+                                   spot_spacing_px=10)
+    images = create_visium_dataset([sim["spaceranger_dir"]], use_count=False,
+                                   use_image=True, spatial=False,
+                                   annot_files=[sim["annot_file"]],
+                                   fullres_image_files=[sim["image_file"]],
+                                   patch_size_px=8)
+    paths = images.imgpath_mapping
+    n = len(paths)
+    rng = np.random.default_rng(0)
+    X = rng.poisson(2.0, size=(n, 15)).astype(np.float32)
+    labels = np.asarray(["LayerA", "LayerB", "LayerC"])[
+        rng.integers(0, 3, size=n)]
+
+    class _Obs(dict):
+        pass
+
+    class _Adata:
+        pass
+
+    adata = _Adata()
+    adata.obs = _Obs(annotation=labels, imgpath=paths)
+    adata.X = X
+    adata.obsm = {}
+
+    ds = MMAnnSpotDataset(adata, obs_label="annotation")
+    assert len(ds) == n > 100
+    (img, cnt), y = ds[3]
+    assert img.shape == (8, 8, 3) and cnt.shape == (15,)
+    np.testing.assert_array_equal(cnt, X[3])
+    assert list(ds.classes) == ["LayerA", "LayerB", "LayerC"]
+    assert ds.classes[int(y)] == labels[3]
+    x_img, _ = images[3]
+    np.testing.assert_array_equal(img, x_img)
+
+    (XI, XC), Y = ds.materialize()
+    np.testing.assert_array_equal(XI[3], img)
+    np.testing.assert_array_equal(XC, X)
+    assert Y[3] == y
+
+    # use_pcs slices obsm like the reference
+    adata.obsm["X_pca"] = rng.normal(size=(n, 6)).astype(np.float32)
+    ds_pcs = MMAnnSpotDataset(adata, obs_label="annotation", use_pcs=4)
+    (_, cnt_pcs), _ = ds_pcs[5]
+    np.testing.assert_array_equal(cnt_pcs, adata.obsm["X_pca"][5, :4])
