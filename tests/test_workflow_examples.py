@@ -148,3 +148,11 @@ def test_cli_train_mm_hd_square_end_to_end(tmp_path):
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert df["Barcode"].str.startswith("s_016um_").all()
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())
+
+
+def test_register_hvgs_floor():
+    import register_hvgs
+
+    m = register_hvgs.main(["--epochs", "3", "--arrays", "3"])
+    assert m["n_hvgs"] == 24
+    assert m["acc_f"] > 0.6 and m["acc_g"] > 0.6
