@@ -572,41 +572,31 @@ def _cmd_register(args):
 
         grid_dims = meta.get("grid_dims")
         if grid_dims is not None:
-            # square HD image model: per-array patch-grid forward through
-            # the Cartesian GridNet g (SlideRegistrar assumes the 78x64
-            # pseudo-hex lattice + hex corrector)
-            from gridnext_tpu.data import create_visium_dataset
+            # square HD image model: same jitted slide->labels serving path,
+            # with direct (array_row, array_col) grid indexing and the
+            # Cartesian GridNet corrector (from_gridnet auto-detects it)
             from gridnext_tpu.models import GridNet
 
             g = GridNet(patch_classifier=f, n_classes=len(classes),
                         patch_chunk=meta.get("patch_chunk", 624))
-            pdat = create_visium_dataset(
-                args.spaceranger, spatial=True, use_count=False,
-                use_image=True, fullres_image_files=args.images,
-                patch_size_px=meta.get("patch_px", 128),
-                hd_binning=meta.get("hd_binning"), grid_dims=tuple(grid_dims))
-            for i, srd in enumerate(args.spaceranger):
-                xi, _ = pdat[i]
-                logits = g.apply(variables, xi[None], train=False)
-                labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
-                fg = xi.reshape(xi.shape[0], xi.shape[1], -1).max(-1) > 0
-                label_grid = np.where(fg, labels, 0)
-                _write_loupe(label_grid, srd, args, classes,
-                             hd_binning=meta.get("hd_binning"),
-                             hex_coords=False)
-            return
-
-        g = GridNetHex(patch_classifier=f, n_classes=len(classes))
-        registrar = SlideRegistrar.from_gridnet(
-            g, variables, patch_size=meta.get("patch_px", 128),
-            normalize=None)
+            registrar = SlideRegistrar.from_gridnet(
+                g, variables, patch_size=meta.get("patch_px", 128),
+                normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
+        else:
+            g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+            registrar = SlideRegistrar.from_gridnet(
+                g, variables, patch_size=meta.get("patch_px", 128),
+                normalize=None)
         Image.MAX_IMAGE_PIXELS = None
         for srd, im in zip(args.spaceranger, args.images):
             # RGBA/grayscale slides -> 3 channels (the prepare path slices
             # patches[..., :3]; the serving gather has no such guard)
             wsi = jax.device_put(np.asarray(Image.open(im).convert("RGB")))
-            label_grid = registrar(wsi, read_positions(srd))
-            _write_loupe(label_grid, srd, args, classes)
+            pos = read_positions(srd, hd_binning=meta.get("hd_binning"))
+            label_grid = registrar(wsi, pos)
+            _write_loupe(label_grid, srd, args, classes,
+                         hd_binning=meta.get("hd_binning"),
+                         hex_coords=grid_dims is None)
         return
 
     grid_dims = meta.get("grid_dims")  # square HD lattices (GridNet g)

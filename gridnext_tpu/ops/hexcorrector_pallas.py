@@ -59,8 +59,18 @@ def fold_corrector_params(params: dict, batch_stats=None, eps: float = 1e-5):
     return kernels, biases, relu_flags
 
 
-def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers):
-    """refs = (w0, b0, ..., w{L-1}, b{L-1}, out_ref, scratch_ref)."""
+def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers,
+                      emit_labels=False):
+    """refs = ([fg_ref,] w0, b0, ..., w{L-1}, b{L-1}, out_ref, scratch_ref).
+
+    ``emit_labels``: instead of logits, write int32 label grids directly --
+    argmax over classes, +1 for foreground, 0 where the fg mask is unset.
+    Fusing the argmax and background masking here keeps the final reduction
+    on-chip (no logits round-trip to HBM, no separate argmax/where dispatch).
+    """
+    fg_ref = None
+    if emit_labels:
+        fg_ref, refs = refs[0], refs[1:]
     out_ref = refs[2 * n_layers]
     scratch = refs[2 * n_layers + 1]
 
@@ -96,7 +106,11 @@ def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers):
             out = jnp.maximum(out, 0.0)
         cur = out
 
-    out_ref[0] = cur
+    if emit_labels:
+        labels = jnp.argmax(cur, axis=-1).astype(jnp.int32) + 1
+        out_ref[0] = jnp.where(fg_ref[0] > 0, labels, 0)
+    else:
+        out_ref[0] = cur
 
 
 @functools.partial(jax.jit, static_argnames=("relu_flags", "interpret"))
@@ -146,3 +160,53 @@ def fused_hex_corrector(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x.astype(jnp.float32), *weight_args)
+
+
+@functools.partial(jax.jit, static_argnames=("relu_flags", "interpret"))
+def fused_hex_corrector_labels(x: jnp.ndarray, fg: jnp.ndarray,
+                               kernels: Sequence[jnp.ndarray],
+                               biases: Sequence[jnp.ndarray],
+                               relu_flags: Sequence[bool] = (False, True, False, True, False),
+                               interpret: bool = None) -> jnp.ndarray:
+    """Corrector + argmax + background masking in one kernel pass.
+
+    Args:
+      x: (B, H, W, C_in) f-output grids.
+      fg: (B, H, W) foreground mask (nonzero = in-tissue spot).
+
+    Returns:
+      (B, H, W) int32 label grids: 0 background, 1..C foreground -- the
+      serving path's final artifact, produced without writing logits to HBM.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    b, h, w, c_in = x.shape
+    n_layers = len(kernels)
+    c_max = max(k.shape[1] for k in kernels)
+
+    weight_args = []
+    in_specs = [pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for k, bia in zip(kernels, biases):
+        weight_args.extend([jnp.asarray(k, jnp.float32), jnp.asarray(bia, jnp.float32)])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _corrector_kernel, h=h, w=w,
+        relu_flags=tuple(relu_flags), n_layers=n_layers, emit_labels=True)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, c_max), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.astype(jnp.float32), fg.astype(jnp.int32), *weight_args)

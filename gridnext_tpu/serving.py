@@ -1,11 +1,17 @@
 """Production serving: end-to-end on-device slide registration.
 
 Packages the full inference path as one jittable function: device-resident
-slide image -> per-spot patch gather -> spot classifier f -> hexagonal
-corrector g (fused Pallas kernel) -> odd-right label grid. This is the
-"register a slide" path of the reference (all_fgd_predictions +
-to_loupe_annots over a PatchGridDataset) with the host loop, the JPEG cache
-round-trip, and all host<->device transfers removed.
+slide image -> per-spot patch gather -> spot classifier f -> correction
+network g -> label grid. This is the "register a slide" path of the
+reference (all_fgd_predictions + to_loupe_annots over a PatchGridDataset)
+with the host loop, the JPEG cache round-trip, and all host<->device
+transfers removed.
+
+Correctors: Visium pseudo-hex lattices run the fused Pallas hex corrector
+with the final argmax + background masking fused into the same kernel
+(ops.hexcorrector_pallas.fused_hex_corrector_labels -- label grids come
+straight off-chip, logits never round-trip HBM); square HD bin lattices run
+the Cartesian conv corrector through XLA (plain convs, already optimal).
 
 Typical use:
 
@@ -13,11 +19,14 @@ Typical use:
     wsi = jax.device_put(slide_uint8)                      # decode once
     labels = registrar(wsi, positions)                     # (78, 64) int
     to_loupe_annots(labels, position_file, out_csv, annot_names=classes)
+
+    # production shape: N slides per dispatch
+    labels_b = registrar.register_batch(wsis, positions_list)  # (N, 78, 64)
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,66 +36,93 @@ from gridnext_tpu import geometry
 from gridnext_tpu.ops.hexcorrector_pallas import (
     fold_corrector_params,
     fused_hex_corrector,
+    fused_hex_corrector_labels,
 )
 
 
 def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
-                      w_st: int = geometry.VISIUM_W_ST):
+                      w_st: int = geometry.VISIUM_W_ST,
+                      hex_coords: bool = True):
     """Positions DataFrame -> (oddr_y, oddr_x, y_px, x_px) int32 arrays over
     in-tissue spots (pixel coords NOT yet offset for padding).
 
     Thin wrapper over the canonical positions->(grid index, pixel) mapping
     (pipeline._spot_pixel_boxes), plus the out-of-lattice bounds filter the
-    serving scatter needs.
+    serving scatter needs. ``hex_coords=False`` (Visium HD square bins)
+    indexes the grid directly by (array_row, array_col).
     """
     from gridnext_tpu.pipeline import _spot_pixel_boxes
 
-    ox, oy, x_px, y_px = _spot_pixel_boxes(positions, window=0)
+    ox, oy, x_px, y_px = _spot_pixel_boxes(positions, window=0,
+                                           hex_coords=hex_coords)
     keep = (oy < h_st) & (ox < w_st)
     return (oy[keep], ox[keep],
             y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 
 
+# Padded spot arrays round up to a multiple of this, so batches with
+# near-equal spot counts share one compiled program.
+_SPOT_BUCKET = 128
+
+
 class SlideRegistrar:
-    """Jitted full-slide registration: image -> odd-right label grid.
+    """Jitted full-slide registration: image -> label grid.
 
     Args:
       f_apply: ``f_apply(patches (N,P,P,3) float in [0,1]) -> (N, f_dim)``
         -- a closure over the spot classifier and its variables.
       corrector_kernels/biases/relu_flags: folded hex-corrector weights
-        (see ops.hexcorrector_pallas.fold_corrector_params).
+        (see ops.hexcorrector_pallas.fold_corrector_params); None for
+        Cartesian models (pass ``corrector_apply`` instead).
       patch_size: patch side in pixels.
       normalize: 'imagenet' (DenseNet transforms parity) or None.
       patch_chunk: f applied over the spot axis in chunks of this size.
+      hex_coords: True for Visium pseudo-hex positions; False for HD square
+        bin lattices (direct array_row/array_col grid indexing).
+      corrector_apply: ``corrector_apply(grid (B,H,W,F)) -> (B,H,W,C)``
+        logits closure, used when ``use_pallas_corrector=False`` (the
+        Cartesian conv corrector of square-HD models).
     """
 
-    def __init__(self, f_apply: Callable, corrector_kernels, corrector_biases,
+    def __init__(self, f_apply: Callable, corrector_kernels=None,
+                 corrector_biases=None,
                  relu_flags=(False, True, False, True, False), *,
                  patch_size: int = 128, normalize: Optional[str] = "imagenet",
                  patch_chunk: Optional[int] = 624,
                  h_st: int = geometry.VISIUM_H_ST,
                  w_st: int = geometry.VISIUM_W_ST,
+                 hex_coords: bool = True,
                  use_pallas_corrector: bool = True,
                  corrector_apply: Optional[Callable] = None):
         self.f_apply = f_apply
-        self.kernels = [jnp.asarray(k) for k in corrector_kernels]
-        self.biases = [jnp.asarray(b) for b in corrector_biases]
+        self.kernels = [jnp.asarray(k) for k in corrector_kernels or []]
+        self.biases = [jnp.asarray(b) for b in corrector_biases or []]
         self.relu_flags = tuple(relu_flags)
         self.patch_size = patch_size
         self.normalize = normalize
         self.patch_chunk = patch_chunk
         self.h_st, self.w_st = h_st, w_st
-        self.use_pallas = use_pallas_corrector
+        self.hex_coords = hex_coords
+        self.use_pallas = use_pallas_corrector and corrector_apply is None
         self.corrector_apply = corrector_apply
+        if not self.use_pallas and corrector_apply is None:
+            raise ValueError("need corrector_apply when not using the "
+                             "Pallas hex corrector")
         self._jitted = jax.jit(self._register)
+        self._jitted_batch = jax.jit(self._register_batch)
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
                      normalize: Optional[str] = "imagenet", **kw):
-        """Build from a trained GridNetHex (+DenseNet-style f)."""
-        kernels, biases, relu_flags = fold_corrector_params(
-            variables["params"]["corrector"],
-            variables.get("batch_stats", {}).get("corrector"))
+        """Build from a trained GridNetHex or (square-lattice) GridNet.
+
+        Hex models fold their corrector into the fused Pallas kernel;
+        Cartesian models (HD square bins -- detected by their conv-stack
+        corrector params) run the conv corrector through XLA and index the
+        grid by direct (array_row, array_col) coordinates.
+        """
+        corr_params = variables["params"]["corrector"]
+        corr_bs = variables.get("batch_stats", {}).get("corrector")
         f = model.patch_classifier
         f_vars = {"params": variables["params"]["patch_classifier"]}
         if variables.get("batch_stats", {}).get("patch_classifier") is not None:
@@ -95,8 +131,29 @@ class SlideRegistrar:
         def f_apply(patches):
             return f.apply(f_vars, patches, train=False)
 
-        return cls(f_apply, kernels, biases, relu_flags,
-                   patch_size=patch_size, normalize=normalize, **kw)
+        if "HexConv_0" in corr_params:
+            kernels, biases, relu_flags = fold_corrector_params(
+                corr_params, corr_bs)
+            return cls(f_apply, kernels, biases, relu_flags,
+                       patch_size=patch_size, normalize=normalize, **kw)
+
+        # Cartesian conv corrector (GridNet on HD square lattices)
+        from gridnext_tpu.models.gridnet import _CartesianCorrector
+
+        n_classes = corr_params["Conv_3"]["kernel"].shape[-1]
+        corr = _CartesianCorrector(n_classes=n_classes,
+                                   use_bn=corr_bs is not None)
+        corr_vars = {"params": corr_params}
+        if corr_bs is not None:
+            corr_vars["batch_stats"] = corr_bs
+
+        def corrector_apply(grid):
+            return corr.apply(corr_vars, grid, train=False)
+
+        kw.setdefault("hex_coords", False)
+        return cls(f_apply, patch_size=patch_size, normalize=normalize,
+                   use_pallas_corrector=False,
+                   corrector_apply=corrector_apply, **kw)
 
     def _normalize(self, patches):
         patches = patches.astype(jnp.float32) / 255.0
@@ -128,9 +185,7 @@ class SlideRegistrar:
         out = out.reshape(-1, out.shape[-1])
         return out[:n]
 
-    def _register(self, wsi, oy, ox, y_px, x_px):
-        patches = self._extract(wsi, y_px, x_px)
-        feats = self._apply_f(patches)                       # (N, f_dim)
+    def _bg_vec(self):
         # Background cells must carry f(zero-CELL) -- GridNetHex runs f on
         # ALL grid cells including background (gridnet_models.py:76-79), and
         # in training grids background cells are literal zeros (transforms
@@ -140,18 +195,54 @@ class SlideRegistrar:
         # f((0-mean)/std), a vector training never produced.
         bg_patch = jnp.zeros((1, self.patch_size, self.patch_size, 3),
                              jnp.float32)
-        bg_vec = self.f_apply(bg_patch)[0].astype(feats.dtype)
+        return self.f_apply(bg_patch)[0]
+
+    def _labels_from_grid(self, grid, fg):
+        """(B, H, W, f_dim) grid + (B, H, W) fg mask -> (B, H, W) labels."""
+        if self.use_pallas:
+            return fused_hex_corrector_labels(grid, fg, self.kernels,
+                                              self.biases, self.relu_flags)
+        logits = self.corrector_apply(grid)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
+        return jnp.where(fg > 0, labels, 0)
+
+    def _register(self, wsi, oy, ox, y_px, x_px):
+        patches = self._extract(wsi, y_px, x_px)
+        feats = self._apply_f(patches)                       # (N, f_dim)
+        bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
                                          feats.shape[-1]))
-        grid = grid.at[0, oy, ox].set(feats)
-        if self.use_pallas:
-            logits = fused_hex_corrector(grid, self.kernels, self.biases,
-                                         self.relu_flags)
-        else:
-            logits = self.corrector_apply(grid)
-        labels = jnp.argmax(logits[0], axis=-1) + 1          # 1..C foreground
-        fg = jnp.zeros((self.h_st, self.w_st), bool).at[oy, ox].set(True)
-        return jnp.where(fg, labels, 0)
+        # 'drop' ignores padded spots parked at oy == h_st (out of bounds)
+        grid = grid.at[0, oy, ox].set(feats, mode="drop")
+        fg = jnp.zeros((1, self.h_st, self.w_st), jnp.int32)
+        fg = fg.at[0, oy, ox].set(1, mode="drop")
+        return self._labels_from_grid(grid, fg)[0]
+
+    def _register_batch(self, wsis, oy, ox, y_px, x_px):
+        """(B, H, W, 3) slides + (B, S) padded spot arrays -> (B, h, w)."""
+        b, s = oy.shape
+        patches = jax.vmap(self._extract)(wsis, y_px, x_px)  # (B,S,P,P,3)
+        feats = self._apply_f(
+            patches.reshape((b * s,) + patches.shape[2:]))
+        feats = feats.reshape(b, s, -1)
+        bg_vec = self._bg_vec().astype(feats.dtype)
+        grid = jnp.broadcast_to(bg_vec,
+                                (b, self.h_st, self.w_st, feats.shape[-1]))
+        bidx = jnp.arange(b)[:, None]
+        grid = grid.at[bidx, oy, ox].set(feats, mode="drop")
+        fg = jnp.zeros((b, self.h_st, self.w_st), jnp.int32)
+        fg = fg.at[bidx, oy, ox].set(1, mode="drop")
+        return self._labels_from_grid(grid, fg)
+
+    def _spot_arrays(self, wsi_shape, positions, pad_offset):
+        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
+                                               self.w_st, self.hex_coords)
+        y_px = y_px + pad_offset
+        x_px = x_px + pad_offset
+        p2 = self.patch_size // 2
+        y_px = np.clip(y_px, p2, wsi_shape[0] - p2 - 1)
+        x_px = np.clip(x_px, p2, wsi_shape[1] - p2 - 1)
+        return oy, ox, y_px, x_px
 
     def __call__(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
         """Register one slide.
@@ -167,12 +258,46 @@ class SlideRegistrar:
         Returns:
           (h_st, w_st) int label grid, 0 background / 1..C foreground.
         """
-        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st, self.w_st)
-        y_px = y_px + pad_offset
-        x_px = x_px + pad_offset
-        p2 = self.patch_size // 2
-        y_px = np.clip(y_px, p2, wsi.shape[0] - p2 - 1)
-        x_px = np.clip(x_px, p2, wsi.shape[1] - p2 - 1)
+        oy, ox, y_px, x_px = self._spot_arrays(wsi.shape, positions, pad_offset)
         labels = self._jitted(wsi, jnp.asarray(oy), jnp.asarray(ox),
                               jnp.asarray(y_px), jnp.asarray(x_px))
+        return np.asarray(labels)
+
+    def register_batch(self, wsis, positions_list: Sequence,
+                       pad_offset: int = 0) -> np.ndarray:
+        """Register N same-shape slides in ONE device dispatch.
+
+        Per-slide spot arrays pad to a common bucket-rounded length (padded
+        entries park outside the lattice and scatter with mode='drop'), so
+        slides with near-equal spot counts share one compiled program and
+        the f batch covers all N slides at once -- the production serving
+        shape.
+
+        Args:
+          wsis: (N, H, W, 3) uint8 stack (device-resident) of equally-sized
+            slides.
+          positions_list: one positions DataFrame per slide.
+
+        Returns:
+          (N, h_st, w_st) int label grids.
+        """
+        n = len(positions_list)
+        if wsis.shape[0] != n:
+            raise ValueError(f"{wsis.shape[0]} slides vs {n} position sets")
+        per = [self._spot_arrays(wsis.shape[1:], p, pad_offset)
+               for p in positions_list]
+        s_max = max(len(a[0]) for a in per)
+        s_pad = -(-s_max // _SPOT_BUCKET) * _SPOT_BUCKET
+        p2 = self.patch_size // 2
+
+        oy = np.full((n, s_pad), self.h_st, np.int32)   # parked out of lattice
+        ox = np.zeros((n, s_pad), np.int32)
+        y_px = np.full((n, s_pad), p2, np.int32)        # harmless corner crop
+        x_px = np.full((n, s_pad), p2, np.int32)
+        for i, (a_oy, a_ox, a_y, a_x) in enumerate(per):
+            k = len(a_oy)
+            oy[i, :k], ox[i, :k] = a_oy, a_ox
+            y_px[i, :k], x_px[i, :k] = a_y, a_x
+        labels = self._jitted_batch(wsis, jnp.asarray(oy), jnp.asarray(ox),
+                                    jnp.asarray(y_px), jnp.asarray(x_px))
         return np.asarray(labels)

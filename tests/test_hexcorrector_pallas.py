@@ -40,3 +40,22 @@ def test_fused_corrector_visium_shape_interpret():
     got = np.asarray(fused_hex_corrector(
         jnp.asarray(x), kernels, biases, relu_flags, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_corrector_labels_interpret():
+    """Fused argmax+mask output == logits path argmax'd on host."""
+    corr, variables, x = _setup(n_classes=6, c_in=5, h=20, w=16, b=3, seed=2)
+    from gridnext_tpu.ops.hexcorrector_pallas import fused_hex_corrector_labels
+
+    kernels, biases, relu_flags = fold_corrector_params(
+        variables["params"], variables["batch_stats"])
+    logits = np.asarray(fused_hex_corrector(
+        jnp.asarray(x), kernels, biases, relu_flags, interpret=True))
+    rng = np.random.default_rng(0)
+    fg = rng.integers(0, 2, size=x.shape[:3]).astype(np.int32)
+    want = np.where(fg > 0, logits.argmax(-1) + 1, 0)
+
+    got = np.asarray(fused_hex_corrector_labels(
+        jnp.asarray(x), jnp.asarray(fg), kernels, biases, relu_flags,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)

@@ -125,3 +125,100 @@ def test_slide_registrar_with_tpu_patch_classifier():
     labels = registrar(wsi, positions)
     assert labels.shape == (8, 6)
     assert (labels > 0).sum() == 3  # only in-tissue spots labeled
+
+
+def test_register_batch_matches_single(sim, tmp_path_factory):
+    """N-slide batched dispatch == per-slide registration, including padded
+    spot arrays for slides with unequal spot counts."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("serving_batch")
+    sim2 = simulate_spaceranger_dir(root / "arr2", seed=5, n_genes=10,
+                                    n_classes=3, image=True,
+                                    spot_spacing_px=16, tissue_fraction=0.4)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(variables, gr, train=False,
+                                           method=lambda m, x, train: m.corrector(x, train=train)))
+
+    wsis, poss = [], []
+    for s in (sim, sim2):
+        img = np.asarray(Image.open(s["image_file"]))
+        wsis.append(img)
+        poss.append(read_positions(s["spaceranger_dir"]))
+    # equalize slide shapes (batch requires one image shape)
+    h = min(w.shape[0] for w in wsis)
+    w_ = min(w.shape[1] for w in wsis)
+    wsis = np.stack([im[:h, :w_] for im in wsis])
+
+    singles = [registrar(jnp.asarray(wsis[i]), poss[i]) for i in range(2)]
+    batched = registrar.register_batch(jnp.asarray(wsis), poss)
+    assert batched.shape == (2, G.VISIUM_H_ST, G.VISIUM_W_ST)
+    for i in range(2):
+        np.testing.assert_array_equal(batched[i], singles[i])
+
+
+def test_square_hd_registrar_from_gridnet(tmp_path_factory):
+    """from_gridnet on a Cartesian (square-HD) GridNet: direct-coordinate
+    spot indexing + conv corrector, matching the per-array grid forward."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import GridNet
+
+    root = tmp_path_factory.mktemp("serving_hd")
+    binning, hd_grid = "square_016um", (20, 16)
+    s = simulate_spaceranger_dir(root / "hd0", seed=3, n_genes=8, n_classes=3,
+                                 spaceranger_version="hd", hd_grid=hd_grid,
+                                 hd_binning=binning, image=True,
+                                 spot_spacing_px=12)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + hd_grid + (patch, patch, 3)))
+
+    registrar = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                            normalize=None, patch_chunk=None,
+                                            h_st=hd_grid[0], w_st=hd_grid[1])
+    assert registrar.hex_coords is False and registrar.use_pallas is False
+
+    wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+    pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+    got = registrar(wsi, pos)
+    assert got.shape == hd_grid
+
+    # reference path: factory patch grid -> GridNet forward
+    pdat = create_visium_dataset([s["spaceranger_dir"]], spatial=True,
+                                 use_count=False, use_image=True,
+                                 fullres_image_files=[s["image_file"]],
+                                 patch_size_px=patch, hd_binning=binning,
+                                 grid_dims=hd_grid)
+    xi, _ = pdat[0]
+    logits = g.apply(variables, jnp.asarray(xi[None]), train=False)
+    want_labels = np.asarray(jnp.argmax(logits[0], -1)) + 1
+
+    # interior spots (away from border clamping) agree exactly
+    p2 = patch // 2
+    oy, ox, ypx, xpx = spot_pixel_arrays(pos, hd_grid[0], hd_grid[1],
+                                         hex_coords=False)
+    interior = ((ypx >= p2) & (ypx < wsi.shape[0] - p2)
+                & (xpx >= p2) & (xpx < wsi.shape[1] - p2))
+    np.testing.assert_array_equal(got[oy[interior], ox[interior]],
+                                  want_labels[oy[interior], ox[interior]])
+    np.testing.assert_array_equal(got > 0, s["label_grid"] > 0)
