@@ -19,6 +19,7 @@ synced by scalar fetch; host<->device transfer excluded on both sides.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -288,6 +289,42 @@ def bench_count_training_secondary():
         f"spots/s incl. fwd+bwd+adam)")
 
 
+def bench_ingest_secondary():
+    """Host-ingest pipeline: decode + staging GB/s (stderr detail).
+
+    Measures gridnext_tpu.ingest.SlideSource over synthetic JPEG slides.
+    On this relay-attached environment the stage number characterizes the
+    relay link (~5 MB/s cold), not the framework -- docs/roadmap.md; on a
+    production PCIe host the same counters give the real ingest story.
+    """
+    import tempfile
+
+    import jax
+    from PIL import Image
+
+    from gridnext_tpu.ingest import SlideSource
+
+    rng = np.random.default_rng(0)
+    side = 4096
+    arr = rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+    td = tempfile.mkdtemp(prefix="gnx_ingest_")
+    files = []
+    for i in range(3):
+        p = f"{td}/slide{i}.jpg"
+        Image.fromarray(arr).save(p, quality=90)
+        files.append(p)
+    src = SlideSource(files, prefetch=2)
+    last = None
+    for _i, wsi, _pos in src:
+        last = wsi
+    jax.block_until_ready(last)
+    tp = src.throughput()
+    log(f"host ingest (secondary): decode {tp.get('decode_gb_s', 0):.3f} GB/s, "
+        f"stage-dispatch {tp.get('stage_gb_s', 0):.3f} GB/s "
+        f"({len(files)} slides x {arr.nbytes / 1e9:.2f} GB decoded; "
+        f"{os.cpu_count()} host cpu)")
+
+
 def main():
     tpu_rate = bench_tpu_image()
     # batched serving (4 slides/dispatch): the production shape; headline is
@@ -301,7 +338,7 @@ def main():
     cpu_rate = bench_torch_cpu_image()
     # secondary metrics must not sink the headline OR each other
     for fn in (bench_tpu_image_alt, bench_count_secondary,
-               bench_count_training_secondary):
+               bench_count_training_secondary, bench_ingest_secondary):
         try:
             fn()
         except Exception as e:
