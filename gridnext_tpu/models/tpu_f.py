@@ -48,6 +48,16 @@ class TpuPatchClassifier(nn.Module):
     classify: bool = True
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    norm: str = "layer"  # 'layer' | 'rms' | 'none' (perf ablation knob)
+
+    def _norm(self, dtype):
+        if self.norm == "layer":
+            return nn.LayerNorm(dtype=dtype)
+        if self.norm == "rms":
+            return nn.RMSNorm(dtype=dtype)
+        if self.norm == "none":
+            return lambda x: x
+        raise ValueError(f"unknown norm {self.norm!r}")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,7 +66,7 @@ class TpuPatchClassifier(nn.Module):
         x = nn.Conv(self.stages[0][0], (self.stem_patch, self.stem_patch),
                     strides=(self.stem_patch, self.stem_patch),
                     padding="VALID", dtype=dtype, name="stem")(x)
-        x = nn.LayerNorm(dtype=dtype)(x)
+        x = self._norm(dtype)(x)
         for width, depth in self.stages:
             if x.shape[-1] != width:
                 x = nn.Conv(width, (2, 2), strides=(2, 2), dtype=dtype)(x)
@@ -67,9 +77,9 @@ class TpuPatchClassifier(nn.Module):
                     f"patches of at least {self.stem_patch * 2 ** (len(self.stages) - 1)}px")
             for _ in range(depth):
                 h = nn.Conv(width, (3, 3), dtype=dtype)(x)
-                h = nn.relu(nn.LayerNorm(dtype=dtype)(h))
+                h = nn.relu(self._norm(dtype)(h))
                 h = nn.Conv(width, (3, 3), dtype=dtype)(h)
-                x = nn.relu(nn.LayerNorm(dtype=dtype)(x + h))
+                x = nn.relu(self._norm(dtype)(x + h))
         x = x.mean(axis=(1, 2))  # global average pool -> (B, width)
         if not self.classify:
             return x

@@ -156,3 +156,16 @@ def test_register_hvgs_floor():
     m = register_hvgs.main(["--epochs", "3", "--arrays", "3"])
     assert m["n_hvgs"] == 24
     assert m["acc_f"] > 0.6 and m["acc_g"] > 0.6
+
+
+@pytest.mark.slow
+def test_scbert_mm_fullscale_smoke():
+    """The full-scale artifact's machinery at reduced dims (full scale runs
+    on the real TPU; ms/array recorded in docs/roadmap.md)."""
+    import scbert_mm_fullscale
+
+    r = scbert_mm_fullscale.main(["--grid", "4", "4", "--vocab", "256",
+                                  "--image-px", "32", "--patch-chunk", "8",
+                                  "--depth", "2"])
+    assert r["forward_ms_per_array"] > 0
+    assert r["train_ms_per_array"] > 0
