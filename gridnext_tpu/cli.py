@@ -82,21 +82,43 @@ def _cmd_prepare(args):
 
 
 def _split_dls(dataset, val_den: int, stream: bool, transform=None,
-               val_if_single: bool = True):
+               val_if_single: bool = True, seed: int = 0, val_arrays=None):
     """Shuffled train/val split as loop-ready dataloaders.
 
     ``stream=True`` -> lazy Subset views (one batch resident at a time);
     otherwise materialized arrays (``transform`` applied whole-cohort).
     ``val_den``: validation fraction denominator (len // val_den items).
-    The single shared split policy of every train-* command.
+    ``seed`` varies the random split; ``val_arrays`` (array names, e.g. the
+    Spaceranger dir basenames) pins validation to whole held-out arrays
+    instead -- grid items AND their spots route by source array, the
+    notebooks' held-out-section protocol. The single shared split policy of
+    every train-* command.
     """
     import numpy as np
 
     from gridnext_tpu.data import Subset
 
-    order = np.random.default_rng(0).permutation(len(dataset))
-    n_val = (max(1, len(order) // val_den)
-             if (val_if_single or len(order) > 1) else 0)
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    if val_arrays:
+        from pathlib import Path
+
+        names = set(val_arrays)
+        is_val = np.array([bool(names & set(Path(s).parts))
+                           for s in dataset.source_ids()])
+        if not is_val.any():
+            sys.exit(f"error: --val-arrays {sorted(names)} matched no "
+                     "items (names must be array dir basenames)")
+        if is_val.all():
+            sys.exit("error: --val-arrays matched every item; "
+                     "nothing left to train on")
+        order = np.concatenate([rng.permutation(np.flatnonzero(is_val)),
+                                rng.permutation(np.flatnonzero(~is_val))])
+        n_val = int(is_val.sum())
+    else:
+        order = rng.permutation(n)
+        n_val = (max(1, n // val_den)
+                 if (val_if_single or n > 1) else 0)
     if stream:
         return {"train": Subset(dataset, order[n_val:], transform),
                 "val": Subset(dataset, order[:n_val], transform)
@@ -166,7 +188,9 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     g_out = os.path.join(args.out, "g_state.msgpack")
 
     # shuffled stratification-friendly split (file order is spatially sorted)
-    dls_f = _split_dls(spots, 5, stream, transform)
+    split_kw = dict(seed=getattr(args, 'split_seed', 0),
+                    val_arrays=getattr(args, 'val_arrays', None))
+    dls_f = _split_dls(spots, 5, stream, transform, **split_kw)
     f_state, *_ = train_spotwise(
         f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
         batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
@@ -177,7 +201,8 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
               patch_chunk=patch_chunk)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
-    dls = _split_dls(grids, 4, stream, transform, val_if_single=False)
+    dls = _split_dls(grids, 4, stream, transform, val_if_single=False,
+                     **split_kw)
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
     state = load_f_params(state, f_state.variables())
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
@@ -406,12 +431,14 @@ def _cmd_train_mm(args):
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
     os.makedirs(args.out, exist_ok=True)
+    split_kw = dict(seed=getattr(args, 'split_seed', 0),
+                    val_arrays=getattr(args, 'val_arrays', None))
 
     def spot_train(f, spots, transform=None, stream_spots=stream,
                    name="f_state"):
         f_out = os.path.join(args.out, f"{name}.msgpack")
         state, *_ = train_spotwise(
-            f, _split_dls(spots, 5, stream_spots, transform),
+            f, _split_dls(spots, 5, stream_spots, transform, **split_kw),
             learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
             outfile=f_out, resume=_resume_path(args, f_out))
@@ -438,7 +465,8 @@ def _cmd_train_mm(args):
                n_classes=n_classes, patch_chunk=args.patch_chunk)
     # log1p the count modality only; image grids pass through
     mm_transform = lambda x: (x[0], np.log1p(x[1]))  # noqa: E731
-    dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False)
+    dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False,
+                     **split_kw)
     tx = make_gridwise_optimizer(args.g_lr,
                                  f_lr=args.f_lr if args.finetune_f else None)
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
@@ -654,6 +682,11 @@ def _add_mesh_args(s):
     s.add_argument("--grid-batch-size", type=int, default=1,
                    help="arrays per gridwise training step (must be "
                         "divisible by the mesh's data axis size)")
+    s.add_argument("--split-seed", type=int, default=0,
+                   help="seed for the random train/val split")
+    s.add_argument("--val-arrays", nargs="+", default=None,
+                   help="hold out these whole arrays (dir basenames) for "
+                        "validation instead of a random split")
     s.add_argument("--resume", action="store_true",
                    help="continue an interrupted run from the '.latest' "
                         "checkpoints in --out (written every epoch); the "

@@ -62,6 +62,13 @@ class _GridDatasetBase:
     def __len__(self):
         return self._n_arrays
 
+    def source_ids(self):
+        """Per-item backing path (count file / patch dir): lets callers
+        split by source array (e.g. the CLI's --val-arrays)."""
+        if hasattr(self, "count_files"):
+            return [str(c) for c in self.count_files]
+        return [str(d) for d in self.img_dirs]
+
     def materialize(self):
         xs, ys = [], []
         for i in range(len(self)):
@@ -255,6 +262,9 @@ class CountSpotDataset:
         ys = np.array(self.annotations if self.annotations
                       else np.zeros(len(self)), dtype=np.int64)
         return xs, ys
+
+    def source_ids(self):
+        return [cf for cf, _ in self._index]
 
 
 _PATCH_RXP_TMPL = r".*_(\d+)_(\d+)\.%s"
@@ -453,6 +463,9 @@ class PatchSpotDataset:
                       else np.zeros(len(self)), dtype=np.int64)
         return xs, ys
 
+    def source_ids(self):
+        return list(self.imgpath_mapping)
+
 
 class MMSpotDataset:
     """Spot-level multimodal dataset: ``((x_image, x_count), y)`` per spot.
@@ -549,6 +562,9 @@ class MMSpotDataset:
                       else np.zeros(len(self)), dtype=np.int64)
         return (imgs, np.stack(counts)), ys
 
+    def source_ids(self):
+        return [cf for cf, _, _ in self._index]
+
 
 class MMStackDataset(_GridDatasetBase):
     """Pairs an image and a count grid dataset; zeroes label disagreements.
@@ -574,6 +590,9 @@ class MMStackDataset(_GridDatasetBase):
         """Cheap model-init sample: per-modality zero items."""
         return (self.image_dataset.sample_item(),
                 self.count_dataset.sample_item())
+
+    def source_ids(self):
+        return self.count_dataset.source_ids()
 
     def materialize(self):
         xi, xc, ys = [], [], []

@@ -289,3 +289,38 @@ def test_cli_resume_matches_straight_run(tmp_path):
     assert r.returncode == 0, r.stderr
     assert (out / "m_resumed.csv").read_text() == \
         (out / "m_resumed2.csv").read_text()
+
+
+def test_cli_val_arrays_and_split_seed(tmp_path):
+    """--val-arrays holds out whole arrays; --split-seed varies the split."""
+    import subprocess, sys, os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(*cli_args):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from gridnext_tpu.cli import main; import sys;"
+                "main(sys.argv[1:])")
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "3", "--classes", "3",
+            "--genes", "20")
+    assert r.returncode == 0, r.stderr
+    dirs = [str(out / f"a{i}") for i in range(3)]
+    annots = [str(out / f"a{i}" / f"a{i}_annotations.csv") for i in range(3)]
+
+    r = run("train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(out / "m1"), "--epochs", "1",
+            "--val-arrays", "a2", "--split-seed", "3")
+    assert r.returncode == 0, r.stderr
+
+    # unknown array name -> actionable error
+    r = run("train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(out / "m2"), "--epochs", "1",
+            "--val-arrays", "nope")
+    assert r.returncode != 0
+    assert "matched no" in (r.stderr + r.stdout)
