@@ -347,7 +347,7 @@ def _check_image_args(args):
     _require_one_image_per_dir(args.images, args.spaceranger)
     if args.patch_px < 32:
         sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
-                 "by 32x, TpuPatchClassifier by 8x then 4x; smaller patches "
+                 "by 32x, TpuPatchClassifier by 16x then 2x; smaller patches "
                  "collapse to zero spatial size)")
 
 
