@@ -63,6 +63,9 @@ def _cmd_prepare(args):
         _require_one_image_per_dir(args.images, args.spaceranger)
         h_st = w_st = None
         suffix = f"_patches{args.patch_px}px"
+        window_px = getattr(args, "window_px", None)
+        if window_px is not None:
+            suffix += f"_w{window_px}"
         if args.hd_binning is not None:
             # COHORT-max lattice dims, exactly like the factory's
             # grid_dims='auto' -- per-array dims would name caches the
@@ -77,6 +80,7 @@ def _cmd_prepare(args):
         for srd, im in zip(args.spaceranger, args.images):
             pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
             save_visium_patches(im, srd, pdir, patch_size=args.patch_px,
+                                window_size=window_px,
                                 hd_binning=args.hd_binning, h_st=h_st, w_st=w_st)
             print(f"wrote {pdir}")
 
@@ -349,6 +353,11 @@ def _check_image_args(args):
         sys.exit("error: --patch-px must be >= 32 (densenet121 downsamples "
                  "by 32x, TpuPatchClassifier by 16x then 2x; smaller patches "
                  "collapse to zero spatial size)")
+    if getattr(args, "window_px", None) is not None \
+            and args.window_px < args.patch_px:
+        sys.exit("error: --window-px must be >= --patch-px (the window is "
+                 "cropped around each spot then resized DOWN to the patch "
+                 "size; upsampling a smaller window is never what you want)")
 
 
 def _cmd_train_image(args):
@@ -362,7 +371,7 @@ def _cmd_train_image(args):
                                            what="image training")
     kw = dict(annot_files=args.annots, use_count=False, use_image=True,
               fullres_image_files=args.images, patch_size_px=args.patch_px,
-              hd_binning=hd_binning)
+              window_size_px=args.window_px, hd_binning=hd_binning)
     spots = create_visium_dataset(args.spaceranger, spatial=False,
                                   grid_dims=grid_dims, **kw)
     grids = create_visium_dataset(args.spaceranger, spatial=True,
@@ -379,7 +388,8 @@ def _cmd_train_image(args):
         f = densenet121(num_classes=len(grids.classes), dtype=dtype)
         model_name = f"{g_name}+DenseNet121"
     _train_fg(args, f, grids, spots,
-              {"patch_px": args.patch_px, "model": model_name,
+              {"patch_px": args.patch_px, "window_px": args.window_px,
+               "model": model_name,
                "image_f": args.f, "hd_binning": hd_binning,
                "grid_dims": ([grids.h_st, grids.w_st] if square else None),
                "patch_chunk": args.patch_chunk},
@@ -405,7 +415,7 @@ def _cmd_train_mm(args):
                                            what="multimodal training")
     kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
               fullres_image_files=args.images, patch_size_px=args.patch_px,
-              hd_binning=hd_binning)
+              window_size_px=args.window_px, hd_binning=hd_binning)
     mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
                                      use_count=True, use_image=True,
                                      grid_dims=grid_dims, **kw)
@@ -419,6 +429,7 @@ def _cmd_train_mm(args):
                                         annot_files=args.annots,
                                         fullres_image_files=args.images,
                                         patch_size_px=args.patch_px,
+                                        window_size_px=args.window_px,
                                         hd_binning=hd_binning,
                                         grid_dims=grid_dims)
     classes = list(mm_grids.classes)
@@ -492,6 +503,7 @@ def _cmd_train_mm(args):
     genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
     with open(os.path.join(args.out, "model.json"), "w") as fh:
         json.dump({"classes": classes, "patch_px": args.patch_px,
+                   "window_px": args.window_px,
                    "patch_chunk": args.patch_chunk,
                    "n_genes": len(genes), "genes": genes, "log1p": True,
                    "hd_binning": hd_binning,
@@ -566,6 +578,7 @@ def _cmd_register(args):
                                    use_count=True, use_image=True,
                                    fullres_image_files=args.images,
                                    patch_size_px=meta.get("patch_px", 128),
+                                   window_size_px=meta.get("window_px"),
                                    hd_binning=meta.get("hd_binning"),
                                    grid_dims=(tuple(grid_dims)
                                               if grid_dims else None),
@@ -609,11 +622,13 @@ def _cmd_register(args):
                         patch_chunk=meta.get("patch_chunk", 624))
             registrar = SlideRegistrar.from_gridnet(
                 g, variables, patch_size=meta.get("patch_px", 128),
+                window_size=meta.get("window_px"),
                 normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
         else:
             g = GridNetHex(patch_classifier=f, n_classes=len(classes))
             registrar = SlideRegistrar.from_gridnet(
                 g, variables, patch_size=meta.get("patch_px", 128),
+                window_size=meta.get("window_px"),
                 normalize=None)
         Image.MAX_IMAGE_PIXELS = None
         for srd, im in zip(args.spaceranger, args.images):
@@ -660,6 +675,11 @@ def _add_image_train_args(s):
     s.add_argument("--images", nargs="+", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--window-px", type=int, default=None,
+                   help="crop this window around each spot and resize down "
+                        "to --patch-px (grid_from_wsi_visium's window_size; "
+                        "wider histological context at the same f cost). "
+                        "Default: crop exactly --patch-px")
     s.add_argument("--f", choices=("densenet", "tpu"), default="densenet",
                    help="spot classifier: 'densenet' (reference parity, "
                         "DenseNet-121) or 'tpu' (TpuPatchClassifier, ~3.6x "
@@ -726,6 +746,9 @@ def main(argv=None):
     s.add_argument("--spaceranger", nargs="+", required=True)
     s.add_argument("--images", nargs="*", default=None)
     s.add_argument("--patch-px", type=int, default=128)
+    s.add_argument("--window-px", type=int, default=None,
+                   help="crop window side; resized down to --patch-px "
+                        "(cache dirs get a _w{px} suffix)")
     s.add_argument("--min-detection", type=float, default=0.02)
     s.add_argument("--hd-binning", default=None,
                    help="Visium HD binned output to read (e.g. square_008um)")

@@ -658,6 +658,7 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                           minimum_detection_rate: Optional[float] = 0.02,
                           patch_size_px: Optional[int] = None,
                           patch_size_um: Optional[float] = 100.0,
+                          window_size_px: Optional[int] = None,
                           img_transforms: Optional[Callable] = None,
                           select_genes: Optional[Sequence[str]] = None,
                           save_patches_to=None,
@@ -672,6 +673,11 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
     (``outs/binned_outputs/<binning>``: parquet positions + per-binning MEX,
     utils.py:253-287) -- an extension over the reference, whose factory only
     exposes HD through the AnnData builders (visium_datasets.py:221,277).
+
+    ``window_size_px`` crops a larger window around each spot and resizes
+    it to the patch size (grid_from_wsi_visium's ``window_size``; the
+    reference library supports it but never exposes it through its factory).
+    Window-sized caches get their own ``_w{window}`` suffix.
 
     ``grid_dims`` enables *square-lattice* HD grids: ``"auto"`` infers
     (max_row+1, max_col+1) over the arrays' positions, or pass an explicit
@@ -757,6 +763,9 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
 
         patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
                         else f"_patches{int(patch_size_um)}um")
+        if window_size_px is not None:
+            # distinct cache: same patch size from a different crop window
+            patch_suffix += f"_w{window_size_px}"
         if hd_binning is not None:
             # binning- AND dims-specific cache dir: the writer drops
             # out-of-bounds patches, so a cache built with smaller explicit
@@ -786,7 +795,8 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                       else distance_um_to_px(spaceranger_dirs[i], patch_size_um,
                                              hd_binning=hd_binning))
                 save_visium_patches(imfile, spaceranger_dirs[i], patch_dirs[i],
-                                    patch_size=ps, hd_binning=hd_binning,
+                                    patch_size=ps, window_size=window_size_px,
+                                    hd_binning=hd_binning,
                                     h_st=h_hd if hd_square else None,
                                     w_st=w_hd if hd_square else None)
 

@@ -75,6 +75,9 @@ class SlideRegistrar:
         (see ops.hexcorrector_pallas.fold_corrector_params); None for
         Cartesian models (pass ``corrector_apply`` instead).
       patch_size: patch side in pixels.
+      window_size: crop window side; when larger than ``patch_size`` the
+        window is resized down (cubic, PIL-parity path of
+        pipeline.extract_patches_device). Default: equal to patch_size.
       normalize: 'imagenet' (DenseNet transforms parity) or None.
       patch_chunk: f applied over the spot axis in chunks of this size.
       hex_coords: True for Visium pseudo-hex positions; False for HD square
@@ -87,7 +90,8 @@ class SlideRegistrar:
     def __init__(self, f_apply: Callable, corrector_kernels=None,
                  corrector_biases=None,
                  relu_flags=(False, True, False, True, False), *,
-                 patch_size: int = 128, normalize: Optional[str] = "imagenet",
+                 patch_size: int = 128, window_size: Optional[int] = None,
+                 normalize: Optional[str] = "imagenet",
                  patch_chunk: Optional[int] = 624,
                  h_st: int = geometry.VISIUM_H_ST,
                  w_st: int = geometry.VISIUM_W_ST,
@@ -99,6 +103,7 @@ class SlideRegistrar:
         self.biases = [jnp.asarray(b) for b in corrector_biases or []]
         self.relu_flags = tuple(relu_flags)
         self.patch_size = patch_size
+        self.window_size = window_size or patch_size
         self.normalize = normalize
         self.patch_chunk = patch_chunk
         self.h_st, self.w_st = h_st, w_st
@@ -166,8 +171,8 @@ class SlideRegistrar:
     def _extract(self, wsi, y_px, x_px):
         from gridnext_tpu.pipeline import extract_patches_device
 
-        p = self.patch_size
-        return self._normalize(extract_patches_device(wsi, y_px, x_px, p, p))
+        return self._normalize(extract_patches_device(
+            wsi, y_px, x_px, self.window_size, self.patch_size))
 
     def _apply_f(self, patches):
         n = patches.shape[0]
@@ -239,7 +244,7 @@ class SlideRegistrar:
                                                self.w_st, self.hex_coords)
         y_px = y_px + pad_offset
         x_px = x_px + pad_offset
-        p2 = self.patch_size // 2
+        p2 = self.window_size // 2
         y_px = np.clip(y_px, p2, wsi_shape[0] - p2 - 1)
         x_px = np.clip(x_px, p2, wsi_shape[1] - p2 - 1)
         return oy, ox, y_px, x_px
@@ -288,7 +293,7 @@ class SlideRegistrar:
                for p in positions_list]
         s_max = max(len(a[0]) for a in per)
         s_pad = -(-s_max // _SPOT_BUCKET) * _SPOT_BUCKET
-        p2 = self.patch_size // 2
+        p2 = self.window_size // 2
 
         oy = np.full((n, s_pad), self.h_st, np.int32)   # parked out of lattice
         ox = np.zeros((n, s_pad), np.int32)

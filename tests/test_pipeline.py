@@ -115,6 +115,41 @@ def test_multimodal_stack(sim_img):
     assert ((y > 0) <= (sim_img[0]["label_grid"] > 0)).all()
 
 
+def test_factory_window_size_cache(sim_img, tmp_path):
+    """window_size_px: wider crop resized down, with its own _w{px} cache.
+
+    grid_from_wsi_visium's window_size exists in the reference library
+    (imgprocess.py:185-238) but its factory never exposes it; ours threads
+    it through create_visium_dataset (and the CLI as --window-px).
+    """
+    dirs = [s["spaceranger_dir"] for s in sim_img]
+    annots = [s["annot_file"] for s in sim_img]
+    imgs = [s["image_file"] for s in sim_img]
+
+    gdat = create_visium_dataset(dirs, use_count=False, use_image=True,
+                                 spatial=True, annot_files=annots,
+                                 fullres_image_files=imgs, patch_size_px=8,
+                                 window_size_px=16, save_patches_to=tmp_path)
+    cache_dirs = sorted(p.name for p in tmp_path.iterdir())
+    assert all(name.endswith("_patches8px_w16") for name in cache_dirs), cache_dirs
+
+    x, y = gdat[0]
+    assert x.shape == (G.VISIUM_H_ST, G.VISIUM_W_ST, 8, 8, 3)
+    np.testing.assert_array_equal(y, sim_img[0]["label_grid"])
+
+    # content is the host window path (up to JPEG cache quantization):
+    # much closer to window-extraction than to the plain 8px center crop
+    want_win = pipeline.grid_from_wsi_visium(imgs[0], dirs[0], patch_size=8,
+                                             window_size=16)
+    want_crop = pipeline.grid_from_wsi_visium(imgs[0], dirs[0], patch_size=8)
+    fg = sim_img[0]["label_grid"] > 0
+    got = x[fg] * 255.0
+    err_win = np.abs(got - want_win[fg]).mean()
+    err_crop = np.abs(got - want_crop[fg]).mean()
+    assert err_win < 8.0, err_win            # JPEG-level residual only
+    assert err_win < 0.5 * err_crop, (err_win, err_crop)
+
+
 def test_remove_color_cast():
     rng = np.random.default_rng(0)
     img = (rng.uniform(0, 200, size=(64, 64, 3))).astype(np.uint8)  # dim image

@@ -127,6 +127,50 @@ def test_slide_registrar_with_tpu_patch_classifier():
     assert (labels > 0).sum() == 3  # only in-tissue spots labeled
 
 
+def test_slide_registrar_window_size(sim):
+    """window_size > patch_size: serve from wider crops resized down.
+
+    Must agree with the host path (grid_from_wsi_visium window_size= ->
+    GridNetHex forward) on interior spots. The device resize is PIL-parity
+    to <=2 gray levels (pinned in test_pipeline), so a tiny fraction of
+    argmax flips is tolerated.
+    """
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.pipeline import grid_from_wsi_visium
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch, window = 8, 16
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(2), x0)
+
+    grid = grid_from_wsi_visium(sim["image_file"], sim["spaceranger_dir"],
+                                patch_size=patch, window_size=window) / 255.0
+    logits = g.apply(variables, jnp.asarray(grid[None]), train=False)
+    want = np.asarray(jnp.argmax(logits[0], -1)) + 1
+
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, window_size=window, normalize=None,
+        patch_chunk=None, use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(variables, gr, train=False,
+                                           method=lambda m, x, train: m.corrector(x, train=train)))
+    assert registrar.window_size == window
+    wsi = jnp.asarray(np.asarray(Image.open(sim["image_file"])))
+    got = registrar(wsi, read_positions(sim["spaceranger_dir"]))
+
+    w2 = window // 2
+    oy, ox, ypx, xpx = spot_pixel_arrays(read_positions(sim["spaceranger_dir"]))
+    interior = ((ypx >= w2) & (ypx < wsi.shape[0] - w2)
+                & (xpx >= w2) & (xpx < wsi.shape[1] - w2))
+    agree = (got[oy[interior], ox[interior]]
+             == want[oy[interior], ox[interior]]).mean()
+    assert agree >= 0.97, agree
+
+
 def test_register_batch_matches_single(sim, tmp_path_factory):
     """N-slide batched dispatch == per-slide registration, including padded
     spot arrays for slides with unequal spot counts."""
