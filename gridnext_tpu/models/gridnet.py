@@ -167,11 +167,16 @@ class GridNetMMBase(nn.Module):
     count_f_dim: Optional[int] = None
     use_bn: bool = True
     patch_chunk: Optional[int] = None
+    # per-modality override: transformer count-fs (scBERT over a 16,907-token
+    # sequence) need far smaller chunks than a CNN image-f for the same HBM
+    # footprint; None = inherit patch_chunk
+    count_chunk: Optional[int] = None
 
     def patch_predictions(self, x, train: bool = False):
         x_image, x_count = x
+        cc = self.patch_chunk if self.count_chunk is None else self.count_chunk
         ppg_count = _apply_f_grid(self.count_classifier, x_count,
-                                  self.patch_chunk, self.count_f_dim,
+                                  cc, self.count_f_dim,
                                   what="count classifier")
         ppg_image = _apply_f_grid(self.image_classifier, x_image,
                                   self.patch_chunk, self.image_f_dim,

@@ -111,6 +111,28 @@ def test_gridnet_mm_concat():
     assert y.shape == (1, 4, 4, 6)
 
 
+def test_gridnet_mm_count_chunk_equivalence():
+    """Per-modality count_chunk changes memory scheduling, not numerics."""
+    f_img = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                     num_classes=6, small_inputs=True)
+    f_cnt = CountMLP(n_classes=6)
+    x_img = jnp.asarray(np.random.default_rng(0).uniform(
+        size=(1, 4, 4, 16, 16, 3)).astype(np.float32))
+    x_cnt = jnp.asarray(np.random.default_rng(1).uniform(
+        size=(1, 4, 4, 25)).astype(np.float32))
+
+    g_ref = GridNetHexMM(image_classifier=f_img, count_classifier=f_cnt,
+                         n_classes=6, patch_chunk=8)
+    vars_ = g_ref.init(jax.random.key(0), (x_img, x_cnt))
+    want = g_ref.apply(vars_, (x_img, x_cnt))
+
+    g_cc = GridNetHexMM(image_classifier=f_img, count_classifier=f_cnt,
+                        n_classes=6, patch_chunk=8, count_chunk=3)
+    got = g_cc.apply(vars_, (x_img, x_cnt))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Torch parity (torch CPU is available in the environment)
 # ---------------------------------------------------------------------------
