@@ -9,7 +9,10 @@ Why it exists: the ``.unified.tsv.gz`` cache contract is the framework's
 hottest host path -- pandas takes minutes to WRITE a full-transcriptome
 array (default formatting + gzip level 9) and seconds to read one;
 the C++ codec does both in a fraction of that (measured ~40x write,
-~4x read on a 15k x 4k matrix). The JPEG codec (patchio.cpp) batch-decodes
+~4x read on a 15k x 4k matrix). Gzip output is multi-member (BGZF-style
+size-tagged members), so on multi-core hosts both deflate and inflate run
+across a thread pool while the file stays an ordinary ``.tsv.gz`` for
+pandas/zcat. The JPEG codec (patchio.cpp) batch-decodes
 a patch-cache directory (~3k spot JPEGs per array) across a thread pool
 instead of one PIL call per ``__getitem__`` (image_datasets.py:113-122).
 """

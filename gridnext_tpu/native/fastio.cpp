@@ -4,6 +4,15 @@
 // file in seconds (fast integer/double formatting + zlib level 1), and the
 // reader parses numeric TSVs several times faster than pandas' C engine.
 //
+// Gzip output is MULTI-MEMBER (BGZF-style, RFC 1952 concatenated members):
+// rows are chunked ~4 MB raw, each chunk becomes an independent gzip member
+// whose total on-disk size is recorded in a 'GX' EXTRA subfield of its own
+// header. The file stays a perfectly ordinary .tsv.gz -- pandas, zcat and
+// gzopen read concatenated members transparently -- but this reader can walk
+// the member chain from the EXTRA fields and INFLATE MEMBERS IN PARALLEL
+// across the thread pool (decompression is the serial bottleneck once
+// parsing is parallel). Compression is likewise parallel across chunks.
+//
 // Exposed via ctypes (gridnext_tpu/native/__init__.py). Build:
 //   g++ -O3 -shared -fPIC fastio.cpp -o fastio.so -lz
 //
@@ -14,6 +23,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -22,6 +32,78 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+// --- multi-member gzip helpers ----------------------------------------------
+//
+// Member layout (all little-endian, per RFC 1952):
+//   10-byte base header (FLG=FEXTRA), XLEN=8,
+//   subfield {'G','X', SLEN=4, u32 total_member_size},
+//   raw-deflate payload, CRC32, ISIZE.
+// total_member_size covers header..ISIZE so a reader can hop members without
+// inflating (the BGZF 'BC' trick, sized u32 instead of u16).
+
+static const size_t kGzHeaderLen = 10 + 2 + 8;  // base + XLEN + GX subfield
+static const size_t kGzTrailerLen = 8;          // CRC32 + ISIZE
+
+static void put_u16(unsigned char* p, uint32_t v) {
+    p[0] = v & 0xff; p[1] = (v >> 8) & 0xff;
+}
+static void put_u32(unsigned char* p, uint32_t v) {
+    p[0] = v & 0xff; p[1] = (v >> 8) & 0xff;
+    p[2] = (v >> 16) & 0xff; p[3] = (v >> 24) & 0xff;
+}
+static uint32_t get_u16(const unsigned char* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8);
+}
+static uint32_t get_u32(const unsigned char* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+         | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+// Compress `raw` into one self-describing gzip member appended to `out`.
+// Returns false on zlib failure or if the member would overflow the u32
+// size subfield (callers chunk well below that).
+static bool deflate_member(const std::string& raw, int level, std::string& out) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+        return false;
+    size_t bound = deflateBound(&zs, raw.size());
+    size_t start = out.size();
+    out.resize(start + kGzHeaderLen + bound + kGzTrailerLen);
+    unsigned char* base = (unsigned char*)&out[start];
+
+    zs.next_in = (Bytef*)raw.data();
+    zs.avail_in = (uInt)raw.size();
+    zs.next_out = base + kGzHeaderLen;
+    zs.avail_out = (uInt)bound;
+    int rc = deflate(&zs, Z_FINISH);
+    size_t comp = zs.total_out;
+    deflateEnd(&zs);
+    if (rc != Z_STREAM_END) { out.resize(start); return false; }
+
+    size_t member = kGzHeaderLen + comp + kGzTrailerLen;
+    if (member > 0xffffffffu || raw.size() > 0xffffffffu) {
+        out.resize(start);
+        return false;
+    }
+    // header
+    base[0] = 0x1f; base[1] = 0x8b; base[2] = 8;  // magic, deflate
+    base[3] = 0x04;                               // FLG = FEXTRA
+    put_u32(base + 4, 0);                         // MTIME (deterministic)
+    base[8] = 0; base[9] = 0xff;                  // XFL, OS=unknown
+    put_u16(base + 10, 8);                        // XLEN
+    base[12] = 'G'; base[13] = 'X';
+    put_u16(base + 14, 4);                        // SLEN
+    put_u32(base + 16, (uint32_t)member);
+    // trailer
+    uint32_t crc = crc32(0L, (const Bytef*)raw.data(), (uInt)raw.size());
+    put_u32(base + kGzHeaderLen + comp, crc);
+    put_u32(base + kGzHeaderLen + comp + 4, (uint32_t)raw.size());
+    out.resize(start + member);
+    return true;
+}
 
 extern "C" {
 
@@ -37,25 +119,6 @@ int tsv_write_matrix(const char* path, const char* index_name,
                      const double* values, int64_t n_rows, int64_t n_cols,
                      int gzip_level, int force_int) {
     const bool use_gz = gzip_level >= 0;
-    gzFile gz = nullptr;
-    FILE* fp = nullptr;
-    if (use_gz) {
-        char mode[8];
-        snprintf(mode, sizeof(mode), "wb%d", gzip_level);
-        gz = gzopen(path, mode);
-        if (!gz) return 1;
-        gzbuffer(gz, 1 << 20);
-    } else {
-        fp = fopen(path, "wb");
-        if (!fp) return 1;
-    }
-
-    auto write_buf = [&](const std::string& buf) -> bool {
-        if (buf.empty()) return true;
-        if (use_gz)
-            return gzwrite(gz, buf.data(), (unsigned)buf.size()) == (int)buf.size();
-        return fwrite(buf.data(), 1, buf.size(), fp) == buf.size();
-    };
 
     auto format_rows = [&](int64_t lo, int64_t hi, std::string& buf) {
         char num[40];
@@ -86,36 +149,65 @@ int tsv_write_matrix(const char* path, const char* index_name,
         header.append(col_names[c]);
     }
     header.push_back('\n');
-    if (!write_buf(header)) {
-        if (use_gz) gzclose(gz);
-        else fclose(fp);
-        return 2;
-    }
 
-    // number formatting dominates: format chunks in parallel, write serially
+    // fixed-size row chunks (~4 MB raw each): on gz output every chunk is its
+    // own gzip member, so BOTH compression here and decompression in tsv_open
+    // parallelize across the member list regardless of thread count
+    int64_t bytes_per_row = n_cols * 6 + 24;
+    int64_t chunk_rows = std::max<int64_t>(
+        64, (int64_t)(4 << 20) / std::max<int64_t>(1, bytes_per_row));
+    int64_t n_chunks = n_rows ? (n_rows + chunk_rows - 1) / chunk_rows : 0;
+
     unsigned hw = std::thread::hardware_concurrency();
-    int64_t n_threads = std::max<int64_t>(1, std::min<int64_t>(hw ? hw : 1, 16));
-    if (n_rows < 256) n_threads = 1;
-    int64_t per = (n_rows + n_threads - 1) / n_threads;
-    std::vector<std::string> bufs((size_t)n_threads);
-    std::vector<std::thread> threads;
-    for (int64_t t = 0; t < n_threads; ++t) {
-        int64_t lo = t * per, hi = std::min(n_rows, lo + per);
-        if (lo >= hi) break;
-        threads.emplace_back(format_rows, lo, hi, std::ref(bufs[t]));
-    }
-    for (auto& th : threads) th.join();
-    bool ok = true;
-    for (auto& b : bufs) {
-        if (!write_buf(b)) { ok = false; break; }
-    }
+    int64_t n_threads = std::max<int64_t>(
+        1, std::min<int64_t>({(int64_t)(hw ? hw : 1), n_chunks, 16}));
 
-    // close unconditionally (no handle leak) and surface flush failures
-    if (use_gz) {
-        if (gzclose(gz) != Z_OK) ok = false;
+    std::vector<std::string> bufs((size_t)n_chunks);
+    std::atomic<int64_t> next(0);
+    std::atomic<bool> failed(false);
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_chunks || failed.load()) return;
+            int64_t lo = i * chunk_rows;
+            int64_t hi = std::min(n_rows, lo + chunk_rows);
+            if (use_gz) {
+                std::string raw;
+                format_rows(lo, hi, raw);
+                if (!deflate_member(raw, gzip_level, bufs[i]))
+                    failed.store(true);
+            } else {
+                format_rows(lo, hi, bufs[i]);
+            }
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
     } else {
-        if (fclose(fp) != 0) ok = false;
+        std::vector<std::thread> threads;
+        for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
     }
+    if (failed.load()) return 2;
+
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return 1;
+    bool ok = true;
+    if (use_gz) {
+        std::string hdr_member;
+        ok = deflate_member(header, gzip_level, hdr_member)
+             && fwrite(hdr_member.data(), 1, hdr_member.size(), fp)
+                    == hdr_member.size();
+    } else {
+        ok = fwrite(header.data(), 1, header.size(), fp) == header.size();
+    }
+    for (auto& b : bufs) {
+        if (!ok) break;
+        if (!b.empty() && fwrite(b.data(), 1, b.size(), fp) != b.size())
+            ok = false;
+    }
+    // close unconditionally (no handle leak) and surface flush failures
+    if (fclose(fp) != 0) ok = false;
     return ok ? 0 : 2;
 }
 
@@ -132,16 +224,122 @@ struct TsvMatrix {
     int64_t n_cols = 0;
 };
 
-static bool read_all(const char* path, std::string& out) {
-    gzFile gz = gzopen(path, "rb");  // handles plain files transparently
-    if (!gz) return false;
-    gzbuffer(gz, 1 << 20);
-    char chunk[1 << 20];
-    int n;
-    while ((n = gzread(gz, chunk, sizeof(chunk))) > 0) out.append(chunk, n);
-    bool ok = n == 0;
-    gzclose(gz);
+// Walk self-describing members (written by tsv_write_matrix): every member
+// must start with a gzip FEXTRA header whose 'GX' subfield holds the member's
+// total on-disk size. Returns false (-> caller falls back to serial gzread)
+// for plain files, foreign gzips, or any malformed chain.
+static bool walk_members(const std::string& comp,
+                         std::vector<std::pair<size_t, size_t>>& members) {
+    const unsigned char* d = (const unsigned char*)comp.data();
+    size_t n = comp.size(), off = 0;
+    while (off < n) {
+        if (off + kGzHeaderLen + kGzTrailerLen > n) return false;
+        const unsigned char* h = d + off;
+        if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || h[3] != 0x04)
+            return false;
+        uint32_t xlen = get_u16(h + 10);
+        if (off + 12 + xlen > n) return false;
+        // scan EXTRA subfields for 'GX'
+        size_t p = off + 12, extra_end = p + xlen;
+        size_t msize = 0;
+        while (p + 4 <= extra_end) {
+            uint32_t slen = get_u16(d + p + 2);
+            if (p + 4 + slen > extra_end) return false;
+            if (d[p] == 'G' && d[p + 1] == 'X' && slen == 4) {
+                msize = get_u32(d + p + 4);
+                break;
+            }
+            p += 4 + slen;
+        }
+        if (msize < kGzHeaderLen + kGzTrailerLen || off + msize > n)
+            return false;
+        members.emplace_back(off, msize);
+        off += msize;
+    }
+    return off == n && !members.empty();
+}
+
+// Inflate one complete gzip member (header auto-parsed by windowBits 15+16).
+static bool inflate_member(const unsigned char* data, size_t size,
+                           std::string& out) {
+    // ISIZE trailer = uncompressed length mod 2^32 (members are ~4 MB raw)
+    out.resize(get_u32(data + size - 4));
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
+    zs.next_in = (Bytef*)data;
+    zs.avail_in = (uInt)size;
+    zs.next_out = (Bytef*)&out[0];
+    zs.avail_out = (uInt)out.size();
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = rc == Z_STREAM_END && zs.total_out == out.size();
+    inflateEnd(&zs);
     return ok;
+}
+
+static bool read_all(const char* path, std::string& out) {
+    // raw bytes first: multi-member files inflate across the thread pool
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return false;
+    std::string comp;
+    {
+        char chunk[1 << 20];
+        size_t n;
+        while ((n = fread(chunk, 1, sizeof(chunk), fp)) > 0) comp.append(chunk, n);
+        bool ok = !ferror(fp);
+        fclose(fp);
+        if (!ok) return false;
+    }
+    if (comp.size() >= 2 && (unsigned char)comp[0] == 0x1f
+            && (unsigned char)comp[1] == 0x8b) {
+        std::vector<std::pair<size_t, size_t>> members;
+        if (walk_members(comp, members)) {
+            std::vector<std::string> parts(members.size());
+            unsigned hw = std::thread::hardware_concurrency();
+            size_t n_threads = std::max<size_t>(1, std::min<size_t>(
+                {(size_t)(hw ? hw : 1), members.size(), (size_t)16}));
+            std::atomic<size_t> next(0);
+            std::atomic<bool> failed(false);
+            auto worker = [&]() {
+                for (;;) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= members.size() || failed.load()) return;
+                    if (!inflate_member(
+                            (const unsigned char*)comp.data() + members[i].first,
+                            members[i].second, parts[i]))
+                        failed.store(true);
+                }
+            };
+            if (n_threads <= 1) {
+                worker();
+            } else {
+                std::vector<std::thread> threads;
+                for (size_t t = 0; t < n_threads; ++t)
+                    threads.emplace_back(worker);
+                for (auto& th : threads) th.join();
+            }
+            if (!failed.load()) {
+                size_t total = 0;
+                for (auto& s : parts) total += s.size();
+                out.reserve(out.size() + total);
+                for (auto& s : parts) out.append(s);
+                return true;
+            }
+            out.clear();  // malformed despite valid-looking chain: fall back
+        }
+        // foreign gzip (pandas single-member, bgzip, ...): serial gzread
+        gzFile gz = gzopen(path, "rb");
+        if (!gz) return false;
+        gzbuffer(gz, 1 << 20);
+        char chunk[1 << 20];
+        int n;
+        while ((n = gzread(gz, chunk, sizeof(chunk))) > 0) out.append(chunk, n);
+        bool ok = n == 0;
+        gzclose(gz);
+        return ok;
+    }
+    out = std::move(comp);  // plain TSV
+    return true;
 }
 
 void* tsv_open(const char* path) {

@@ -34,6 +34,53 @@ def test_write_read_roundtrip_gz(lib_ok, tmp_path):
     np.testing.assert_array_equal(v2, values)
 
 
+def test_multi_member_gzip_chain(lib_ok, tmp_path):
+    """The writer emits BGZF-style concatenated gzip members (one per ~4 MB
+    row chunk, total member size in a 'GX' EXTRA subfield) so the reader can
+    inflate members across the thread pool. The file must stay an ordinary
+    .tsv.gz for every other consumer (pandas, gzip stdlib, zcat)."""
+    import gzip
+
+    rng = np.random.default_rng(3)
+    # big enough for several members: ~30 MB raw
+    values = rng.integers(0, 50, size=(5000, 800)).astype(np.float64)
+    values[10, 5] = 2.5
+    rows = [f"GENE{i}" for i in range(5000)]
+    cols = [f"S{i}" for i in range(800)]
+    path = tmp_path / "mm.unified.tsv.gz"
+    assert native.write_tsv_matrix(path, rows, cols, values)
+
+    # walk the member chain by hand via the GX subfields
+    raw = path.read_bytes()
+    off, members = 0, 0
+    while off < len(raw):
+        assert raw[off:off + 3] == b"\x1f\x8b\x08" and raw[off + 3] == 4
+        xlen = int.from_bytes(raw[off + 10:off + 12], "little")
+        p, end = off + 12, off + 12 + xlen
+        msize = None
+        while p + 4 <= end:
+            slen = int.from_bytes(raw[p + 2:p + 4], "little")
+            if raw[p:p + 2] == b"GX" and slen == 4:
+                msize = int.from_bytes(raw[p + 4:p + 8], "little")
+                break
+            p += 4 + slen
+        assert msize, "member without GX size subfield"
+        off += msize
+        members += 1
+    assert off == len(raw) and members > 2, members
+
+    # ordinary consumers read concatenated members transparently
+    with gzip.open(path, "rt") as fh:
+        assert fh.readline().startswith("Gene\tS0\t")
+    df = pd.read_csv(path, sep="\t", index_col=0)
+    np.testing.assert_array_equal(df.values, values)
+
+    # native parallel-inflate path round-trips
+    r2, c2, v2 = native.read_tsv_matrix(path)
+    assert r2 == rows and c2 == cols
+    np.testing.assert_array_equal(v2, values)
+
+
 def test_write_read_floats_plain(lib_ok, tmp_path):
     rng = np.random.default_rng(1)
     values = rng.normal(size=(10, 8))
