@@ -77,3 +77,45 @@ def hexagdly_conv2d_k1(x: np.ndarray, kernel0: np.ndarray, kernel1: np.ndarray,
     if bias is not None:
         out = out + np.asarray(bias).reshape(1, co, 1, 1)
     return out
+
+
+def hexagdly_conv2d_k2(x: np.ndarray, kernel0: np.ndarray, kernel1: np.ndarray,
+                       kernel2: np.ndarray,
+                       bias: np.ndarray | None = None) -> np.ndarray:
+    """hexagdly.Conv2d(kernel_size=2, stride=1) forward, looped numpy.
+
+    Size-2 hexagonal kernel = 19-cell hex disk, decomposed per the hexagdly
+    sub-kernel scheme (column distance i gets a (2k+1-i)-row sub-kernel):
+
+      kernel0: (C_out, C_in, 5, 1) central column, rows [-2..+2].
+      kernel1: (C_out, C_in, 4, 2) columns +-1 [west, east]; in odd-q the
+        topmost cell sits at row y-2 for even center columns and y-1 for odd
+        (the half-cell shift, same parity rule as the k=1 'upper' row).
+      kernel2: (C_out, C_in, 3, 2) columns +-2 [west, east]; same parity as
+        the center column, so rows [-1..+1] regardless of parity.
+
+    Cell rows/columns verified against cube-coordinate hex distance <= 2.
+    """
+    x = np.asarray(x)
+    b, ci, h, w = x.shape
+    co = kernel0.shape[0]
+    out = np.zeros((b, co, h, w), dtype=np.result_type(x, kernel0))
+
+    def acc(dst_y, dst_x, src_y, src_x, wmat):
+        if 0 <= src_y < h and 0 <= src_x < w:
+            out[:, :, dst_y, dst_x] += x[:, :, src_y, src_x] @ wmat.T
+
+    for y in range(h):
+        for c in range(w):
+            for i in range(5):
+                acc(y, c, y + i - 2, c, kernel0[:, :, i, 0])
+            top = y - 2 if c % 2 == 0 else y - 1
+            for i in range(4):
+                acc(y, c, top + i, c - 1, kernel1[:, :, i, 0])
+                acc(y, c, top + i, c + 1, kernel1[:, :, i, 1])
+            for i in range(3):
+                acc(y, c, y + i - 1, c - 2, kernel2[:, :, i, 0])
+                acc(y, c, y + i - 1, c + 2, kernel2[:, :, i, 1])
+    if bias is not None:
+        out = out + np.asarray(bias).reshape(1, co, 1, 1)
+    return out

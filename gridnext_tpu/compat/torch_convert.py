@@ -151,6 +151,35 @@ def hex_kernel_from_hexagdly(kernel0, kernel1):
     return np.stack([t.transpose(1, 0) for t in taps], axis=0)
 
 
+def hex_kernel_from_hexagdly_k2(kernel0, kernel1, kernel2):
+    """hexagdly kernel_size=2 sub-kernels -> (19, C_in, C_out) tap weights.
+
+    Layout follows ``geometry.hex_taps(2)`` order. Under the reference's
+    rot90+flip transpose, an odd-q sub-kernel cell at column offset dx and
+    row offset dy maps onto the odd-r tap (dr=dx, dc_even=dy@even-col,
+    dc_odd=dy@odd-col) -- the same correspondence
+    :func:`hex_kernel_from_hexagdly` encodes cell by cell for size 1, built
+    here as a lookup over the sub-kernel geometry pinned in
+    ``compat.hexagdly_ref.hexagdly_conv2d_k2``. The reference never trains
+    size-2 correctors, so this exists to certify ``hex_taps(radius=2)``
+    against the independent oracle (and to convert any future checkpoint).
+    """
+    from gridnext_tpu.geometry import hex_taps
+
+    k0, k1, k2 = _np(kernel0), _np(kernel1), _np(kernel2)
+    lut = {}
+    for i in range(5):                      # central column: dy = i-2
+        lut[(0, i - 2, i - 2)] = k0[:, :, i, 0]
+    for i in range(4):                      # columns +-1: top dy -2/-1
+        for j, dx in ((0, -1), (1, 1)):
+            lut[(dx, i - 2, i - 1)] = k1[:, :, i, j]
+    for i in range(3):                      # columns +-2: dy = i-1
+        for j, dx in ((0, -2), (1, 2)):
+            lut[(dx, i - 1, i - 1)] = k2[:, :, i, j]
+    taps = [lut[t] for t in hex_taps(2)]
+    return np.stack([t.transpose(1, 0) for t in taps], axis=0)
+
+
 def gridnethex_from_torch(sd: Mapping, f_variables: Mapping, use_bn: bool = True):
     """Convert a trained reference GridNetHex(Oddr) state_dict to our GridNetHex.
 

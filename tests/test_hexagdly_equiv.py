@@ -13,9 +13,11 @@ import pytest
 import torch
 import jax.numpy as jnp
 
-from gridnext_tpu.compat.hexagdly_ref import hexagdly_conv2d_k1
+from gridnext_tpu.compat.hexagdly_ref import (hexagdly_conv2d_k1,
+                                              hexagdly_conv2d_k2)
 from gridnext_tpu.compat.torch_convert import (
-    count_mlp_from_torch, gridnethex_from_torch, hex_kernel_from_hexagdly)
+    count_mlp_from_torch, gridnethex_from_torch, hex_kernel_from_hexagdly,
+    hex_kernel_from_hexagdly_k2)
 from gridnext_tpu.ops.hexconv import hex_conv
 
 
@@ -57,6 +59,33 @@ def test_hexconv_matches_hexagdly_through_rotflip(h, w):
     kern = hex_kernel_from_hexagdly(k0, k1)
     y = hex_conv(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
                  jnp.asarray(kern), jnp.asarray(bias))
+    np.testing.assert_allclose(
+        np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w", [(9, 7), (12, 10)])
+def test_hexconv_radius2_matches_hexagdly_through_rotflip(h, w):
+    """hex_taps(radius=2) against the INDEPENDENT size-2 oracle.
+
+    The in-package radius-2 tests brute-force from the same hex_taps table
+    (self-consistency only); this pins the 19-tap stencil to hexagdly
+    kernel_size=2 geometry derived first-principles from cube-coordinate
+    distances, through the reference's literal rot90/flip pair."""
+    rng = np.random.default_rng(7)
+    b, ci, co = 2, 3, 4
+    x = rng.normal(size=(b, ci, h, w)).astype(np.float32)  # odd-right NCHW
+    k0 = rng.normal(size=(co, ci, 5, 1)).astype(np.float32)
+    k1 = rng.normal(size=(co, ci, 4, 2)).astype(np.float32)
+    k2 = rng.normal(size=(co, ci, 3, 2)).astype(np.float32)
+    bias = rng.normal(size=(co,)).astype(np.float32)
+
+    xq = _to_oddq(torch.from_numpy(x)).numpy()
+    yq = hexagdly_conv2d_k2(xq, k0, k1, k2, bias)
+    y_ref = _from_oddq(torch.from_numpy(yq)).numpy()
+
+    kern = hex_kernel_from_hexagdly_k2(k0, k1, k2)
+    y = hex_conv(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                 jnp.asarray(kern), jnp.asarray(bias), radius=2)
     np.testing.assert_allclose(
         np.asarray(y), np.transpose(y_ref, (0, 2, 3, 1)), rtol=1e-5, atol=1e-5)
 
