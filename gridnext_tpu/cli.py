@@ -7,7 +7,8 @@ this thin layer scripts the common flows end to end:
   prepare      generate unified count files (+ optional patch caches)
   train-count  train CountMLP f (spotwise) then GridNetHex g on count grids
   train-image  train DenseNet-121 f then GridNetHex g on patch caches
-  train-mm     train multimodal GridNetHexMM (count-f + image-f, concat)
+  train-mm     train multimodal GridNetHexMM (count-f + image-f, concat;
+               --count-f scbert swaps in a gene2vec-space scBERT count-f)
   register     load a trained checkpoint and write Loupe CSVs per array
 
 Example:
@@ -397,6 +398,52 @@ def _cmd_train_image(args):
               corrector="square" if square else "hex")
 
 
+def _scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
+    """gene2vec-space count preprocessing for a scBERT count-f.
+
+    Unified caches index genes by feature ID (ENSEMBL); gene2vec uses
+    symbols, so map IDs -> symbols via the first array's features.tsv.gz
+    (read_feature_names), falling back to the raw IDs for symbol-indexed
+    caches. Returns (transform, n_tokens): transform reindexes any
+    (..., n_cohort_genes) count array into the (..., vocab) scBERT input
+    space (depth-normalize + log2(1+x), llm/scbert.py:16-75 semantics).
+    """
+    import numpy as np
+
+    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io.spaceranger import read_feature_names
+    from gridnext_tpu.io.unify import check_unified_gene_axis
+    from gridnext_tpu.models.scbert import (load_gene2vec_names,
+                                            preprocess_scbert)
+
+    suffix = unified_count_suffix(hd_binning)
+    caches = [os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+              for srd in spaceranger_dirs]
+    genes = check_unified_gene_axis(caches)
+    try:
+        names = read_feature_names(spaceranger_dirs[0], hd_binning=hd_binning)
+        sym_lut = names["gene_symbol"].to_dict()
+        symbols = [str(sym_lut.get(g, g)) for g in genes]
+    except Exception:
+        symbols = [str(g) for g in genes]
+    target = load_gene2vec_names()[:vocab]
+    overlap = len(set(symbols) & set(target))
+    if overlap == 0:
+        sys.exit("error: no cohort gene symbols found in the gene2vec "
+                 "vocabulary -- scBERT inputs would be all zeros (check "
+                 "features.tsv.gz symbols / --scbert-vocab)")
+    print(f"scBERT input space: {len(target)} gene2vec tokens, "
+          f"{overlap}/{len(symbols)} cohort genes mapped")
+
+    def transform(x):
+        x = np.asarray(x, np.float32)
+        flat = x.reshape(-1, x.shape[-1])
+        out, _ = preprocess_scbert(flat, symbols, target_genes=target)
+        return out.reshape(x.shape[:-1] + (len(target),))
+
+    return transform, len(target)
+
+
 def _cmd_train_mm(args):
     """Multimodal: per-modality f spotwise, then the MM g gridwise."""
     import jax
@@ -455,13 +502,28 @@ def _cmd_train_mm(args):
             outfile=f_out, resume=_resume_path(args, f_out))
         return state
 
-    f_count = CountMLP(n_classes=n_classes)
+    if args.count_f == "scbert":
+        # transformer count-f: the multimodal_model_test.py stack. Counts
+        # reindex into the gene2vec space; the scBERT forward bins them.
+        from gridnext_tpu.models import scBERT
+
+        count_transform, vocab = _scbert_count_transform(
+            args.spaceranger, hd_binning, args.scbert_vocab)
+        f_count = scBERT(n_genes=vocab, dim=args.scbert_dim,
+                         depth=args.scbert_depth, heads=args.scbert_heads,
+                         n_classes=n_classes, generalized_attention=True)
+        # transformer activations dwarf the image-f's per spot; chunk small
+        count_chunk = 8 if args.count_chunk is None else args.count_chunk
+    else:
+        count_transform, vocab = np.log1p, None
+        f_count = CountMLP(n_classes=n_classes)
+        count_chunk = args.count_chunk
     # Counts always materialize: streaming count spots does globally-shuffled
     # per-spot reads through a 4-entry frame LRU, so cohorts >4 arrays would
     # re-parse a full gzip TSV per spot per epoch (see the cohort-cache note
     # in data/datasets.py). Count cohorts are small in RAM; only image spots
     # and MM grids benefit from streaming.
-    f_count_state = spot_train(f_count, count_spots, np.log1p,
+    f_count_state = spot_train(f_count, count_spots, count_transform,
                                stream_spots=False, name="f_count_state")
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.f == "tpu":
@@ -473,9 +535,10 @@ def _cmd_train_mm(args):
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
     mm_cls = GridNetMM if square else GridNetHexMM
     g = mm_cls(image_classifier=f_image, count_classifier=f_count,
-               n_classes=n_classes, patch_chunk=args.patch_chunk)
-    # log1p the count modality only; image grids pass through
-    mm_transform = lambda x: (x[0], np.log1p(x[1]))  # noqa: E731
+               n_classes=n_classes, patch_chunk=args.patch_chunk,
+               count_chunk=count_chunk)
+    # transform the count modality only; image grids pass through
+    mm_transform = lambda x: (x[0], count_transform(x[1]))  # noqa: E731
     dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False,
                      **split_kw)
     tx = make_gridwise_optimizer(args.g_lr,
@@ -505,7 +568,13 @@ def _cmd_train_mm(args):
         json.dump({"classes": classes, "patch_px": args.patch_px,
                    "window_px": args.window_px,
                    "patch_chunk": args.patch_chunk,
-                   "n_genes": len(genes), "genes": genes, "log1p": True,
+                   "count_chunk": count_chunk,
+                   "n_genes": len(genes), "genes": genes,
+                   "log1p": args.count_f != "scbert",
+                   "count_f": args.count_f,
+                   "scbert_vocab": vocab, "scbert_dim": args.scbert_dim,
+                   "scbert_depth": args.scbert_depth,
+                   "scbert_heads": args.scbert_heads,
                    "hd_binning": hd_binning,
                    "grid_dims": ([mm_grids.image_dataset.h_st,
                                   mm_grids.image_dataset.w_st] if square
@@ -549,6 +618,8 @@ def _cmd_register(args):
     variables = {"params": payload["params"]}
     if payload.get("batch_stats") is not None:
         variables["batch_stats"] = payload["batch_stats"]
+    # extra collections (e.g. a scBERT count-f's FAVOR+ 'favor' projections)
+    variables.update(payload.get("extra_vars") or {})
 
     model_name = meta.get("model", "")
     if model_name in ("GridNetHexMM", "GridNetMM"):
@@ -563,7 +634,21 @@ def _cmd_register(args):
         for srd in args.spaceranger:
             _validated_count_cache(srd, meta)
 
-        f_count = CountMLP(n_classes=len(classes))
+        if meta.get("count_f") == "scbert":
+            from gridnext_tpu.models import scBERT
+
+            count_transform, _ = _scbert_count_transform(
+                args.spaceranger, meta.get("hd_binning"),
+                meta["scbert_vocab"])
+            f_count = scBERT(n_genes=meta["scbert_vocab"],
+                             dim=meta["scbert_dim"],
+                             depth=meta["scbert_depth"],
+                             heads=meta["scbert_heads"],
+                             n_classes=len(classes),
+                             generalized_attention=True)
+        else:
+            count_transform = np.log1p if meta.get("log1p") else None
+            f_count = CountMLP(n_classes=len(classes))
         if meta.get("image_f") == "tpu":
             f_image = TpuPatchClassifier(n_classes=len(classes))
         else:
@@ -573,7 +658,8 @@ def _cmd_register(args):
         mm_cls = GridNetMM if model_name == "GridNetMM" else GridNetHexMM
         g = mm_cls(image_classifier=f_image, count_classifier=f_count,
                    n_classes=len(classes),
-                   patch_chunk=meta.get("patch_chunk", 624))
+                   patch_chunk=meta.get("patch_chunk", 624),
+                   count_chunk=meta.get("count_chunk"))
         mm = create_visium_dataset(args.spaceranger, spatial=True,
                                    use_count=True, use_image=True,
                                    fullres_image_files=args.images,
@@ -585,11 +671,12 @@ def _cmd_register(args):
                                    minimum_detection_rate=None)
         for i, srd in enumerate(args.spaceranger):
             (xi, xc), _ = mm[i]
-            if meta.get("log1p"):
-                xc = np.log1p(xc)
+            fg = xc.sum(-1) > 0  # tissue mask from RAW counts, pre-transform
+            if count_transform is not None:
+                xc = count_transform(xc)
             logits = g.apply(variables, (xi[None], xc[None]), train=False)
             labels = np.asarray(jax.numpy.argmax(logits[0], -1)) + 1
-            label_grid = np.where(xc.sum(-1) > 0, labels, 0)
+            label_grid = np.where(fg, labels, 0)
             _write_loupe(label_grid, srd, args, classes,
                          hd_binning=meta.get("hd_binning"),
                          hex_coords=grid_dims is None)
@@ -781,6 +868,22 @@ def main(argv=None):
                        help="train multimodal GridNetHexMM (count + image)")
     _add_image_train_args(s)
     s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--count-f", choices=("mlp", "scbert"), default="mlp",
+                   help="count classifier: 'mlp' (CountMLP, tutorial parity) "
+                        "or 'scbert' (the multimodal_model_test.py stack: "
+                        "counts reindexed into the gene2vec space, Performer "
+                        "over the token sequence; trains from random init -- "
+                        "convert a pretrained torch checkpoint via "
+                        "compat.scbert_convert to start from weights)")
+    s.add_argument("--scbert-vocab", type=int, default=16906,
+                   help="gene2vec tokens to use (full vocabulary = 16,906; "
+                        "truncate for small runs)")
+    s.add_argument("--scbert-dim", type=int, default=200)
+    s.add_argument("--scbert-depth", type=int, default=6)
+    s.add_argument("--scbert-heads", type=int, default=10)
+    s.add_argument("--count-chunk", type=int, default=None,
+                   help="spots per count-f chunk in g (default: patch-chunk "
+                        "for mlp, 8 for scbert)")
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")

@@ -81,6 +81,56 @@ def test_cli_train_mm_register_end_to_end(tmp_path):
     assert len(df) > 1000
 
 
+@pytest.mark.slow
+def test_cli_train_mm_scbert_count_f(tmp_path):
+    """CLI --count-f scbert: counts reindex into the gene2vec space (IDs ->
+    symbols via features.tsv.gz), a small scBERT trains as the count-f, the
+    MM g uses count_chunk, and register rebuilds the same transform+model
+    from checkpoint metadata."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.models.scbert import load_gene2vec_names
+
+    g2v = load_gene2vec_names()
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=15,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=20,
+                                     gene_names=g2v[:15]) for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-mm", "--spaceranger"] + dirs +
+                    ["--annots"] + annots + ["--images"] + imgs +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1",
+                     "--patch-px", "32", "--patch-chunk", "1664",
+                     "--min-detection", "0", "--batch-size", "64",
+                     "--f", "tpu", "--count-f", "scbert",
+                     "--scbert-vocab", "64", "--scbert-dim", "16",
+                     "--scbert-depth", "1", "--scbert-heads", "2",
+                     "--count-chunk", "416"])
+        cli.main()
+        meta = json.load(open(tmp_path / "model" / "model.json"))
+        assert meta["count_f"] == "scbert" and meta["scbert_vocab"] == 64
+        assert meta["log1p"] is False and meta["count_chunk"] == 416
+        sys.argv = ["x", "register", "--spaceranger", dirs[0],
+                    "--images", imgs[0], "--model", str(tmp_path / "model"),
+                    "--out", str(tmp_path / "loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert len(df) > 1000
+    assert set(df["AARs"].unique()) <= {"Layer1", "Layer2", "Layer3"}
+
+
 def test_visium_hd_example_floor():
     """Square-lattice HD workflow: bins classified well above 4-class chance
     and direct-coordinate Loupe export round-trips to real-HD barcodes."""
