@@ -444,6 +444,56 @@ def _scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
     return transform, len(target)
 
 
+def _load_scbert_ckpt(path, depth: int):
+    """scBERT starting weights: a torch .pth/.pt checkpoint (converted on the
+    fly via compat.scbert_convert) or a flax-msgpack file (either a raw
+    variables dict or a TrainState checkpoint written by this CLI)."""
+    if str(path).endswith((".pth", ".pt")):
+        import torch
+
+        from gridnext_tpu.compat.scbert_convert import scbert_from_torch
+
+        sd = torch.load(path, map_location="cpu")
+        if isinstance(sd, dict) and "model_state_dict" in sd:
+            sd = sd["model_state_dict"]
+        variables, _ = scbert_from_torch(sd, depth=depth)
+        return variables
+    from gridnext_tpu.train import load_checkpoint
+
+    payload = load_checkpoint(path)
+    variables = {"params": payload["params"]}
+    for k, v in (payload.get("extra_vars") or {}).items():
+        variables[k] = v
+    for k in ("favor",):  # raw variables-dict form
+        if k in payload:
+            variables[k] = payload[k]
+    return variables
+
+
+def _merge_matching_params(dst, src, skipped, path=""):
+    """Recursively take ``src`` leaves whose shapes match ``dst``; keep the
+    fresh init (and record the path) otherwise -- so a pretrained checkpoint
+    with a different classifier head or a truncated --scbert-vocab loads the
+    compatible weights and re-initializes the rest, the reference's
+    fine-tune protocol (llm/scbert.py:110-122 swaps the head)."""
+    import numpy as np
+
+    if isinstance(dst, dict):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(src, dict) and k in src:
+                out[k] = _merge_matching_params(v, src[k], skipped,
+                                                f"{path}/{k}")
+            else:
+                skipped.append(f"{path}/{k} (missing)")
+                out[k] = v
+        return out
+    if np.shape(dst) == np.shape(src):
+        return np.asarray(src)
+    skipped.append(f"{path} (shape {np.shape(src)} != {np.shape(dst)})")
+    return dst
+
+
 def _cmd_train_mm(args):
     """Multimodal: per-modality f spotwise, then the MM g gridwise."""
     import jax
@@ -493,12 +543,13 @@ def _cmd_train_mm(args):
                     val_arrays=getattr(args, 'val_arrays', None))
 
     def spot_train(f, spots, transform=None, stream_spots=stream,
-                   name="f_state"):
+                   name="f_state", state=None, tx=None):
         f_out = os.path.join(args.out, f"{name}.msgpack")
         state, *_ = train_spotwise(
             f, _split_dls(spots, 5, stream_spots, transform, **split_kw),
             learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
+            state=state, tx=tx,
             outfile=f_out, resume=_resume_path(args, f_out))
         return state
 
@@ -514,17 +565,58 @@ def _cmd_train_mm(args):
                          n_classes=n_classes, generalized_attention=True)
         # transformer activations dwarf the image-f's per spot; chunk small
         count_chunk = 8 if args.count_chunk is None else args.count_chunk
+        if args.scbert_ckpt or args.scbert_finetune:
+            # pretrained start + the reference's fine-tune freeze policy
+            # (final norm + last-but-one layer + head, llm/scbert.py:124-132)
+            import optax
+
+            from gridnext_tpu.models.scbert import finetune_param_labels
+
+            tx_f = optax.adam(args.f_lr)
+            if args.scbert_finetune:
+                tx_f = optax.multi_transform(
+                    {"train": optax.adam(args.f_lr),
+                     "frozen": optax.set_to_zero()},
+                    lambda params: finetune_param_labels(
+                        params, args.scbert_depth))
+            f_count_state0 = create_train_state(
+                f_count, jax.random.key(0),
+                jnp.zeros((1, vocab), jnp.float32), tx_f)
+            if args.scbert_ckpt:
+                loaded = _load_scbert_ckpt(args.scbert_ckpt,
+                                           args.scbert_depth)
+                skipped = []
+                params = _merge_matching_params(
+                    f_count_state0.params, loaded.get("params", {}), skipped)
+                extra = dict(f_count_state0.extra_vars or {})
+                for k, v in loaded.items():
+                    if k in ("params", "batch_stats"):
+                        continue
+                    extra[k] = (_merge_matching_params(extra[k], v, skipped,
+                                                       path=f"[{k}]")
+                                if k in extra else v)
+                f_count_state0 = f_count_state0.replace(params=params,
+                                                        extra_vars=extra)
+                print("scBERT checkpoint: "
+                      + ("all parameters loaded" if not skipped else
+                         f"{len(skipped)} entries re-initialized "
+                         f"(head swap / vocab mismatch): {skipped[:3]}"))
+            f_count_kw = dict(state=f_count_state0, tx=tx_f)
+        else:
+            f_count_kw = {}
     else:
         count_transform, vocab = np.log1p, None
         f_count = CountMLP(n_classes=n_classes)
         count_chunk = args.count_chunk
+        f_count_kw = {}
     # Counts always materialize: streaming count spots does globally-shuffled
     # per-spot reads through a 4-entry frame LRU, so cohorts >4 arrays would
     # re-parse a full gzip TSV per spot per epoch (see the cohort-cache note
     # in data/datasets.py). Count cohorts are small in RAM; only image spots
     # and MM grids benefit from streaming.
     f_count_state = spot_train(f_count, count_spots, count_transform,
-                               stream_spots=False, name="f_count_state")
+                               stream_spots=False, name="f_count_state",
+                               **f_count_kw)
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.f == "tpu":
         f_image = TpuPatchClassifier(n_classes=n_classes, dtype=dtype)
@@ -881,6 +973,15 @@ def main(argv=None):
     s.add_argument("--scbert-dim", type=int, default=200)
     s.add_argument("--scbert-depth", type=int, default=6)
     s.add_argument("--scbert-heads", type=int, default=10)
+    s.add_argument("--scbert-ckpt", default=None,
+                   help="start the scBERT count-f from a pretrained "
+                        "checkpoint: a torch .pth (converted on the fly) or "
+                        "a flax msgpack; mismatched entries (classifier "
+                        "head, truncated vocab) re-initialize")
+    s.add_argument("--scbert-finetune", action="store_true",
+                   help="freeze all but the final norm, last-but-one "
+                        "performer layer, and head (the reference's "
+                        "fine-tune policy, llm/scbert.py:124-132)")
     s.add_argument("--count-chunk", type=int, default=None,
                    help="spots per count-f chunk in g (default: patch-chunk "
                         "for mlp, 8 for scbert)")

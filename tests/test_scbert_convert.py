@@ -125,3 +125,28 @@ def test_glu_feedforward_parity():
         want = tff(torch.from_numpy(x)).numpy()
     got = np.asarray(m.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_load_scbert_ckpt_torch_pth(tmp_path):
+    """CLI --scbert-ckpt accepts a torch .pth and converts on the fly,
+    including the wrapped {'model_state_dict': ...} layout."""
+    from gridnext.llm.scbert import scBERT as TorchScBERT
+
+    from gridnext_tpu.cli import _load_scbert_ckpt
+
+    torch.manual_seed(2)
+    tm = TorchScBERT(n_genes=16906, bin_num=5, dim=200, depth=2, heads=2,
+                     g2v_pos_embed=False, n_classes=3)
+    for layout in (tm.state_dict(), {"model_state_dict": tm.state_dict()}):
+        p = tmp_path / "ck.pth"
+        torch.save(layout, p)
+        variables = _load_scbert_ckpt(str(p), depth=2)
+        assert "params" in variables
+        assert "performer_lm" in variables["params"]
+        assert "to_out" in variables["params"]  # head hoisted to root scope
+        want, _ = scbert_from_torch(tm.state_dict(), depth=2)
+        a = jax.tree_util.tree_leaves(variables["params"])
+        b = jax.tree_util.tree_leaves(want["params"])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

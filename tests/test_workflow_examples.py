@@ -105,6 +105,26 @@ def test_cli_train_mm_scbert_count_f(tmp_path):
     annots = [s["annot_file"] for s in sims]
     imgs = [s["image_file"] for s in sims]
 
+    # fabricate a 'pretrained' scBERT checkpoint: fresh init (depth=1,
+    # vocab=64) saved as a TrainState msgpack. --scbert-ckpt must load it,
+    # and --scbert-finetune must freeze everything but norm/last-layer/head.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gridnext_tpu.models import scBERT
+    from gridnext_tpu.train import create_train_state, load_checkpoint
+    from gridnext_tpu.train.loops import save_checkpoint
+
+    f_pre = scBERT(n_genes=64, dim=16, depth=1, heads=2, n_classes=3,
+                   generalized_attention=True)
+    pre_state = create_train_state(f_pre, jax.random.key(9),
+                                   jnp.zeros((1, 64), jnp.float32),
+                                   optax.adam(1e-3))
+    ckpt_path = tmp_path / "scbert_pre.msgpack"
+    save_checkpoint(ckpt_path, pre_state, include_opt_state=False)
+
     argv_bak = sys.argv
     try:
         sys.argv = (["x", "train-mm", "--spaceranger"] + dirs +
@@ -115,11 +135,27 @@ def test_cli_train_mm_scbert_count_f(tmp_path):
                      "--f", "tpu", "--count-f", "scbert",
                      "--scbert-vocab", "64", "--scbert-dim", "16",
                      "--scbert-depth", "1", "--scbert-heads", "2",
-                     "--count-chunk", "416"])
+                     "--count-chunk", "416",
+                     "--scbert-ckpt", str(ckpt_path), "--scbert-finetune"])
         cli.main()
         meta = json.load(open(tmp_path / "model" / "model.json"))
         assert meta["count_f"] == "scbert" and meta["scbert_vocab"] == 64
         assert meta["log1p"] is False and meta["count_chunk"] == 416
+        # freeze policy: token embedding stayed at the pretrained values,
+        # the classifier head trained away from them
+        trained = load_checkpoint(tmp_path / "model" / "f_count_state.msgpack")
+        emb = "token_emb"  # frozen under the depth-1 policy
+        lm_t = trained["params"]["performer_lm"]
+        lm_p = jax.device_get(pre_state.params)["performer_lm"]
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(lm_t[emb])[0]),
+            np.asarray(jax.tree_util.tree_leaves(lm_p[emb])[0]))
+        head_t = np.concatenate([np.ravel(a) for a in
+                                 jax.tree_util.tree_leaves(trained["params"]["to_out"])])
+        head_p = np.concatenate([np.ravel(a) for a in
+                                 jax.tree_util.tree_leaves(
+                                     jax.device_get(pre_state.params)["to_out"])])
+        assert not np.allclose(head_t, head_p)
         sys.argv = ["x", "register", "--spaceranger", dirs[0],
                     "--images", imgs[0], "--model", str(tmp_path / "model"),
                     "--out", str(tmp_path / "loupe.csv")]
