@@ -778,10 +778,7 @@ def _cmd_register(args):
         # image model: register straight from the fullres slides via the
         # jitted serving path (patch gather + f + fused Pallas corrector)
         _require_one_image_per_dir(args.images, args.spaceranger)
-        from PIL import Image
-
-        from gridnext_tpu.io import read_positions
-        from gridnext_tpu.serving import SlideRegistrar
+        from gridnext_tpu.serving import SlideRegistrar, register_slides
 
         if model_name.endswith("TpuPatchClassifier"):
             from gridnext_tpu.models import TpuPatchClassifier
@@ -809,14 +806,13 @@ def _cmd_register(args):
                 g, variables, patch_size=meta.get("patch_px", 128),
                 window_size=meta.get("window_px"),
                 normalize=None)
-        Image.MAX_IMAGE_PIXELS = None
-        for srd, im in zip(args.spaceranger, args.images):
-            # RGBA/grayscale slides -> 3 channels (the prepare path slices
-            # patches[..., :3]; the serving gather has no such guard)
-            wsi = jax.device_put(np.asarray(Image.open(im).convert("RGB")))
-            pos = read_positions(srd, hd_binning=meta.get("hd_binning"))
-            label_grid = registrar(wsi, pos)
-            _write_loupe(label_grid, srd, args, classes,
+        # production serving loop: threaded decode + async staging overlap
+        # the device dispatches; same-shape slides batch per dispatch
+        for i, label_grid, _pos in register_slides(
+                registrar, args.images, args.spaceranger,
+                hd_binning=meta.get("hd_binning"),
+                slide_batch=args.slide_batch):
+            _write_loupe(label_grid, args.spaceranger[i], args, classes,
                          hd_binning=meta.get("hd_binning"),
                          hex_coords=grid_dims is None)
         return
@@ -998,6 +994,10 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--images", nargs="*", default=None,
                    help="fullres slide images (required for image models)")
+    s.add_argument("--slide-batch", type=int, default=4,
+                   help="image models: same-shape slides registered per "
+                        "device dispatch, with decode/stage/register "
+                        "overlapped (serving.register_slides)")
     s.set_defaults(fn=_cmd_register)
 
     args = ap.parse_args(argv)

@@ -306,3 +306,66 @@ class SlideRegistrar:
         labels = self._jitted_batch(wsis, jnp.asarray(oy), jnp.asarray(ox),
                                     jnp.asarray(y_px), jnp.asarray(x_px))
         return np.asarray(labels)
+
+
+def register_slides(registrar: SlideRegistrar, image_files: Sequence,
+                    spaceranger_dirs: Sequence, *, hd_binning=None,
+                    slide_batch: int = 4, prefetch: Optional[int] = None,
+                    source=None):
+    """Sustained multi-slide registration: decode, stage, and register
+    fully overlapped -- the production serving loop.
+
+    Drives an :class:`~gridnext_tpu.ingest.SlideSource` (background-thread
+    JPEG decode + asynchronous ``device_put`` staging) into the registrar,
+    grouping same-shape slides into :meth:`SlideRegistrar.register_batch`
+    dispatches of up to ``slide_batch`` slides, so the TPU registers batch
+    N while the host decodes and stages batch N+1. The reference's
+    equivalent loop (imgprocess.py:185-238 feeding utils.py:20-57) is fully
+    serial: decode -> per-spot crop -> forward, one slide at a time.
+
+    Yields ``(index, label_grid, positions)`` per slide as each dispatch
+    completes. Shape-grouping may reorder slides across groups -- use
+    ``index`` (position in ``image_files``) to identify results. Per-stage
+    seconds land in ``source.timer`` (decode / stage / register).
+
+    Args:
+      registrar: a jitted :class:`SlideRegistrar`.
+      image_files: fullres slide images, one per array.
+      spaceranger_dirs: matching Spaceranger dirs (positions per slide).
+      hd_binning: Visium HD binned-output name for position lookup.
+      slide_batch: max slides per device dispatch. Leftover groups dispatch
+        at their actual size (size-1 groups reuse the single-slide program).
+      prefetch: SlideSource queue depth (default ``slide_batch + 1`` so the
+        next full batch decodes behind the current dispatch).
+      source: pass a pre-built SlideSource instead (image_files /
+        spaceranger_dirs / hd_binning / prefetch are then ignored).
+    """
+    if source is None:
+        from gridnext_tpu.ingest import SlideSource
+
+        source = SlideSource(image_files, spaceranger_dirs,
+                             hd_binning=hd_binning,
+                             prefetch=prefetch or slide_batch + 1)
+    timer = source.timer
+
+    def flush(group):
+        if len(group) == 1:
+            i, wsi, pos = group[0]
+            with timer("register"):
+                labels = registrar(wsi, pos)
+            return [(i, labels, pos)]
+        idxs, wsis, poss = zip(*group)
+        with timer("register"):
+            labels = registrar.register_batch(jnp.stack(wsis), list(poss))
+        return [(i, labels[k], p) for k, (i, p) in enumerate(zip(idxs, poss))]
+
+    groups: dict = {}
+    for i, wsi, pos in source:
+        group = groups.setdefault(tuple(wsi.shape), [])
+        group.append((i, wsi, pos))
+        if len(group) >= slide_batch:
+            yield from flush(group)
+            group.clear()
+    for group in groups.values():
+        if group:
+            yield from flush(group)

@@ -1,3 +1,4 @@
+from gridnext_tpu.train.async_ckpt import AsyncCheckpointWriter  # noqa: F401
 from gridnext_tpu.train.loops import (  # noqa: F401
     TrainState,
     create_train_state,

@@ -420,6 +420,15 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         place, _ = _mesh_placement(mesh, loss_kind, batch_size)
         state = replicate(state, mesh)
 
+    # Checkpoint writes happen off-thread (device arrays are immutable, so
+    # the background device_get + msgpack write observe the enqueued state
+    # exactly) -- the loop never stalls on checkpoint I/O; see async_ckpt.
+    ckpt_writer = None
+    if outfile is not None:
+        from gridnext_tpu.train.async_ckpt import AsyncCheckpointWriter
+
+        ckpt_writer = AsyncCheckpointWriter()
+
     best_loss = np.inf
     best_params = jax.device_get(state.params)
     best_bs = jax.device_get(state.batch_stats)
@@ -514,18 +523,18 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                     best_params = jax.device_get(state.params)
                     best_bs = jax.device_get(state.batch_stats)
                     best_extra = jax.device_get(state.extra_vars)
-                    if outfile is not None:
-                        save_checkpoint(outfile, state)
+                    if ckpt_writer is not None:
+                        ckpt_writer.save(outfile, state)
             else:
                 train_history.append(epoch_loss)
-        if outfile is not None:
+        if ckpt_writer is not None:
             # resume point: LATEST state at each epoch end (the best-val file
             # above is a serving artifact, not a continuation point)
-            save_checkpoint(str(outfile) + ".latest", state,
-                            extra_meta={"epochs_done": epoch + 1,
-                                        "best_val_loss":
-                                            float(best_loss)
-                                            if np.isfinite(best_loss) else None})
+            ckpt_writer.save(str(outfile) + ".latest", state,
+                             extra_meta={"epochs_done": epoch + 1,
+                                         "best_val_loss":
+                                             float(best_loss)
+                                             if np.isfinite(best_loss) else None})
 
     if verbose:
         dt = time.time() - since
@@ -540,8 +549,10 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         # FAVOR projections, which redraws may have replaced since
         state = state.replace(params=best_params, batch_stats=best_bs,
                               extra_vars=best_extra)
-    elif outfile is not None:
-        save_checkpoint(outfile, state)
+    elif ckpt_writer is not None:
+        ckpt_writer.save(outfile, state)
+    if ckpt_writer is not None:
+        ckpt_writer.close()   # all checkpoints durably on disk before return
     return state, val_history, train_history
 
 

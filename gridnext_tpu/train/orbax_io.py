@@ -23,20 +23,37 @@ def _require_orbax():
                           "'orbax-checkpoint' package") from e
 
 
-def save_checkpoint_orbax(path, state: TrainState):
-    """Write a TrainState to ``path`` (a directory) via orbax."""
+def save_checkpoint_orbax(path, state: TrainState, *, block: bool = True):
+    """Write a TrainState to ``path`` (a directory) via orbax.
+
+    ``block=False`` uses orbax's asynchronous machinery (StandardCheckpointer
+    is an AsyncCheckpointer): device arrays are passed through un-fetched so
+    the device->host transfer and disk write happen in the background while
+    training continues -- the right default for mesh runs, where stalling
+    every chip on a serial host write wastes the whole slice. Returns the
+    checkpointer; the caller must call ``wait_until_finished()`` (and
+    ``close()``) before relying on the files. With ``block=True`` (default)
+    everything is on disk when this returns and None is returned.
+    """
     import os
 
     ocp = _require_orbax()
     payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "extra_vars": jax.device_get(state.extra_vars),
-        "opt_state": jax.device_get(state.opt_state),
+        # device arrays pass through as-is: orbax fetches them itself,
+        # off-thread when async
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "extra_vars": state.extra_vars,
+        "opt_state": state.opt_state,
         "step": jax.device_get(state.step),
     }
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(str(path)), payload, force=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(str(path)), payload, force=True)
+    if block:
+        ckptr.wait_until_finished()
+        ckptr.close()
+        return None
+    return ckptr
 
 
 def restore_checkpoint_orbax(path, state_template: TrainState) -> TrainState:

@@ -213,6 +213,57 @@ def test_register_batch_matches_single(sim, tmp_path_factory):
         np.testing.assert_array_equal(batched[i], singles[i])
 
 
+def test_register_slides_overlapped(sim, tmp_path_factory):
+    """The combined ingest->serve pipeline (threaded decode + staged
+    device_put + shape-grouped batch dispatches) reproduces per-slide
+    registration exactly, for every slide, in any group order."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.ingest import SlideSource
+    from gridnext_tpu.serving import register_slides
+
+    root = tmp_path_factory.mktemp("serving_pipeline")
+    sim2 = simulate_spaceranger_dir(root / "arrB", seed=5, n_genes=10,
+                                    n_classes=3, image=True,
+                                    spot_spacing_px=16, tissue_fraction=0.4)
+    sims = [sim, sim2, sim]   # a repeated slide guarantees one shape group
+    files = [s["image_file"] for s in sims]
+    dirs = [s["spaceranger_dir"] for s in sims]
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(variables, gr, train=False,
+                                           method=lambda m, x, train: m.corrector(x, train=train)))
+
+    want = []
+    for s in sims:
+        wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+        want.append(registrar(wsi, read_positions(s["spaceranger_dir"])))
+
+    src = SlideSource(files, dirs, prefetch=2)
+    got = {}
+    for i, labels, pos in register_slides(registrar, files, dirs,
+                                          slide_batch=2, source=src):
+        assert pos is not None
+        got[i] = labels
+    assert set(got) == {0, 1, 2}
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], want[i])
+    # every stage of the pipeline was exercised and timed
+    t = src.timer.summary()
+    assert t.get("decode", 0) > 0 and t.get("register", 0) > 0
+
+
 def test_square_hd_registrar_from_gridnet(tmp_path_factory):
     """from_gridnet on a Cartesian (square-HD) GridNet: direct-coordinate
     spot indexing + conv corrector, matching the per-array grid forward."""

@@ -178,6 +178,61 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_async_checkpoint(tmp_path):
+    """block=False returns a live checkpointer; after wait_until_finished
+    the restore matches, including un-fetched device arrays."""
+    pytest.importorskip("orbax.checkpoint")
+    from gridnext_tpu.train.orbax_io import (restore_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+
+    X, Y = _grid_data()
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3)
+    state = create_train_state(g, jax.random.key(0), X[:1], tx)
+
+    ckptr = save_checkpoint_orbax(tmp_path / "ckpt", state, block=False)
+    assert ckptr is not None
+    ckptr.wait_until_finished()
+    ckptr.close()
+    template = create_train_state(g, jax.random.key(9), X[:1], tx)
+    restored = restore_checkpoint_orbax(tmp_path / "ckpt", template)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """Coalesced background writes: the last enqueued state per path lands
+    on disk; wait() surfaces background failures."""
+    from gridnext_tpu.train.async_ckpt import AsyncCheckpointWriter
+    from gridnext_tpu.train.loops import load_checkpoint
+
+    X, _ = _grid_data()
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3)
+    states = [create_train_state(g, jax.random.key(k), X[:1], tx)
+              for k in range(3)]
+    states = [s.replace(step=jnp.asarray(i)) for i, s in enumerate(states)]
+
+    writer = AsyncCheckpointWriter()
+    for s in states:               # rapid-fire: later enqueues may coalesce
+        writer.save(tmp_path / "ck.msgpack", s)
+    writer.wait()
+    payload = load_checkpoint(tmp_path / "ck.msgpack")
+    assert payload["step"] == 2    # the LAST state is what's on disk
+    want = jax.device_get(states[2].params)
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(payload["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    writer.save(tmp_path / "no_such_dir" / "x.msgpack", states[0])
+    with pytest.raises(OSError):
+        writer.wait()
+    writer.close()
+
+
 def test_streaming_dataset_matches_materialized(tmp_path):
     """Subset-streamed training == materialized-array training, bit for bit.
 
