@@ -1,10 +1,10 @@
 """Headline benchmark: full-slide Visium registration throughput (spots/sec).
 
 North-star workload (BASELINE.json): register a full slide end-to-end ON
-DEVICE -- gather all 4,992 spot patches from the fullres image (XLA gather,
-gridnext_tpu.pipeline.extract_patches_device), run the DenseNet-121 spot
-classifier f over every patch (bf16), then the hexagonal correction network
-g (fused Pallas kernel), argmax label map out.
+DEVICE -- gather all 4,992 spot patches from the fullres image (Pallas DMA
+gather, ops.patch_gather_pallas; XLA vmap(dynamic_slice) off-TPU), run the
+DenseNet-121 spot classifier f over every patch (bf16), then the hexagonal
+correction network g (fused Pallas kernel), argmax label map out.
 
 Baseline: the same pipeline in PyTorch on CPU, the reference's only
 execution mode (per-spot PIL crop loop + torch DenseNet-121 + conv
@@ -98,17 +98,31 @@ def bench_tpu_image(f=None, chunk: int = 624, label: str = "tpu image pipeline",
 
     fg_all = jnp.ones((slide_batch, H_ST, W_ST), jnp.int32)
 
+    # Pallas DMA gather on TPU (pack amortized per slide-batch dispatch,
+    # exactly like SlideRegistrar.register_batch); interpret-mode is too
+    # slow for full slides, so off-TPU keeps the XLA gather.
+    pallas_gather = jax.devices()[0].platform == "tpu"
+
     def register_slides(wsi, yc, xc, f_vars):
         """(B, S) spot centers -> (B, H, W) label grids off one shared WSI
         (per-slide gathers differ; f sees one (B*S)-patch batch; the fused
         Pallas corrector emits argmax'd, bg-masked labels directly)."""
         from gridnext_tpu.pipeline import extract_patches_device
 
-        def extract(yc1, xc1):
-            return extract_patches_device(wsi, yc1, xc1, PATCH, PATCH)
+        if pallas_gather:
+            from gridnext_tpu.ops.patch_gather_pallas import (gather_patches,
+                                                              pack_wsi)
 
-        patches = jax.vmap(extract)(yc, xc)
-        patches = patches.reshape((-1,) + patches.shape[2:])
+            patches = gather_patches(
+                pack_wsi(wsi), (yc - PATCH // 2).reshape(-1),
+                (xc - PATCH // 2).reshape(-1), PATCH,
+                orig_hw=(wsi.shape[0], wsi.shape[1]))
+        else:
+            def extract(yc1, xc1):
+                return extract_patches_device(wsi, yc1, xc1, PATCH, PATCH)
+
+            patches = jax.vmap(extract)(yc, xc)
+            patches = patches.reshape((-1,) + patches.shape[2:])
         patches = patches.astype(jnp.bfloat16) / 255.0
         patches = (patches - mean) / std
 

@@ -31,12 +31,27 @@ Measured on v5e (4,992 x 128 px, 0.25 GB WSI): see docs/roadmap.md.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+class PackedWSI(NamedTuple):
+    """A pre-packed slide: pay :func:`pack_wsi` once at staging time
+    (ingest.SlideSource(pack=True)) instead of inside every registration
+    dispatch (~6 ms/slide at 0.25 GB, docs/roadmap.md).
+
+    Attributes:
+      data: (Hp, Wp) -- or (B, Hp, Wp) for a batch -- int32 packed image(s).
+      orig_hw: the pre-pack (H, W); edge-crop clamping bound.
+    """
+
+    data: jnp.ndarray
+    orig_hw: tuple
 
 # Superblock margins: 1 row tile (8) and 1 lane tile (128) beyond the
 # window cover any in-tile offset. The superblock sides are themselves

@@ -181,7 +181,20 @@ def extract_patches_device(img, y_px, x_px, window: int, patch_size: int):
                                      (window, window, img.shape[-1]))
 
     crops = jax.vmap(one)(y0, x0)                     # (N, w, w, C)
-    if window == patch_size:
+    return resize_patches_device(crops, patch_size)
+
+
+def resize_patches_device(crops, patch_size: int):
+    """(N, w, w, C) crops -> (N, patch_size, patch_size, C), PIL-parity.
+
+    No-op when already patch-sized; otherwise cubic ``jax.image.resize``
+    (antialias on -- PIL's filter family) with uint8 re-quantization for
+    integer inputs. Shared by the XLA and Pallas extraction paths.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if crops.shape[1] == patch_size and crops.shape[2] == patch_size:
         return crops
     out = jax.image.resize(
         crops.astype(jnp.float32),

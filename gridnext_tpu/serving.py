@@ -85,6 +85,12 @@ class SlideRegistrar:
       corrector_apply: ``corrector_apply(grid (B,H,W,F)) -> (B,H,W,C)``
         logits closure, used when ``use_pallas_corrector=False`` (the
         Cartesian conv corrector of square-HD models).
+      extractor: 'pallas' (DMA-pipelined ops.patch_gather_pallas kernel --
+        measured 17% faster end-to-end serving on v5e, docs/roadmap.md),
+        'xla' (vmap(dynamic_slice)), or 'auto' (pallas on TPU, xla
+        elsewhere -- the kernel runs interpreted off-TPU, too slow for
+        full slides). Both paths produce identical patches (pinned in
+        tests); float WSIs fall back to xla (the pack is uint8-only).
     """
 
     def __init__(self, f_apply: Callable, corrector_kernels=None,
@@ -97,7 +103,8 @@ class SlideRegistrar:
                  w_st: int = geometry.VISIUM_W_ST,
                  hex_coords: bool = True,
                  use_pallas_corrector: bool = True,
-                 corrector_apply: Optional[Callable] = None):
+                 corrector_apply: Optional[Callable] = None,
+                 extractor: str = "auto"):
         self.f_apply = f_apply
         self.kernels = [jnp.asarray(k) for k in corrector_kernels or []]
         self.biases = [jnp.asarray(b) for b in corrector_biases or []]
@@ -113,8 +120,15 @@ class SlideRegistrar:
         if not self.use_pallas and corrector_apply is None:
             raise ValueError("need corrector_apply when not using the "
                              "Pallas hex corrector")
-        self._jitted = jax.jit(self._register)
-        self._jitted_batch = jax.jit(self._register_batch)
+        if extractor not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown extractor {extractor!r}")
+        if extractor == "auto":
+            extractor = ("pallas" if jax.devices()[0].platform == "tpu"
+                         else "xla")
+        self.extractor = extractor
+        self._jitted = jax.jit(self._register, static_argnames=("orig_hw",))
+        self._jitted_batch = jax.jit(self._register_batch,
+                                     static_argnames=("orig_hw",))
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
@@ -168,11 +182,50 @@ class SlideRegistrar:
             patches = imagenet_normalize(patches)
         return patches
 
-    def _extract(self, wsi, y_px, x_px):
-        from gridnext_tpu.pipeline import extract_patches_device
+    def _use_pallas_extract(self, wsi):
+        return self.extractor == "pallas" and wsi.dtype == jnp.uint8
 
+    def _extract(self, wsi, y_px, x_px, orig_hw=None):
+        """``orig_hw`` set means ``wsi`` is pre-packed (PackedWSI.data)."""
+        from gridnext_tpu.pipeline import (extract_patches_device,
+                                           resize_patches_device)
+
+        w = self.window_size
+        if orig_hw is not None or self._use_pallas_extract(wsi):
+            from gridnext_tpu.ops.patch_gather_pallas import (gather_patches,
+                                                              pack_wsi)
+
+            if orig_hw is None:
+                orig_hw = (wsi.shape[0], wsi.shape[1])
+                wsi = pack_wsi(wsi)
+            crops = gather_patches(wsi, y_px - w // 2, x_px - w // 2, w,
+                                   orig_hw=orig_hw)
+            return self._normalize(resize_patches_device(crops,
+                                                         self.patch_size))
         return self._normalize(extract_patches_device(
             wsi, y_px, x_px, self.window_size, self.patch_size))
+
+    def _extract_batch(self, wsis, y_px, x_px, orig_hw=None):
+        """(B,H,W,3) + (B,S) center arrays -> (B*S, P, P, 3) normalized."""
+        from gridnext_tpu.pipeline import resize_patches_device
+
+        b, s = y_px.shape
+        if orig_hw is not None or self._use_pallas_extract(wsis):
+            from gridnext_tpu.ops.patch_gather_pallas import (gather_patches,
+                                                              pack_wsi)
+
+            if orig_hw is None:
+                orig_hw = (wsis.shape[1], wsis.shape[2])
+                wsis = jax.vmap(pack_wsi)(wsis)
+            w = self.window_size
+            crops = gather_patches(          # one kernel over all B slides
+                wsis, (y_px - w // 2).reshape(-1),
+                (x_px - w // 2).reshape(-1), w,
+                slide=jnp.repeat(jnp.arange(b), s), orig_hw=orig_hw)
+            return self._normalize(resize_patches_device(crops,
+                                                         self.patch_size))
+        patches = jax.vmap(self._extract)(wsis, y_px, x_px)  # (B,S,P,P,3)
+        return patches.reshape((b * s,) + patches.shape[2:])
 
     def _apply_f(self, patches):
         n = patches.shape[0]
@@ -211,8 +264,8 @@ class SlideRegistrar:
         labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
         return jnp.where(fg > 0, labels, 0)
 
-    def _register(self, wsi, oy, ox, y_px, x_px):
-        patches = self._extract(wsi, y_px, x_px)
+    def _register(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
+        patches = self._extract(wsi, y_px, x_px, orig_hw)
         feats = self._apply_f(patches)                       # (N, f_dim)
         bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
@@ -223,12 +276,11 @@ class SlideRegistrar:
         fg = fg.at[0, oy, ox].set(1, mode="drop")
         return self._labels_from_grid(grid, fg)[0]
 
-    def _register_batch(self, wsis, oy, ox, y_px, x_px):
+    def _register_batch(self, wsis, oy, ox, y_px, x_px, orig_hw=None):
         """(B, H, W, 3) slides + (B, S) padded spot arrays -> (B, h, w)."""
         b, s = oy.shape
-        patches = jax.vmap(self._extract)(wsis, y_px, x_px)  # (B,S,P,P,3)
-        feats = self._apply_f(
-            patches.reshape((b * s,) + patches.shape[2:]))
+        patches = self._extract_batch(wsis, y_px, x_px, orig_hw)  # (B*S,...)
+        feats = self._apply_f(patches)
         feats = feats.reshape(b, s, -1)
         bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec,
@@ -254,19 +306,35 @@ class SlideRegistrar:
 
         Args:
           wsi: device-resident (H, W, 3) uint8 image in ORIGINAL pixel
-            coordinates; spots within half a patch of the border read
-            border-clamped pixels. If you pre-padded the image yourself,
-            pass the padding amount as ``pad_offset`` so spot coordinates
-            are shifted accordingly.
+            coordinates, or a :class:`~gridnext_tpu.ops.patch_gather_pallas.
+            PackedWSI` staged via ``SlideSource(pack=True)`` (the per-slide
+            pack then happens at staging, off the registration dispatch).
+            Spots within half a patch of the border read border-clamped
+            pixels. If you pre-padded the image yourself, pass the padding
+            amount as ``pad_offset`` so spot coordinates are shifted
+            accordingly.
           positions: Spaceranger positions DataFrame for the array.
 
         Returns:
           (h_st, w_st) int label grid, 0 background / 1..C foreground.
         """
-        oy, ox, y_px, x_px = self._spot_arrays(wsi.shape, positions, pad_offset)
+        wsi, orig_hw = self._unpack(wsi)
+        shape = orig_hw if orig_hw is not None else wsi.shape
+        oy, ox, y_px, x_px = self._spot_arrays(shape, positions, pad_offset)
         labels = self._jitted(wsi, jnp.asarray(oy), jnp.asarray(ox),
-                              jnp.asarray(y_px), jnp.asarray(x_px))
+                              jnp.asarray(y_px), jnp.asarray(x_px),
+                              orig_hw=orig_hw)
         return np.asarray(labels)
+
+    def _unpack(self, wsi):
+        from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+        if isinstance(wsi, PackedWSI):
+            if self.extractor != "pallas":
+                raise ValueError("PackedWSI input requires the pallas "
+                                 f"extractor (have {self.extractor!r})")
+            return wsi.data, tuple(wsi.orig_hw)
+        return wsi, None
 
     def register_batch(self, wsis, positions_list: Sequence,
                        pad_offset: int = 0) -> np.ndarray:
@@ -280,16 +348,18 @@ class SlideRegistrar:
 
         Args:
           wsis: (N, H, W, 3) uint8 stack (device-resident) of equally-sized
-            slides.
+            slides, or a batched ``PackedWSI`` ((N, Hp, Wp) data).
           positions_list: one positions DataFrame per slide.
 
         Returns:
           (N, h_st, w_st) int label grids.
         """
+        wsis, orig_hw = self._unpack(wsis)
         n = len(positions_list)
         if wsis.shape[0] != n:
             raise ValueError(f"{wsis.shape[0]} slides vs {n} position sets")
-        per = [self._spot_arrays(wsis.shape[1:], p, pad_offset)
+        shape = orig_hw if orig_hw is not None else wsis.shape[1:]
+        per = [self._spot_arrays(shape, p, pad_offset)
                for p in positions_list]
         s_max = max(len(a[0]) for a in per)
         s_pad = -(-s_max // _SPOT_BUCKET) * _SPOT_BUCKET
@@ -304,7 +374,8 @@ class SlideRegistrar:
             oy[i, :k], ox[i, :k] = a_oy, a_ox
             y_px[i, :k], x_px[i, :k] = a_y, a_x
         labels = self._jitted_batch(wsis, jnp.asarray(oy), jnp.asarray(ox),
-                                    jnp.asarray(y_px), jnp.asarray(x_px))
+                                    jnp.asarray(y_px), jnp.asarray(x_px),
+                                    orig_hw=orig_hw)
         return np.asarray(labels)
 
 
@@ -348,6 +419,8 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
                              prefetch=prefetch or slide_batch + 1)
     timer = source.timer
 
+    from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
     def flush(group):
         if len(group) == 1:
             i, wsi, pos = group[0]
@@ -355,13 +428,20 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
                 labels = registrar(wsi, pos)
             return [(i, labels, pos)]
         idxs, wsis, poss = zip(*group)
+        if isinstance(wsis[0], PackedWSI):
+            wsis = PackedWSI(jnp.stack([w.data for w in wsis]),
+                             wsis[0].orig_hw)
+        else:
+            wsis = jnp.stack(wsis)
         with timer("register"):
-            labels = registrar.register_batch(jnp.stack(wsis), list(poss))
+            labels = registrar.register_batch(wsis, list(poss))
         return [(i, labels[k], p) for k, (i, p) in enumerate(zip(idxs, poss))]
 
     groups: dict = {}
     for i, wsi, pos in source:
-        group = groups.setdefault(tuple(wsi.shape), [])
+        key = (tuple(wsi.orig_hw) if isinstance(wsi, PackedWSI)
+               else tuple(wsi.shape))
+        group = groups.setdefault(key, [])
         group.append((i, wsi, pos))
         if len(group) >= slide_batch:
             yield from flush(group)

@@ -92,3 +92,53 @@ def test_decode_slide_converts_rgba(tmp_path):
     Image.fromarray(arr, "RGBA").save(p)
     out = decode_slide(p)
     assert out.shape == (32, 32, 3)
+
+
+def test_slide_source_pack_at_staging(tmp_path):
+    """SlideSource(pack=True) -> PackedWSI items; register_slides produces
+    the same labels as the raw-uint8 path (pallas extractor, interpreted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu import geometry as G
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.models import DenseNet, GridNetHex
+    from gridnext_tpu.ops import PackedWSI
+    from gridnext_tpu.serving import SlideRegistrar, register_slides
+
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=8,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=16)
+            for i in range(2)]
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+
+    def build(extractor):
+        return SlideRegistrar.from_gridnet(
+            g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+            use_pallas_corrector=False, extractor=extractor,
+            corrector_apply=lambda gr: g.apply(
+                variables, gr, train=False,
+                method=lambda m, x, train: m.corrector(x, train=train)))
+
+    files = [s["image_file"] for s in sims]
+    dirs = [s["spaceranger_dir"] for s in sims]
+
+    src = SlideSource(files, dirs, pack=True)
+    items = list(src)
+    assert all(isinstance(w, PackedWSI) for _, w, _ in items)
+
+    want = {i: build("xla")(jnp.asarray(np.asarray(
+                __import__("PIL.Image", fromlist=["Image"]).open(files[i]).convert("RGB"))), p)
+            for i, _, p in items}
+    got = {i: lab for i, lab, _ in register_slides(
+        build("pallas"), files, dirs,
+        source=SlideSource(files, dirs, pack=True), slide_batch=2)}
+    assert set(got) == {0, 1}
+    for i in got:
+        np.testing.assert_array_equal(got[i], want[i])

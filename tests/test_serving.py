@@ -317,3 +317,72 @@ def test_square_hd_registrar_from_gridnet(tmp_path_factory):
     np.testing.assert_array_equal(got[oy[interior], ox[interior]],
                                   want_labels[oy[interior], ox[interior]])
     np.testing.assert_array_equal(got > 0, s["label_grid"] > 0)
+
+
+def test_pallas_extractor_matches_xla(sim, tmp_path_factory):
+    """extractor='pallas' (interpreted off-TPU) == extractor='xla' labels,
+    single-slide and batched, including the window!=patch resize path."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("serving_pallas_x")
+    sim2 = simulate_spaceranger_dir(root / "arr2", seed=9, n_genes=10,
+                                    n_classes=3, image=True,
+                                    spot_spacing_px=16, tissue_fraction=0.3)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+
+    def build(extractor, window=None):
+        return SlideRegistrar.from_gridnet(
+            g, variables, patch_size=patch, window_size=window,
+            normalize=None, patch_chunk=None, use_pallas_corrector=False,
+            extractor=extractor,
+            corrector_apply=lambda gr: g.apply(
+                variables, gr, train=False,
+                method=lambda m, x, train: m.corrector(x, train=train)))
+
+    wsis, poss = [], []
+    for s in (sim, sim2):
+        wsis.append(np.asarray(Image.open(s["image_file"])))
+        poss.append(read_positions(s["spaceranger_dir"]))
+    h = min(w.shape[0] for w in wsis)
+    w_ = min(w.shape[1] for w in wsis)
+    wsis = jnp.asarray(np.stack([im[:h, :w_] for im in wsis]))
+
+    want = build("xla")(wsis[0], poss[0])
+    got = build("pallas")(wsis[0], poss[0])
+    np.testing.assert_array_equal(got, want)
+
+    want_b = build("xla").register_batch(wsis, poss)
+    got_b = build("pallas").register_batch(wsis, poss)
+    np.testing.assert_array_equal(got_b, want_b)
+
+    # resize path: crop a 12px window, serve at patch=8
+    want_r = build("xla", window=12)(wsis[0], poss[0])
+    got_r = build("pallas", window=12)(wsis[0], poss[0])
+    np.testing.assert_array_equal(got_r, want_r)
+
+    # float WSIs silently take the xla path (pack is uint8-only)
+    got_f = build("pallas")(wsis[0].astype(jnp.float32), poss[0])
+    np.testing.assert_array_equal(got_f, want)
+
+    # pre-packed slides (pack-at-staging): identical labels, single + batch
+    from gridnext_tpu.ops import PackedWSI, pack_wsi
+
+    orig_hw = (int(wsis.shape[1]), int(wsis.shape[2]))
+    packed1 = PackedWSI(pack_wsi(wsis[0]), orig_hw)
+    np.testing.assert_array_equal(build("pallas")(packed1, poss[0]), want)
+    packed_b = PackedWSI(jax.vmap(pack_wsi)(wsis), orig_hw)
+    got_pb = build("pallas").register_batch(packed_b, poss)
+    np.testing.assert_array_equal(got_pb, want_b)
+
+    # packed input demands the pallas extractor
+    with pytest.raises(ValueError):
+        build("xla")(packed1, poss[0])
