@@ -80,6 +80,7 @@ class SlideSource:
         self.decode = decode or decode_slide
         self.timer = timer if timer is not None else StageTimer()
         self.pack = bool(pack)
+        self._pack_fn = None        # jitted pack_wsi, built on first use
         self.bytes_decoded = 0
         self.bytes_staged = 0
 
@@ -130,9 +131,11 @@ class SlideSource:
                     from gridnext_tpu.ops.patch_gather_pallas import (
                         PackedWSI, pack_wsi)
 
+                    if self._pack_fn is None:   # one wrapper: trace cache
+                        self._pack_fn = jax.jit(pack_wsi)
                     # async dispatch too: the pack runs on-device behind
                     # the previous slide's registration
-                    dev = PackedWSI(jax.jit(pack_wsi)(dev), arr.shape[:2])
+                    dev = PackedWSI(self._pack_fn(dev), arr.shape[:2])
             self.bytes_staged += arr.nbytes
             staged.append((i, dev, self._positions(i)))
             return True

@@ -414,9 +414,13 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
     if source is None:
         from gridnext_tpu.ingest import SlideSource
 
+        # pallas-extractor registrars take pre-packed slides: run pack_wsi
+        # at staging time (behind the previous batch's registration) so the
+        # ~6 ms/slide pack never sits on the registration dispatch.
         source = SlideSource(image_files, spaceranger_dirs,
                              hd_binning=hd_binning,
-                             prefetch=prefetch or slide_batch + 1)
+                             prefetch=prefetch or slide_batch + 1,
+                             pack=(registrar.extractor == "pallas"))
     timer = source.timer
 
     from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
