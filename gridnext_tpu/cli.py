@@ -780,6 +780,16 @@ def _cmd_register(args):
         _require_one_image_per_dir(args.images, args.spaceranger)
         from gridnext_tpu.serving import SlideRegistrar, register_slides
 
+        mesh_shape = _parse_mesh(args)
+        mesh = None
+        if mesh_shape is not None:
+            from gridnext_tpu.parallel import default_mesh_shape, make_mesh
+
+            if mesh_shape == "auto":
+                mesh_shape = default_mesh_shape(len(jax.devices()))
+            mesh = make_mesh(mesh_shape)
+            print(f"serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
         if model_name.endswith("TpuPatchClassifier"):
             from gridnext_tpu.models import TpuPatchClassifier
 
@@ -798,13 +808,13 @@ def _cmd_register(args):
                         patch_chunk=meta.get("patch_chunk", 624))
             registrar = SlideRegistrar.from_gridnet(
                 g, variables, patch_size=meta.get("patch_px", 128),
-                window_size=meta.get("window_px"),
+                window_size=meta.get("window_px"), mesh=mesh,
                 normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
         else:
             g = GridNetHex(patch_classifier=f, n_classes=len(classes))
             registrar = SlideRegistrar.from_gridnet(
                 g, variables, patch_size=meta.get("patch_px", 128),
-                window_size=meta.get("window_px"),
+                window_size=meta.get("window_px"), mesh=mesh,
                 normalize=None)
         # production serving loop: threaded decode + async staging overlap
         # the device dispatches; same-shape slides batch per dispatch
@@ -998,6 +1008,11 @@ def main(argv=None):
                    help="image models: same-shape slides registered per "
                         "device dispatch, with decode/stage/register "
                         "overlapped (serving.register_slides)")
+    s.add_argument("--mesh", default=None,
+                   help="image models: serve over a device mesh ('auto' or "
+                        "axis sizes like 'data=4,spot=2'); the spot axis "
+                        "shards over every mesh axis, features all-gather "
+                        "over ICI, labels identical to single-device")
     s.set_defaults(fn=_cmd_register)
 
     args = ap.parse_args(argv)

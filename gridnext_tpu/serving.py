@@ -91,6 +91,12 @@ class SlideRegistrar:
         elsewhere -- the kernel runs interpreted off-TPU, too slow for
         full slides). Both paths produce identical patches (pinned in
         tests); float WSIs fall back to xla (the pack is uint8-only).
+      mesh: a ``jax.sharding.Mesh`` to serve over. The flat spot/patch
+        axis shards over EVERY mesh axis (spots are embarrassingly
+        parallel, so an N-chip slice is N-way DP for f -- ~90% of serving
+        time); the WSI replicates, per-shard features all-gather over ICI,
+        and the tiny corrector runs replicated. Labels are identical to
+        single-device serving (pinned in tests on the 8-device CPU mesh).
     """
 
     def __init__(self, f_apply: Callable, corrector_kernels=None,
@@ -104,7 +110,8 @@ class SlideRegistrar:
                  hex_coords: bool = True,
                  use_pallas_corrector: bool = True,
                  corrector_apply: Optional[Callable] = None,
-                 extractor: str = "auto"):
+                 extractor: str = "auto",
+                 mesh=None):
         self.f_apply = f_apply
         self.kernels = [jnp.asarray(k) for k in corrector_kernels or []]
         self.biases = [jnp.asarray(b) for b in corrector_biases or []]
@@ -126,6 +133,7 @@ class SlideRegistrar:
             extractor = ("pallas" if jax.devices()[0].platform == "tpu"
                          else "xla")
         self.extractor = extractor
+        self.mesh = mesh
         self._jitted = jax.jit(self._register, static_argnames=("orig_hw",))
         self._jitted_batch = jax.jit(self._register_batch,
                                      static_argnames=("orig_hw",))
@@ -185,8 +193,14 @@ class SlideRegistrar:
     def _use_pallas_extract(self, wsi):
         return self.extractor == "pallas" and wsi.dtype == jnp.uint8
 
-    def _extract(self, wsi, y_px, x_px, orig_hw=None):
-        """``orig_hw`` set means ``wsi`` is pre-packed (PackedWSI.data)."""
+    def _extract_flat(self, wsi, y_c, x_c, slide, orig_hw=None):
+        """Flat patch extraction, single-slide or multi-slide.
+
+        ``wsi``: (H, W, 3) -- or (B, H, W, 3) when ``slide`` (an (N,)
+        per-spot slide index) is given -- or pre-packed data when
+        ``orig_hw`` is set. ``y_c``/``x_c``: (N,) spot centers. Returns
+        (N, P, P, 3) normalized patches.
+        """
         from gridnext_tpu.pipeline import (extract_patches_device,
                                            resize_patches_device)
 
@@ -196,36 +210,73 @@ class SlideRegistrar:
                                                               pack_wsi)
 
             if orig_hw is None:
-                orig_hw = (wsi.shape[0], wsi.shape[1])
-                wsi = pack_wsi(wsi)
-            crops = gather_patches(wsi, y_px - w // 2, x_px - w // 2, w,
-                                   orig_hw=orig_hw)
+                if slide is None:
+                    orig_hw = (wsi.shape[0], wsi.shape[1])
+                    wsi = pack_wsi(wsi)
+                else:
+                    orig_hw = (wsi.shape[1], wsi.shape[2])
+                    wsi = jax.vmap(pack_wsi)(wsi)
+            crops = gather_patches(          # one kernel over all slides
+                wsi, y_c - w // 2, x_c - w // 2, w,
+                slide=slide, orig_hw=orig_hw)
             return self._normalize(resize_patches_device(crops,
                                                          self.patch_size))
-        return self._normalize(extract_patches_device(
-            wsi, y_px, x_px, self.window_size, self.patch_size))
+        if slide is None:
+            return self._normalize(extract_patches_device(
+                wsi, y_c, x_c, w, self.patch_size))
+        c = wsi.shape[-1]
 
-    def _extract_batch(self, wsis, y_px, x_px, orig_hw=None):
-        """(B,H,W,3) + (B,S) center arrays -> (B*S, P, P, 3) normalized."""
-        from gridnext_tpu.pipeline import resize_patches_device
+        def one(s, y0, x0):
+            return jax.lax.dynamic_slice(wsi, (s, y0, x0, 0),
+                                         (1, w, w, c))[0]
 
-        b, s = y_px.shape
-        if orig_hw is not None or self._use_pallas_extract(wsis):
-            from gridnext_tpu.ops.patch_gather_pallas import (gather_patches,
-                                                              pack_wsi)
+        crops = jax.vmap(one)(slide, y_c - w // 2, x_c - w // 2)
+        return self._normalize(resize_patches_device(crops, self.patch_size))
 
-            if orig_hw is None:
-                orig_hw = (wsis.shape[1], wsis.shape[2])
-                wsis = jax.vmap(pack_wsi)(wsis)
-            w = self.window_size
-            crops = gather_patches(          # one kernel over all B slides
-                wsis, (y_px - w // 2).reshape(-1),
-                (x_px - w // 2).reshape(-1), w,
-                slide=jnp.repeat(jnp.arange(b), s), orig_hw=orig_hw)
-            return self._normalize(resize_patches_device(crops,
-                                                         self.patch_size))
-        patches = jax.vmap(self._extract)(wsis, y_px, x_px)  # (B,S,P,P,3)
-        return patches.reshape((b * s,) + patches.shape[2:])
+    def _feats_flat(self, wsi, y_c, x_c, slide, orig_hw=None):
+        """Flat spot centers -> (N, f_dim); sharded over ``self.mesh``.
+
+        The manual-SPMD region (shard_map): the WSI replicates, the spot
+        axis splits over every mesh axis, each device gathers + classifies
+        its shard, and the per-shard features all-gather back (XLA lowers
+        it over ICI). Off-mesh this is plain extract + f.
+        """
+        def compute(wsi_, y_, x_, slide_):
+            patches = self._extract_flat(wsi_, y_, x_, slide_, orig_hw)
+            return self._apply_f(patches)
+
+        if self.mesh is None:
+            return compute(wsi, y_c, x_c, slide)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names)
+        spot_spec = P(axes)
+        single = slide is None   # before the dummy-slide reassignment below
+
+        def body(wsi_, y_, x_, slide_):
+            local = compute(wsi_, y_, x_, None if single else slide_)
+            return jax.lax.all_gather(local, axes, axis=0, tiled=True)
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), spot_spec, spot_spec, spot_spec),
+            out_specs=P(), check_rep=False)
+        # pad the spot axis to a mesh-size multiple (dummy spots crop the
+        # top-left corner of slide 0 -- harmless, sliced off below)
+        n = y_c.shape[0]
+        pad = (-n) % self.mesh.size
+        if pad:
+            p2 = self.window_size // 2
+            y_c = jnp.concatenate([y_c, jnp.full((pad,), p2, y_c.dtype)])
+            x_c = jnp.concatenate([x_c, jnp.full((pad,), p2, x_c.dtype)])
+            if slide is not None:
+                slide = jnp.concatenate([slide,
+                                         jnp.zeros((pad,), slide.dtype)])
+        if single:          # shard_map can't route None; pass a dummy
+            slide = jnp.zeros_like(y_c)
+        return fn(wsi, y_c, x_c, slide)[:n]
 
     def _apply_f(self, patches):
         n = patches.shape[0]
@@ -265,8 +316,7 @@ class SlideRegistrar:
         return jnp.where(fg > 0, labels, 0)
 
     def _register(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
-        patches = self._extract(wsi, y_px, x_px, orig_hw)
-        feats = self._apply_f(patches)                       # (N, f_dim)
+        feats = self._feats_flat(wsi, y_px, x_px, None, orig_hw)  # (N, f_dim)
         bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
                                          feats.shape[-1]))
@@ -279,8 +329,8 @@ class SlideRegistrar:
     def _register_batch(self, wsis, oy, ox, y_px, x_px, orig_hw=None):
         """(B, H, W, 3) slides + (B, S) padded spot arrays -> (B, h, w)."""
         b, s = oy.shape
-        patches = self._extract_batch(wsis, y_px, x_px, orig_hw)  # (B*S,...)
-        feats = self._apply_f(patches)
+        feats = self._feats_flat(wsis, y_px.reshape(-1), x_px.reshape(-1),
+                                 jnp.repeat(jnp.arange(b), s), orig_hw)
         feats = feats.reshape(b, s, -1)
         bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec,

@@ -354,7 +354,7 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
         cli.main()
         sys.argv = (["x", "register", "--spaceranger", dirs[0],
                      "--model", str(tmp_path / "model"),
-                     "--images", imgs[0],
+                     "--images", imgs[0], "--mesh", "data=8",
                      "--out", str(tmp_path / "loupe.csv")])
         cli.main()
     finally:

@@ -386,3 +386,55 @@ def test_pallas_extractor_matches_xla(sim, tmp_path_factory):
     # packed input demands the pallas extractor
     with pytest.raises(ValueError):
         build("xla")(packed1, poss[0])
+
+
+def test_mesh_sharded_serving_matches_single(sim, tmp_path_factory):
+    """``mesh=`` serving (spot-axis shard_map DP + ICI all-gather of the
+    per-shard features) reproduces single-device labels exactly, for
+    single-slide and batched dispatches, including spot counts that do not
+    divide the mesh (padded inside the sharded region)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.parallel import make_mesh
+
+    root = tmp_path_factory.mktemp("serving_mesh")
+    sim2 = simulate_spaceranger_dir(root / "arr2", seed=7, n_genes=10,
+                                    n_classes=3, image=True,
+                                    spot_spacing_px=16, tissue_fraction=0.4)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+
+    def build(mesh=None):
+        return SlideRegistrar.from_gridnet(
+            g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+            mesh=mesh, use_pallas_corrector=False,
+            corrector_apply=lambda gr: g.apply(
+                variables, gr, train=False,
+                method=lambda m, x, train: m.corrector(x, train=train)))
+
+    wsis, poss = [], []
+    for s in (sim, sim2):
+        img = np.asarray(Image.open(s["image_file"]))
+        wsis.append(img)
+        poss.append(read_positions(s["spaceranger_dir"]))
+    h = min(w.shape[0] for w in wsis)
+    w_ = min(w.shape[1] for w in wsis)
+    wsis = jnp.asarray(np.stack([im[:h, :w_] for im in wsis]))
+
+    single = build()
+    sharded = build(mesh=make_mesh({"data": 8}))
+    # spot count must NOT already divide the mesh, or padding goes untested
+    assert len(spot_pixel_arrays(poss[0])[0]) % 8 != 0
+
+    np.testing.assert_array_equal(sharded(wsis[0], poss[0]),
+                                  single(wsis[0], poss[0]))
+    np.testing.assert_array_equal(sharded.register_batch(wsis, poss),
+                                  single.register_batch(wsis, poss))
