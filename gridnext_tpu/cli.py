@@ -183,7 +183,8 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
                                     train_gridwise, train_spotwise)
 
     classes = list(grids.classes)
-    mesh_shape = _parse_mesh(args)
+    mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size,
+                                     grid_batch=args.grid_batch_size)
     print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else "")
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
@@ -261,6 +262,31 @@ def _resume_path(args, outfile):
         return None
     p = str(outfile) + ".latest"
     return p if os.path.exists(p) else None
+
+
+def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None):
+    """Parse --mesh and fail FAST on batch/mesh divisibility.
+
+    The trainers validate inside train_spotwise/train_gridwise, but the g
+    stage only starts after f has fully trained -- an incompatible
+    --grid-batch-size would waste the whole f run before erroring. The
+    incompatibility is knowable from args alone, so check it up front.
+    """
+    mesh_shape = _parse_mesh(args)
+    if mesh_shape is None:
+        return None
+    from gridnext_tpu.train.loops import _mesh_placement, _resolve_mesh
+
+    mesh = _resolve_mesh(None, mesh_shape)
+    try:
+        if spot_batch is not None:
+            _mesh_placement(mesh, "spot", spot_batch)
+        if grid_batch is not None:
+            _mesh_placement(mesh, "grid", grid_batch)
+    except ValueError as e:
+        sys.exit(f"error: {e} (adjust --batch-size / --grid-batch-size "
+                 "before training starts)")
+    return mesh_shape
 
 
 def _parse_mesh(args):
@@ -381,16 +407,20 @@ def _cmd_train_image(args):
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
     g_name = "GridNet" if square else "GridNetHex"
     dtype = jnp.bfloat16 if args.bf16 else None
+    tpu_f_meta = None
     if args.f == "tpu":
         # MXU-shaped f: 3.6x DenseNet patch throughput (models/tpu_f.py)
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+
         f = TpuPatchClassifier(n_classes=len(grids.classes), dtype=dtype)
+        tpu_f_meta = tpu_f_arch_meta(f)  # survives default-shape changes
         model_name = f"{g_name}+TpuPatchClassifier"
     else:
         f = densenet121(num_classes=len(grids.classes), dtype=dtype)
         model_name = f"{g_name}+DenseNet121"
     _train_fg(args, f, grids, spots,
               {"patch_px": args.patch_px, "window_px": args.window_px,
-               "model": model_name,
+               "model": model_name, "tpu_f": tpu_f_meta,
                "image_f": args.f, "hd_binning": hd_binning,
                "grid_dims": ([grids.h_st, grids.w_st] if square else None),
                "patch_chunk": args.patch_chunk},
@@ -532,7 +562,8 @@ def _cmd_train_mm(args):
     classes = list(mm_grids.classes)
     n_classes = len(classes)
     stream = not getattr(args, "no_stream", False)
-    mesh_shape = _parse_mesh(args)
+    mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size,
+                                     grid_batch=args.grid_batch_size)
     print(f"{len(count_spots)} count spots, {len(image_spots)} image spots, "
           f"{len(mm_grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else "")
@@ -618,8 +649,12 @@ def _cmd_train_mm(args):
                                stream_spots=False, name="f_count_state",
                                **f_count_kw)
     dtype = jnp.bfloat16 if args.bf16 else None
+    tpu_f_meta = None
     if args.f == "tpu":
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+
         f_image = TpuPatchClassifier(n_classes=n_classes, dtype=dtype)
+        tpu_f_meta = tpu_f_arch_meta(f_image)
     else:
         f_image = densenet121(num_classes=n_classes, dtype=dtype)
     f_image_state = spot_train(f_image, image_spots, name="f_image_state")
@@ -671,7 +706,7 @@ def _cmd_train_mm(args):
                    "grid_dims": ([mm_grids.image_dataset.h_st,
                                   mm_grids.image_dataset.w_st] if square
                                  else None),
-                   "image_f": args.f,
+                   "image_f": args.f, "tpu_f": tpu_f_meta,
                    "model": "GridNetMM" if square else "GridNetHexMM"}, fh)
     print(f"saved model to {args.out}")
 
@@ -742,7 +777,10 @@ def _cmd_register(args):
             count_transform = np.log1p if meta.get("log1p") else None
             f_count = CountMLP(n_classes=len(classes))
         if meta.get("image_f") == "tpu":
-            f_image = TpuPatchClassifier(n_classes=len(classes))
+            from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
+
+            f_image = TpuPatchClassifier(n_classes=len(classes),
+                                         **tpu_f_arch_kwargs(meta.get("tpu_f")))
         else:
             f_image = densenet121(num_classes=len(classes))
         # chunk f like training did (activation memory on real slides)
@@ -780,20 +818,18 @@ def _cmd_register(args):
         _require_one_image_per_dir(args.images, args.spaceranger)
         from gridnext_tpu.serving import SlideRegistrar, register_slides
 
-        mesh_shape = _parse_mesh(args)
-        mesh = None
-        if mesh_shape is not None:
-            from gridnext_tpu.parallel import default_mesh_shape, make_mesh
+        from gridnext_tpu.train.loops import _resolve_mesh
 
-            if mesh_shape == "auto":
-                mesh_shape = default_mesh_shape(len(jax.devices()))
-            mesh = make_mesh(mesh_shape)
+        mesh = _resolve_mesh(None, _parse_mesh(args))
+        if mesh is not None:
             print(f"serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
         if model_name.endswith("TpuPatchClassifier"):
             from gridnext_tpu.models import TpuPatchClassifier
+            from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
 
-            f = TpuPatchClassifier(n_classes=len(classes))
+            f = TpuPatchClassifier(n_classes=len(classes),
+                                   **tpu_f_arch_kwargs(meta.get("tpu_f")))
         else:
             f = densenet121(num_classes=len(classes))
 

@@ -506,8 +506,20 @@ class MMSpotDataset:
 
         self._index = []   # (count_file, image_path, coord_str)
         self.annotations = []
+        genes0 = None  # cross-file gene-axis consistency (see CountSpotDataset)
         for i, (cf, imdir) in enumerate(zip(self.count_files, img_dirs)):
-            frame_cols = set(_read_count_frame(cf, cfile_delim).columns)
+            frame = _read_count_frame(cf, cfile_delim)
+            if self.select_genes is None:
+                if genes0 is None:
+                    genes0 = list(frame.index)
+                elif list(frame.index) != genes0:
+                    raise ValueError(
+                        f"count files do not share a gene axis: {cf} differs "
+                        f"from {self.count_files[0]} (unified caches prepared "
+                        "in separate runs?). Regenerate them over the full "
+                        "cohort in one prepare_count_files call, or pass "
+                        "select_genes to align by name.")
+            frame_cols = set(frame.columns)
             adict = None
             if annot_files is not None:
                 if Visium:

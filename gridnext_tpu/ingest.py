@@ -81,6 +81,7 @@ class SlideSource:
         self.timer = timer if timer is not None else StageTimer()
         self.pack = bool(pack)
         self._pack_fn = None        # jitted pack_wsi, built on first use
+        self._iter_stop = None      # current iteration's cancel event
         self.bytes_decoded = 0
         self.bytes_staged = 0
 
@@ -91,16 +92,31 @@ class SlideSource:
 
         return read_positions(self.spaceranger_dirs[i], self.hd_binning)
 
-    def _decode_worker(self, out_q: queue.Queue):
+    def _decode_worker(self, out_q: queue.Queue, stop: threading.Event):
+        # Every put is stop-aware: if the consumer abandons iteration (an
+        # exception mid-loop, an early break), the thread must not block
+        # forever on the bounded queue pinning GB-scale decoded slides.
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         try:
             for i, f in enumerate(self.image_files):
+                if stop.is_set():
+                    return
                 with self.timer("decode"):
                     arr = self.decode(f)
                 self.bytes_decoded += arr.nbytes
-                out_q.put((i, arr))
-            out_q.put(None)
+                if not put((i, arr)):
+                    return
+            put(None)
         except BaseException as e:  # surface in the consumer, don't hang it
-            out_q.put(e)
+            put(e)
 
     def __len__(self):
         return len(self.image_files)
@@ -111,8 +127,11 @@ class SlideSource:
         import jax
 
         decoded: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        worker = threading.Thread(target=self._decode_worker, args=(decoded,),
-                                  daemon=True)
+        stop = threading.Event()   # per-iteration so the source re-iterates
+        self._iter_stop = stop
+        worker = threading.Thread(target=self._decode_worker,
+                                  args=(decoded, stop),
+                                  name="gnx-slide-decode", daemon=True)
         worker.start()
 
         staged = collections.deque()
@@ -140,16 +159,34 @@ class SlideSource:
             staged.append((i, dev, self._positions(i)))
             return True
 
-        draining = False
-        for _ in range(self.prefetch):
-            if not stage_next():
-                draining = True
-                break
-        while staged:
-            item = staged.popleft()
-            if not draining:
-                draining = not stage_next()
-            yield item
+        try:
+            draining = False
+            for _ in range(self.prefetch):
+                if not stage_next():
+                    draining = True
+                    break
+            while staged:
+                item = staged.popleft()
+                if not draining:
+                    draining = not stage_next()
+                yield item
+        finally:
+            # abandoned generator (consumer raised / broke early) or normal
+            # exhaustion: cancel the decode thread and release any queued
+            # decoded slides rather than holding them for the process's life
+            stop.set()
+            try:
+                while True:
+                    decoded.get_nowait()
+            except queue.Empty:
+                pass
+
+    def close(self):
+        """Cancel the in-flight iteration's decode thread (idempotent; the
+        iterator's own cleanup calls this path automatically when the
+        consuming generator is closed or garbage-collected)."""
+        if self._iter_stop is not None:
+            self._iter_stop.set()
 
     def throughput(self) -> dict:
         """{'decode_gb_s', 'stage_gb_s'} from the accumulated stage timings.

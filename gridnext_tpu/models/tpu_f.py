@@ -103,3 +103,26 @@ class TpuPatchClassifier(nn.Module):
         if self.dropout:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.n_classes, dtype=dtype, name="head")(x)
+
+
+def tpu_f_arch_meta(f: TpuPatchClassifier) -> dict:
+    """Architecture fields for model.json: everything needed to reconstruct
+    this exact f at register time even after the class defaults change
+    (they did once already -- see the sweep table above)."""
+    return {"stages": [list(s) for s in f.stages],
+            "stem_patch": int(f.stem_patch), "norm": f.norm}
+
+
+def tpu_f_arch_kwargs(meta: Optional[dict]) -> dict:
+    """model.json ``tpu_f`` dict -> TpuPatchClassifier constructor kwargs.
+
+    ``None``/missing (checkpoints from before the field existed) falls back
+    to the class defaults -- pre-round-3 checkpoints trained on the old
+    default shape must add ``"tpu_f": {"stages": [[128,2],[256,2],[512,2]],
+    "stem_patch": 8, "norm": "layer"}`` to their model.json by hand.
+    """
+    if not meta:
+        return {}
+    return {"stages": tuple((int(w), int(d)) for w, d in meta["stages"]),
+            "stem_patch": int(meta["stem_patch"]),
+            "norm": str(meta["norm"])}

@@ -113,6 +113,66 @@ def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers,
         out_ref[0] = cur
 
 
+def _fused_corrector_call(x, fg, kernels, biases, relu_flags, interpret):
+    """Shared pallas_call scaffold for both public entry points.
+
+    ``fg=None`` emits (B, H, W, n_classes) float32 logits; a foreground mask
+    emits (B, H, W) int32 label grids (argmax + bg mask fused in-kernel).
+    One builder so scratch sizing, VMEM limits, and the interpret fallback
+    can never diverge between the two variants.
+    """
+    if interpret is None:
+        # Pallas compiles on TPU backends only; fall back to the interpreter
+        # elsewhere (CPU tests/dev) so callers are backend-agnostic
+        interpret = jax.devices()[0].platform == "cpu"
+    b, h, w, c_in = x.shape
+    n_layers = len(kernels)
+    c_max = max(k.shape[1] for k in kernels)
+    emit_labels = fg is not None
+
+    inputs = [x.astype(jnp.float32)]
+    in_specs = [pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if emit_labels:
+        inputs.append(fg.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for k, bia in zip(kernels, biases):
+        inputs.extend([jnp.asarray(k, jnp.float32),
+                       jnp.asarray(bia, jnp.float32)])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    if emit_labels:
+        out_specs = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, w), jnp.int32)
+    else:
+        n_out = kernels[-1].shape[2]
+        out_specs = pl.BlockSpec((1, h, w, n_out), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, w, n_out), jnp.float32)
+
+    kernel = functools.partial(
+        _corrector_kernel, h=h, w=w, relu_flags=tuple(relu_flags),
+        n_layers=n_layers, emit_labels=emit_labels)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, c_max), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # channel lanes pad 32->128, and Mosaic double-buffers the grid
+            # blocks; the default 16 MB scoped limit is too tight for the
+            # fused 5-layer stack at full Visium size.
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+
 @functools.partial(jax.jit, static_argnames=("relu_flags", "interpret"))
 def fused_hex_corrector(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
                         biases: Sequence[jnp.ndarray],
@@ -124,42 +184,8 @@ def fused_hex_corrector(x: jnp.ndarray, kernels: Sequence[jnp.ndarray],
     ``fold_corrector_params(variables['params']['corrector'],
     variables['batch_stats']['corrector'])`` to produce the inputs.
     """
-    if interpret is None:
-        # Pallas compiles on TPU backends only; fall back to the interpreter
-        # elsewhere (CPU tests/dev) so callers are backend-agnostic
-        interpret = jax.devices()[0].platform == "cpu"
-    b, h, w, c_in = x.shape
-    n_layers = len(kernels)
-    c_max = max(k.shape[1] for k in kernels)
-    n_out = kernels[-1].shape[2]
-
-    weight_args = []
-    in_specs = [pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    for k, bia in zip(kernels, biases):
-        weight_args.extend([jnp.asarray(k, jnp.float32), jnp.asarray(bia, jnp.float32)])
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    kernel = functools.partial(
-        _corrector_kernel, h=h, w=w,
-        relu_flags=tuple(relu_flags), n_layers=n_layers)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w, n_out), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, n_out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, c_max), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            # channel lanes pad 32->128, and Mosaic double-buffers the grid
-            # blocks; the default 16 MB scoped limit is too tight for the
-            # fused 5-layer stack at full Visium size.
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x.astype(jnp.float32), *weight_args)
+    return _fused_corrector_call(x, None, kernels, biases, relu_flags,
+                                 interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("relu_flags", "interpret"))
@@ -178,35 +204,5 @@ def fused_hex_corrector_labels(x: jnp.ndarray, fg: jnp.ndarray,
       (B, H, W) int32 label grids: 0 background, 1..C foreground -- the
       serving path's final artifact, produced without writing logits to HBM.
     """
-    if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
-    b, h, w, c_in = x.shape
-    n_layers = len(kernels)
-    c_max = max(k.shape[1] for k in kernels)
-
-    weight_args = []
-    in_specs = [pl.BlockSpec((1, h, w, c_in), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
-    for k, bia in zip(kernels, biases):
-        weight_args.extend([jnp.asarray(k, jnp.float32), jnp.asarray(bia, jnp.float32)])
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    kernel = functools.partial(
-        _corrector_kernel, h=h, w=w,
-        relu_flags=tuple(relu_flags), n_layers=n_layers, emit_labels=True)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((h + 2, w + 2, c_max), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x.astype(jnp.float32), fg.astype(jnp.int32), *weight_args)
+    return _fused_corrector_call(x, fg, kernels, biases, relu_flags,
+                                 interpret)

@@ -71,8 +71,18 @@ class AsyncCheckpointWriter:
 
     def save(self, path, state, **kwargs):
         """Enqueue a write of ``state`` to ``path`` (save_checkpoint kwargs
-        pass through). Replaces any not-yet-started write to the same path."""
+        pass through). Replaces any not-yet-started write to the same path.
+
+        Fails FAST: if an earlier background write failed (disk full,
+        unwritable dir), the error re-raises here -- at the next save, i.e.
+        within an epoch -- instead of after all remaining epochs trained
+        with every save silently failing (the synchronous-save semantics).
+        """
         with self._cv:
+            if self._errors:
+                err = self._errors[0]
+                self._errors.clear()
+                raise err
             self._pending[str(path)] = (state, kwargs)
             self._ensure_thread()
             self._cv.notify_all()

@@ -449,92 +449,107 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     train_history, val_history = [], []
     since = time.time()
 
-    for epoch in range(start_epoch, num_epochs):
-        if verbose:
-            print(f"Epoch {epoch}/{num_epochs - 1}", flush=True)
-            print("-" * 10, flush=True)
-        for phase in ("train", "val"):
-            if phase not in dataloaders or dataloaders[phase] is None:
-                continue
-            # Deferred metric reads: per-batch losses stay on device so the
-            # loop never blocks on a host round-trip between steps -- JAX's
-            # async dispatch pipelines batch staging (_prefetch_to_device)
-            # with device compute. Backpressure: the loss from PIPELINE_DEPTH
-            # steps back is fetched each iteration, bounding in-flight steps
-            # (and their HBM-resident input batches) instead of letting the
-            # host enqueue an unbounded dispatch backlog.
-            losses, corrs, ns, bszs = [], [], [], []
-            batches = _prefetch_to_device(
-                _iter_batches(dataloaders[phase], batch_size,
-                              rng if phase == "train" else None,
-                              pad_kind=pad_kind),
-                place=place)
-            for x, y, n_real in batches:
-                if phase == "train":
-                    state, m = train_step(state, x, y)
-                    # periodic FAVOR+ projection redraw (Performer models;
-                    # llm/performer_pytorch.py:532-546 semantics). host_step
-                    # mirrors state.step (one increment per train_step) so
-                    # the check doesn't force a device sync.
-                    host_step += 1
-                    if (redraw_every and state.extra_vars
-                            and "favor" in state.extra_vars
-                            and host_step % redraw_every == 0):
-                        from gridnext_tpu.models.performer import redraw_projections
-
-                        redraw_rng, sub = jax.random.split(redraw_rng)
-                        new_vars = redraw_projections(
-                            {"favor": state.extra_vars["favor"]}, sub)
-                        extra = dict(state.extra_vars)
-                        extra["favor"] = new_vars["favor"]
-                        if mesh is not None:
-                            from gridnext_tpu.parallel import replicate
-
-                            extra = replicate(extra, mesh)
-                        state = state.replace(extra_vars=extra)
-                else:
-                    m = eval_step(state, x, y)
-                losses.append(m["loss"])
-                corrs.append(m["n_correct"])
-                ns.append(m["n"])
-                bszs.append(n_real)
-                lag = len(losses) - 1 - _PIPELINE_DEPTH
-                if lag >= 0:
-                    losses[lag] = float(losses[lag])  # sync point: step `lag` done
-                    corrs[lag] = int(corrs[lag])
-                    ns[lag] = int(ns[lag])
-            losses = np.asarray(jax.device_get(losses), dtype=float)
-            corrs = np.asarray(jax.device_get(corrs))
-            ns = np.asarray(jax.device_get(ns))
-            bszs = np.asarray(bszs)
-            n_batches_items = int(bszs.sum())
-            epoch_loss = float((losses * bszs).sum()) / max(n_batches_items, 1)
-            epoch_acc = int(corrs.sum()) / max(int(ns.sum()), 1)
+    try:
+        for epoch in range(start_epoch, num_epochs):
             if verbose:
-                print(f"{phase} Loss: {epoch_loss:.4f} Acc: {epoch_acc:.4f}", flush=True)
-            if metrics_logger is not None:
-                metrics_logger.log(step=int(state.step), epoch=epoch,
-                                   phase=phase, loss=epoch_loss, acc=epoch_acc)
-            if phase == "val":
-                saw_val = True
-                val_history.append(epoch_loss)
-                if epoch_loss < best_loss:
-                    best_loss = epoch_loss
-                    best_params = jax.device_get(state.params)
-                    best_bs = jax.device_get(state.batch_stats)
-                    best_extra = jax.device_get(state.extra_vars)
-                    if ckpt_writer is not None:
-                        ckpt_writer.save(outfile, state)
-            else:
-                train_history.append(epoch_loss)
+                print(f"Epoch {epoch}/{num_epochs - 1}", flush=True)
+                print("-" * 10, flush=True)
+            for phase in ("train", "val"):
+                if phase not in dataloaders or dataloaders[phase] is None:
+                    continue
+                # Deferred metric reads: per-batch losses stay on device so the
+                # loop never blocks on a host round-trip between steps -- JAX's
+                # async dispatch pipelines batch staging (_prefetch_to_device)
+                # with device compute. Backpressure: the loss from PIPELINE_DEPTH
+                # steps back is fetched each iteration, bounding in-flight steps
+                # (and their HBM-resident input batches) instead of letting the
+                # host enqueue an unbounded dispatch backlog.
+                losses, corrs, ns, bszs = [], [], [], []
+                batches = _prefetch_to_device(
+                    _iter_batches(dataloaders[phase], batch_size,
+                                  rng if phase == "train" else None,
+                                  pad_kind=pad_kind),
+                    place=place)
+                for x, y, n_real in batches:
+                    if phase == "train":
+                        state, m = train_step(state, x, y)
+                        # periodic FAVOR+ projection redraw (Performer models;
+                        # llm/performer_pytorch.py:532-546 semantics). host_step
+                        # mirrors state.step (one increment per train_step) so
+                        # the check doesn't force a device sync.
+                        host_step += 1
+                        if (redraw_every and state.extra_vars
+                                and "favor" in state.extra_vars
+                                and host_step % redraw_every == 0):
+                            from gridnext_tpu.models.performer import redraw_projections
+
+                            redraw_rng, sub = jax.random.split(redraw_rng)
+                            new_vars = redraw_projections(
+                                {"favor": state.extra_vars["favor"]}, sub)
+                            extra = dict(state.extra_vars)
+                            extra["favor"] = new_vars["favor"]
+                            if mesh is not None:
+                                from gridnext_tpu.parallel import replicate
+
+                                extra = replicate(extra, mesh)
+                            state = state.replace(extra_vars=extra)
+                    else:
+                        m = eval_step(state, x, y)
+                    losses.append(m["loss"])
+                    corrs.append(m["n_correct"])
+                    ns.append(m["n"])
+                    bszs.append(n_real)
+                    lag = len(losses) - 1 - _PIPELINE_DEPTH
+                    if lag >= 0:
+                        losses[lag] = float(losses[lag])  # sync point: step `lag` done
+                        corrs[lag] = int(corrs[lag])
+                        ns[lag] = int(ns[lag])
+                losses = np.asarray(jax.device_get(losses), dtype=float)
+                corrs = np.asarray(jax.device_get(corrs))
+                ns = np.asarray(jax.device_get(ns))
+                bszs = np.asarray(bszs)
+                n_batches_items = int(bszs.sum())
+                epoch_loss = float((losses * bszs).sum()) / max(n_batches_items, 1)
+                epoch_acc = int(corrs.sum()) / max(int(ns.sum()), 1)
+                if verbose:
+                    print(f"{phase} Loss: {epoch_loss:.4f} Acc: {epoch_acc:.4f}", flush=True)
+                if metrics_logger is not None:
+                    metrics_logger.log(step=int(state.step), epoch=epoch,
+                                       phase=phase, loss=epoch_loss, acc=epoch_acc)
+                if phase == "val":
+                    saw_val = True
+                    val_history.append(epoch_loss)
+                    if epoch_loss < best_loss:
+                        best_loss = epoch_loss
+                        best_params = jax.device_get(state.params)
+                        best_bs = jax.device_get(state.batch_stats)
+                        best_extra = jax.device_get(state.extra_vars)
+                        if ckpt_writer is not None:
+                            ckpt_writer.save(outfile, state)
+                else:
+                    train_history.append(epoch_loss)
+            if ckpt_writer is not None:
+                # resume point: LATEST state at each epoch end (the best-val file
+                # above is a serving artifact, not a continuation point)
+                ckpt_writer.save(str(outfile) + ".latest", state,
+                                 extra_meta={"epochs_done": epoch + 1,
+                                             "best_val_loss":
+                                                 float(best_loss)
+                                                 if np.isfinite(best_loss) else None})
+    except BaseException:
+        # train_step/user exceptions must not strand enqueued checkpoint
+        # writes: the best-val file may already hold the state the user
+        # wants back. Drain the writer, but never mask the in-flight
+        # exception with a checkpoint I/O failure.
         if ckpt_writer is not None:
-            # resume point: LATEST state at each epoch end (the best-val file
-            # above is a serving artifact, not a continuation point)
-            ckpt_writer.save(str(outfile) + ".latest", state,
-                             extra_meta={"epochs_done": epoch + 1,
-                                         "best_val_loss":
-                                             float(best_loss)
-                                             if np.isfinite(best_loss) else None})
+            try:
+                ckpt_writer.close()
+            except BaseException as e:
+                import sys
+
+                print(f"warning: background checkpoint write failed: {e}",
+                      file=sys.stderr)
+        raise
 
     if verbose:
         dt = time.time() - since

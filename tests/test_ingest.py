@@ -142,3 +142,37 @@ def test_slide_source_pack_at_staging(tmp_path):
     assert set(got) == {0, 1}
     for i in got:
         np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_slide_source_early_abandon_unblocks_decoder(slides):
+    """A consumer that stops early (exception / break) must not leave the
+    decode thread blocked on the bounded queue pinning decoded slides."""
+    import threading
+    import time
+
+    files, arrays = slides
+    n_decoded = []
+
+    def counting_decode(f):
+        n_decoded.append(f)
+        return decode_slide(f)
+
+    src = SlideSource(files * 4, prefetch=1, decode=counting_decode)
+    it = iter(src)
+    next(it)
+    it.close()   # abandon mid-iteration (same path as a consumer exception)
+
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "gnx-slide-decode" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "gnx-slide-decode" and t.is_alive()
+                   for t in threading.enumerate()), \
+        "decode thread still alive after consumer abandoned iteration"
+    assert len(n_decoded) < len(files) * 4   # it stopped early, too
+
+    # the source stays re-iterable after a cancelled run
+    got = list(src)
+    assert [i for i, _, _ in got] == list(range(len(files) * 4))

@@ -364,6 +364,11 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     meta = _json.loads((tmp_path / "model" / "model.json").read_text())
     assert meta["model"] == "GridNet+TpuPatchClassifier"
     assert meta["grid_dims"] == [14, 12]
+    # architecture recorded so register survives default-shape changes
+    from gridnext_tpu.models import TpuPatchClassifier
+    from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+
+    assert meta["tpu_f"] == tpu_f_arch_meta(TpuPatchClassifier(n_classes=3))
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert df["Barcode"].str.startswith("s_016um_").all()
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())

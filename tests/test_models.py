@@ -341,3 +341,23 @@ def test_hexconv_params_stay_float32_under_bf16():
     v = g.init(jax.random.key(0), x)
     dtypes = {a.dtype for a in jax.tree.leaves(v["params"])}
     assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
+
+
+def test_tpu_f_arch_meta_roundtrip():
+    """model.json 'tpu_f' fields reconstruct the exact f (register must
+    survive future default-shape changes; the default changed once in
+    round 3 already)."""
+    from gridnext_tpu.models import TpuPatchClassifier
+    from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs, tpu_f_arch_meta
+
+    f = TpuPatchClassifier(n_classes=5, stages=((128, 2), (256, 1)),
+                           stem_patch=8, norm="layer")
+    meta = tpu_f_arch_meta(f)
+    import json
+
+    meta = json.loads(json.dumps(meta))  # through the model.json round trip
+    f2 = TpuPatchClassifier(n_classes=5, **tpu_f_arch_kwargs(meta))
+    assert (f2.stages, f2.stem_patch, f2.norm) == (f.stages, f.stem_patch,
+                                                   f.norm)
+    # missing field (pre-round-3 checkpoints): class defaults
+    assert tpu_f_arch_kwargs(None) == {}

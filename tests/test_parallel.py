@@ -243,3 +243,23 @@ def test_mesh_batch_size_divisibility_error(eight_devices):
     with pytest.raises(ValueError, match="divisible"):
         train_spotwise(f, {"train": (x, y)}, num_epochs=1, batch_size=12,
                        mesh_shape={"data": 8}, verbose=False)
+
+
+def test_cli_mesh_batch_validation_fails_fast(eight_devices):
+    """An incompatible --mesh / --grid-batch-size pair must error BEFORE any
+    training starts (not after hours of f training, at the g stage)."""
+    import argparse
+
+    from gridnext_tpu.cli import _checked_mesh_shape
+
+    args = argparse.Namespace(mesh="data=4,spot=2", batch_size=8,
+                              grid_batch_size=1)
+    with pytest.raises(SystemExit, match="divisible"):
+        _checked_mesh_shape(args, spot_batch=args.batch_size,
+                            grid_batch=args.grid_batch_size)
+    # compatible shapes pass through as the trainers' mesh_shape value
+    args = argparse.Namespace(mesh="data=4,spot=2", batch_size=8,
+                              grid_batch_size=4)
+    assert _checked_mesh_shape(args, spot_batch=8, grid_batch=4) == \
+        {"data": 4, "spot": 2}
+    assert _checked_mesh_shape(argparse.Namespace(mesh=None)) is None

@@ -232,6 +232,17 @@ def test_async_checkpoint_writer(tmp_path):
         writer.wait()
     writer.close()
 
+    # fail FAST: a background failure surfaces at the NEXT save (within an
+    # epoch), not only at the end-of-training drain
+    writer2 = AsyncCheckpointWriter()
+    writer2.save(tmp_path / "also_missing" / "x.msgpack", states[0])
+    with writer2._cv:
+        while writer2._pending or writer2._in_flight:
+            writer2._cv.wait()
+    with pytest.raises(OSError):
+        writer2.save(tmp_path / "ck2.msgpack", states[0])
+    writer2.close()
+
 
 def test_streaming_dataset_matches_materialized(tmp_path):
     """Subset-streamed training == materialized-array training, bit for bit.
