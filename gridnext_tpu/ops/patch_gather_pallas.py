@@ -169,6 +169,15 @@ def gather_patches(imgs32: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
         raise ValueError("imgs32 must be pack_wsi output (int32)")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if window % _LANE_PAD and not interpret:
+        # the staged (window, window) corner is a lane-dim slice of the VMEM
+        # superblock; Mosaic only lowers compiled slices at 128-lane
+        # multiples (the interpreter has no such constraint)
+        raise ValueError(
+            f"window must be a multiple of {_LANE_PAD} (VMEM lane tiling); "
+            f"got {window}. Use the XLA extractor for smaller windows -- "
+            "for dense HD bin lattices use SlideRegistrar.register_dense "
+            "(tiling extraction needs no gather at all).")
     b, hp, wp = imgs32.shape
     blk_r, blk_c = _blk(window)
     if hp < blk_r or wp < blk_c:

@@ -47,6 +47,12 @@ def make_mesh(mesh_shape: Optional[Mapping[str, int]] = None,
     names = tuple(mesh_shape.keys())
     sizes = tuple(mesh_shape.values())
     n = int(np.prod(sizes))
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh shape {dict(mesh_shape)} needs {n} devices but only "
+            f"{len(devices)} visible "
+            f"({[d.platform for d in devices[:4]]}...); for CPU testing set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N")
     dev_array = np.asarray(devices[:n]).reshape(sizes)
     return Mesh(dev_array, names)
 

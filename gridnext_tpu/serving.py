@@ -130,13 +130,24 @@ class SlideRegistrar:
         if extractor not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown extractor {extractor!r}")
         if extractor == "auto":
+            # the DMA gather stages (window, window) VMEM corners, which
+            # Mosaic only lowers at 128-lane multiples
             extractor = ("pallas" if jax.devices()[0].platform == "tpu"
-                         else "xla")
+                         and self.window_size % 128 == 0 else "xla")
+        if (extractor == "pallas" and self.window_size % 128
+                and jax.devices()[0].platform == "tpu"):
+            # compiled-kernel constraint only; interpret mode (off-TPU
+            # tests) lowers any window
+            raise ValueError(
+                f"the pallas extractor needs window_size % 128 == 0 "
+                f"(VMEM lane tiling); got {self.window_size}. Use "
+                "extractor='xla' or register_dense for tiled HD lattices.")
         self.extractor = extractor
         self.mesh = mesh
         self._jitted = jax.jit(self._register, static_argnames=("orig_hw",))
         self._jitted_batch = jax.jit(self._register_batch,
                                      static_argnames=("orig_hw",))
+        self._jitted_dense = jax.jit(self._register_dense)
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
@@ -340,6 +351,83 @@ class SlideRegistrar:
         fg = jnp.zeros((b, self.h_st, self.w_st), jnp.int32)
         fg = fg.at[bidx, oy, ox].set(1, mode="drop")
         return self._labels_from_grid(grid, fg)
+
+    def _register_dense(self, wsi, oy0, ox0, fg):
+        """Tiling-form registration of a full dense square lattice.
+
+        ``(oy0, ox0)``: top-left pixel of bin (0, 0). One dynamic_slice +
+        reshape replaces the per-bin gather entirely -- HD bins tile the
+        capture area contiguously (pitch == window), and at ~30x the Visium
+        spot count per slide the gather is the cost that matters.
+        """
+        from gridnext_tpu.pipeline import resize_patches_device
+
+        hs, ws, w = self.h_st, self.w_st, self.window_size
+        region = jax.lax.dynamic_slice(wsi, (oy0, ox0, 0),
+                                       (hs * w, ws * w, wsi.shape[-1]))
+        crops = region.reshape(hs, w, ws, w, region.shape[-1])
+        crops = crops.transpose(0, 2, 1, 3, 4).reshape(
+            hs * ws, w, w, region.shape[-1])
+        patches = self._normalize(resize_patches_device(crops,
+                                                        self.patch_size))
+        feats = self._apply_f(patches)                       # (hs*ws, f_dim)
+        # background bins carry f(zero-patch), exactly like training grids
+        # and the scatter path (_register): tissue masks the features, not
+        # the input pixels
+        bg_vec = self._bg_vec().astype(feats.dtype)
+        fg_flat = fg.reshape(-1, 1)
+        feats = jnp.where(fg_flat > 0, feats, bg_vec)
+        grid = feats.reshape(1, hs, ws, -1)
+        return self._labels_from_grid(grid, fg[None])[0]
+
+    def register_dense(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
+        """Register a DENSE square bin lattice (Visium HD) by tiling.
+
+        HD bins tile the capture area contiguously (bin pitch == bin size),
+        so when ``window_size`` equals the pitch, patch extraction is one
+        ``dynamic_slice`` + reshape -- no gather at all. Host-side this
+        verifies the positions really form that lattice (every listed bin at
+        ``origin + (row, col) * window_size``) and builds the foreground
+        mask; bins missing from ``positions`` register as background.
+
+        Requires ``hex_coords=False`` (square lattices only) and an unpacked
+        (H, W, 3) WSI. Labels match the per-bin path exactly (pinned in
+        tests); use plain ``__call__`` for irregular/sparse position sets.
+        """
+        if self.hex_coords:
+            raise ValueError("register_dense needs a square lattice "
+                             "(hex_coords=False)")
+        from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+        if isinstance(wsi, PackedWSI):
+            raise ValueError("register_dense slices the raw WSI; pass the "
+                             "unpacked (H, W, 3) image")
+        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
+                                               self.w_st, hex_coords=False)
+        if len(oy) == 0:
+            raise ValueError("no in-lattice bins in positions")
+        w = self.window_size
+        y_px = y_px + pad_offset
+        x_px = x_px + pad_offset
+        # centers sit at origin + idx*w + w//2; derive then verify exactly
+        oy0 = int(y_px[0]) - int(oy[0]) * w - w // 2
+        ox0 = int(x_px[0]) - int(ox[0]) * w - w // 2
+        if (np.any(y_px != oy0 + oy.astype(np.int64) * w + w // 2)
+                or np.any(x_px != ox0 + ox.astype(np.int64) * w + w // 2)):
+            raise ValueError(
+                "positions are not a dense window_size-pitch lattice; use "
+                "the per-bin registration path (__call__) instead")
+        if (oy0 < 0 or ox0 < 0 or oy0 + self.h_st * w > wsi.shape[0]
+                or ox0 + self.w_st * w > wsi.shape[1]):
+            raise ValueError(
+                f"dense lattice [{oy0}:{oy0 + self.h_st * w}, "
+                f"{ox0}:{ox0 + self.w_st * w}] exceeds the "
+                f"{wsi.shape[0]}x{wsi.shape[1]} image; pad the slide (and "
+                "pass pad_offset) so the full lattice is in bounds")
+        fg = np.zeros((self.h_st, self.w_st), np.int32)
+        fg[oy, ox] = 1
+        labels = self._jitted_dense(wsi, oy0, ox0, jnp.asarray(fg))
+        return np.asarray(labels)
 
     def _spot_arrays(self, wsi_shape, positions, pad_offset):
         oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,

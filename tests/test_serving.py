@@ -438,3 +438,55 @@ def test_mesh_sharded_serving_matches_single(sim, tmp_path_factory):
                                   single(wsis[0], poss[0]))
     np.testing.assert_array_equal(sharded.register_batch(wsis, poss),
                                   single.register_batch(wsis, poss))
+
+
+def test_register_dense_matches_per_bin(tmp_path_factory):
+    """Dense-tiling HD registration (one slice + reshape, no gather) ==
+    the per-bin gather path, bin for bin, including the window->patch
+    resize and background bins carrying f(zero-patch)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.models import GridNet
+
+    root = tmp_path_factory.mktemp("serving_dense")
+    binning, hd_grid = "square_016um", (20, 16)
+    s = simulate_spaceranger_dir(root / "hd0", seed=3, n_genes=8, n_classes=3,
+                                 spaceranger_version="hd", hd_grid=hd_grid,
+                                 hd_binning=binning, image=True,
+                                 spot_spacing_px=12)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + hd_grid + (patch, patch, 3)))
+    # window == the simulated bin pitch (12px): the dense-lattice precondition
+    registrar = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                            window_size=12, normalize=None,
+                                            patch_chunk=None,
+                                            h_st=hd_grid[0], w_st=hd_grid[1])
+
+    wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+    pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+    want = registrar(wsi, pos)            # per-bin gather path
+    got = registrar.register_dense(wsi, pos)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got > 0, s["label_grid"] > 0)
+
+    # guardrails: hex lattices and irregular positions are rejected
+    hexr = SlideRegistrar.from_gridnet(
+        GridNetHex(patch_classifier=f, n_classes=3),
+        GridNetHex(patch_classifier=f, n_classes=3).init(
+            jax.random.key(1),
+            jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))),
+        patch_size=patch, normalize=None, patch_chunk=None)
+    with pytest.raises(ValueError, match="square lattice"):
+        hexr.register_dense(wsi, pos)
+    bad = pos.copy()
+    row = np.flatnonzero(bad["in_tissue"].astype(int) == 1)[0]
+    bad.iloc[row, bad.columns.get_loc("pxl_row_in_fullres")] += 1
+    with pytest.raises(ValueError, match="dense"):
+        registrar.register_dense(wsi, bad)
