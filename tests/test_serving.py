@@ -490,3 +490,56 @@ def test_register_dense_matches_per_bin(tmp_path_factory):
     bad.iloc[row, bad.columns.get_loc("pxl_row_in_fullres")] += 1
     with pytest.raises(ValueError, match="dense"):
         registrar.register_dense(wsi, bad)
+
+
+def test_register_slides_square_hd_uses_dense(tmp_path_factory):
+    """The serving loop prefers dense-tiling registration for square-HD
+    registrars (pitch == window), and falls back per-bin when the lattice
+    is irregular -- labels identical either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import GridNet
+    from gridnext_tpu.serving import register_slides
+
+    root = tmp_path_factory.mktemp("serving_dense_loop")
+    binning, hd_grid = "square_016um", (20, 16)
+    sims = [simulate_spaceranger_dir(root / f"hd{i}", seed=3 + i, n_genes=8,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=hd_grid, hd_binning=binning,
+                                     image=True, spot_spacing_px=12)
+            for i in range(2)]
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + hd_grid + (8, 8, 3)))
+
+    def build(window):
+        return SlideRegistrar.from_gridnet(
+            g, variables, patch_size=8, window_size=window, normalize=None,
+            patch_chunk=None, h_st=hd_grid[0], w_st=hd_grid[1])
+
+    files = [s["image_file"] for s in sims]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    # window == pitch: dense path engages; equals direct register_dense
+    reg = build(12)
+    got = {i: lab for i, lab, _ in register_slides(reg, files, dirs,
+                                                   hd_binning=binning)}
+    for i, s in enumerate(sims):
+        from PIL import Image
+
+        wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+        pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+        np.testing.assert_array_equal(got[i], reg.register_dense(wsi, pos))
+    # window != pitch: dense precondition fails, per-bin fallback engages
+    reg8 = build(8)
+    got8 = {i: lab for i, lab, _ in register_slides(reg8, files, dirs,
+                                                    hd_binning=binning)}
+    from PIL import Image
+
+    for i, s in enumerate(sims):
+        wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+        pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+        np.testing.assert_array_equal(got8[i], reg8(wsi, pos))
