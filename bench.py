@@ -443,11 +443,16 @@ def main():
         log(f"batched bench failed: {e}")
     cpu_rate = bench_torch_cpu_image()
     # secondary metrics must not sink the headline OR each other
-    for fn in (bench_tpu_image_alt, bench_tpu_image_hd,
-               bench_count_secondary,
-               bench_count_training_secondary, bench_ingest_secondary):
+    secondary = {}
+    for key, fn in (("tpu_f_spots_per_sec", bench_tpu_image_alt),
+                    ("hd_bins_per_sec", bench_tpu_image_hd),
+                    (None, bench_count_secondary),
+                    (None, bench_count_training_secondary),
+                    (None, bench_ingest_secondary)):
         try:
-            fn()
+            rate = fn()
+            if key is not None and rate is not None:
+                secondary[key] = round(float(rate), 1)
         except Exception as e:
             log(f"secondary bench {fn.__name__} failed: {e}")
 
@@ -472,6 +477,7 @@ def main():
             f"baseline measured single-threaded on a 1-CPU container; "
             f"vs_baseline assumes ideal {PROD_CPU_CORES}-core scaling of the "
             f"torch pipeline (conservative for the TPU side)"),
+        **secondary,
     }))
 
 

@@ -127,19 +127,22 @@ class SlideRegistrar:
         if not self.use_pallas and corrector_apply is None:
             raise ValueError("need corrector_apply when not using the "
                              "Pallas hex corrector")
+        from gridnext_tpu.ops.patch_gather_pallas import _LANE_PAD
+
         if extractor not in ("auto", "pallas", "xla"):
             raise ValueError(f"unknown extractor {extractor!r}")
         if extractor == "auto":
             # the DMA gather stages (window, window) VMEM corners, which
-            # Mosaic only lowers at 128-lane multiples
+            # Mosaic only lowers at lane-tile multiples (the kernel's own
+            # constant, so the two checks can't diverge)
             extractor = ("pallas" if jax.devices()[0].platform == "tpu"
-                         and self.window_size % 128 == 0 else "xla")
-        if (extractor == "pallas" and self.window_size % 128
+                         and self.window_size % _LANE_PAD == 0 else "xla")
+        if (extractor == "pallas" and self.window_size % _LANE_PAD
                 and jax.devices()[0].platform == "tpu"):
             # compiled-kernel constraint only; interpret mode (off-TPU
             # tests) lowers any window
             raise ValueError(
-                f"the pallas extractor needs window_size % 128 == 0 "
+                f"the pallas extractor needs window_size % {_LANE_PAD} == 0 "
                 f"(VMEM lane tiling); got {self.window_size}. Use "
                 "extractor='xla' or register_dense for tiled HD lattices.")
         self.extractor = extractor
@@ -148,6 +151,8 @@ class SlideRegistrar:
         self._jitted_batch = jax.jit(self._register_batch,
                                      static_argnames=("orig_hw",))
         self._jitted_dense = jax.jit(self._register_dense)
+        self._jitted_dense_rs = jax.jit(self._register_dense_resampled,
+                                        static_argnames=("h_band",))
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
@@ -289,6 +294,34 @@ class SlideRegistrar:
             slide = jnp.zeros_like(y_c)
         return fn(wsi, y_c, x_c, slide)[:n]
 
+    def _apply_f_sharded(self, patches):
+        """``_apply_f`` over the flat patch axis of ``self.mesh`` (dense
+        path: extraction is one cheap slice, so only f shards -- each device
+        classifies its patch shard, features all-gather over ICI). Off-mesh
+        this is plain ``_apply_f``."""
+        if self.mesh is None:
+            return self._apply_f(patches)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(self.mesh.axis_names)
+        n = patches.shape[0]
+        pad = (-n) % self.mesh.size
+        if pad:
+            patches = jnp.concatenate(
+                [patches,
+                 jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
+
+        def body(p):
+            return jax.lax.all_gather(self._apply_f(p), axes, axis=0,
+                                      tiled=True)
+
+        fn = shard_map(body, mesh=self.mesh,
+                       in_specs=(P(axes),), out_specs=P(),
+                       check_rep=False)
+        return fn(patches)[:n]
+
     def _apply_f(self, patches):
         n = patches.shape[0]
         chunk = self.patch_chunk
@@ -352,8 +385,20 @@ class SlideRegistrar:
         fg = fg.at[bidx, oy, ox].set(1, mode="drop")
         return self._labels_from_grid(grid, fg)
 
+    def _dense_feats_to_labels(self, feats, fg):
+        """(hs*ws, f_dim) flat features + (hs, ws) fg mask -> (hs, ws) labels.
+
+        Background bins carry f(zero-patch), exactly like training grids and
+        the scatter path (_register): tissue masks the features, not the
+        input pixels.
+        """
+        bg_vec = self._bg_vec().astype(feats.dtype)
+        feats = jnp.where(fg.reshape(-1, 1) > 0, feats, bg_vec)
+        grid = feats.reshape(1, self.h_st, self.w_st, -1)
+        return self._labels_from_grid(grid, fg[None])[0]
+
     def _register_dense(self, wsi, oy0, ox0, fg):
-        """Tiling-form registration of a full dense square lattice.
+        """Tiling-form registration of an exact integer-pitch lattice.
 
         ``(oy0, ox0)``: top-left pixel of bin (0, 0). One dynamic_slice +
         reshape replaces the per-bin gather entirely -- HD bins tile the
@@ -370,29 +415,129 @@ class SlideRegistrar:
             hs * ws, w, w, region.shape[-1])
         patches = self._normalize(resize_patches_device(crops,
                                                         self.patch_size))
-        feats = self._apply_f(patches)                       # (hs*ws, f_dim)
-        # background bins carry f(zero-patch), exactly like training grids
-        # and the scatter path (_register): tissue masks the features, not
-        # the input pixels
-        bg_vec = self._bg_vec().astype(feats.dtype)
-        fg_flat = fg.reshape(-1, 1)
-        feats = jnp.where(fg_flat > 0, feats, bg_vec)
-        grid = feats.reshape(1, hs, ws, -1)
-        return self._labels_from_grid(grid, fg[None])[0]
+        feats = self._apply_f_sharded(patches)               # (hs*ws, f_dim)
+        return self._dense_feats_to_labels(feats, fg)
+
+    def _register_dense_resampled(self, wsi, y0, x0, py, px_, fg, *, h_band):
+        """Fractional-pitch dense lattice: banded lattice resampling.
+
+        Real Spaceranger HD positions step at 16um / microns-per-pixel --
+        generally a NON-integer fullres pixel pitch, so integer tiling would
+        drift by pixels across the lattice. Instead each bin row-band
+        resamples (jax.image.scale_and_translate, linear) straight to patch
+        scale, sampling the exact fractional bin extents; a lax.map over
+        bands keeps peak memory at one band, and the band stack IS the
+        patch tensor (no gather, no per-bin resize).
+        """
+        hs, ws, p = self.h_st, self.w_st, self.patch_size
+        c = wsi.shape[-1]
+        w_img = wsi.shape[1]
+        scale = jnp.stack([p / py, p / px_])
+
+        def band(r):
+            sy = y0 + r * py                       # fractional band top
+            iy = jnp.clip(jnp.floor(sy).astype(jnp.int32) - 1, 0,
+                          wsi.shape[0] - h_band)
+            rows = jax.lax.dynamic_slice(
+                wsi, (iy, 0, 0), (h_band, w_img, c)).astype(jnp.float32)
+            # input coord u maps to output scale*u + translation: bin col 0
+            # must land at output x 0 -> translation_x = -x0 * scale_x (and
+            # the band's own fractional top for y)
+            trans = jnp.stack([-(sy - iy) * (p / py), -x0 * (p / px_)])
+            return jax.image.scale_and_translate(
+                rows, (p, ws * p, c), (0, 1), scale, trans, method="linear")
+
+        bands = jax.lax.map(band, jnp.arange(hs))  # (hs, P, ws*P, C)
+        patches = bands.reshape(hs, p, ws, p, c).transpose(0, 2, 1, 3, 4)
+        patches = self._normalize(patches.reshape(hs * ws, p, p, c))
+        feats = self._apply_f_sharded(patches)
+        return self._dense_feats_to_labels(feats, fg)
+
+    def _dense_plan(self, wsi_shape, positions, pad_offset: int = 0):
+        """Host-side dense-lattice analysis -> an execution plan or None.
+
+        Fits ``center = origin + (idx + 1/2) * pitch`` per axis by least
+        squares over the listed in-lattice bins. Returns
+        ``("exact", oy0, ox0, fg)`` when the pitch is exactly the integer
+        ``window_size`` (tiling path, bit-identical to per-bin),
+        ``("resample", y0, x0, py, px, fg, h_band)`` when the lattice is
+        regular to <=0.5 px but fractional-pitch (real Spaceranger HD), and
+        None when the positions aren't a dense regular lattice at all.
+        """
+        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
+                                               self.w_st, hex_coords=False)
+        if len(oy) == 0 or len(np.unique(oy)) < 2 or len(np.unique(ox)) < 2:
+            return None
+        y_px = y_px.astype(np.float64) + pad_offset
+        x_px = x_px.astype(np.float64) + pad_offset
+
+        def fit(idx, px):
+            a = np.stack([np.ones_like(idx, np.float64), idx], axis=1)
+            (b0, pitch), *_ = np.linalg.lstsq(a, px, rcond=None)
+            res = np.abs(px - (b0 + pitch * idx)).max()
+            return b0, pitch, res
+
+        by, pitch_y, res_y = fit(oy.astype(np.float64), y_px)
+        bx, pitch_x, res_x = fit(ox.astype(np.float64), x_px)
+        if (max(res_y, res_x) > 0.5 or pitch_y <= 1 or pitch_x <= 1):
+            return None
+        fg = np.zeros((self.h_st, self.w_st), np.int32)
+        fg[oy, ox] = 1
+        w = self.window_size
+        h_img, w_img = wsi_shape[0], wsi_shape[1]
+        # exact tiling when the fitted lattice is the integer window pitch
+        # (lstsq of exact integer data leaves ~1e-12 float residue)
+        tol = 1e-6
+        int_pitch = (abs(pitch_y - w) < tol and abs(pitch_x - w) < tol
+                     and res_y < tol and res_x < tol
+                     and abs(by - round(by)) < tol
+                     and abs(bx - round(bx)) < tol)
+        if int_pitch:
+            oy0, ox0 = round(by) - w // 2, round(bx) - w // 2
+            if (oy0 >= 0 and ox0 >= 0 and oy0 + self.h_st * w <= h_img
+                    and ox0 + self.w_st * w <= w_img):
+                return ("exact", oy0, ox0, fg)
+            return None
+        # fractional (or shifted) regular lattice -> resample plan, but only
+        # when the window means "the full bin" (window ~ pitch): a window
+        # much smaller than the pitch asks for center CROPS, which only the
+        # per-bin gather provides. Bands clamp at image borders like the
+        # per-bin path's coordinate clip.
+        if abs(pitch_y - w) > 1.0 or abs(pitch_x - w) > 1.0:
+            return None
+        y0 = by - pitch_y / 2
+        x0 = bx - pitch_x / 2
+        h_band = int(np.ceil(pitch_y)) + 3
+        if h_band > h_img or self.w_st * pitch_x > w_img + pitch_x:
+            return None
+        return ("resample", float(y0), float(x0), float(pitch_y),
+                float(pitch_x), fg, h_band)
+
+    def dense_applicable(self, wsi, positions, pad_offset: int = 0) -> bool:
+        """True when :meth:`register_dense` will accept these inputs --
+        square registrar, unpacked WSI, dense regular lattice in bounds."""
+        from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+        if self.hex_coords or isinstance(wsi, PackedWSI):
+            return False
+        return self._dense_plan(wsi.shape, positions, pad_offset) is not None
 
     def register_dense(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
         """Register a DENSE square bin lattice (Visium HD) by tiling.
 
         HD bins tile the capture area contiguously (bin pitch == bin size),
-        so when ``window_size`` equals the pitch, patch extraction is one
-        ``dynamic_slice`` + reshape -- no gather at all. Host-side this
-        verifies the positions really form that lattice (every listed bin at
-        ``origin + (row, col) * window_size``) and builds the foreground
-        mask; bins missing from ``positions`` register as background.
+        so patch extraction needs no per-bin gather: integer-pitch lattices
+        (pitch == ``window_size`` exactly) register from ONE dynamic_slice +
+        reshape with labels bit-identical to the per-bin path, and
+        fractional-pitch lattices (real Spaceranger HD: pitch = 16um /
+        microns-per-pixel) register through a banded lattice resample that
+        samples the exact bin extents. Bins missing from ``positions``
+        register as background.
 
         Requires ``hex_coords=False`` (square lattices only) and an unpacked
-        (H, W, 3) WSI. Labels match the per-bin path exactly (pinned in
-        tests); use plain ``__call__`` for irregular/sparse position sets.
+        (H, W, 3) WSI; raises ValueError for irregular/sparse position sets
+        (use plain ``__call__`` there, or :meth:`dense_applicable` to probe
+        first).
         """
         if self.hex_coords:
             raise ValueError("register_dense needs a square lattice "
@@ -402,31 +547,20 @@ class SlideRegistrar:
         if isinstance(wsi, PackedWSI):
             raise ValueError("register_dense slices the raw WSI; pass the "
                              "unpacked (H, W, 3) image")
-        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
-                                               self.w_st, hex_coords=False)
-        if len(oy) == 0:
-            raise ValueError("no in-lattice bins in positions")
-        w = self.window_size
-        y_px = y_px + pad_offset
-        x_px = x_px + pad_offset
-        # centers sit at origin + idx*w + w//2; derive then verify exactly
-        oy0 = int(y_px[0]) - int(oy[0]) * w - w // 2
-        ox0 = int(x_px[0]) - int(ox[0]) * w - w // 2
-        if (np.any(y_px != oy0 + oy.astype(np.int64) * w + w // 2)
-                or np.any(x_px != ox0 + ox.astype(np.int64) * w + w // 2)):
+        plan = self._dense_plan(wsi.shape, positions, pad_offset)
+        if plan is None:
             raise ValueError(
-                "positions are not a dense window_size-pitch lattice; use "
-                "the per-bin registration path (__call__) instead")
-        if (oy0 < 0 or ox0 < 0 or oy0 + self.h_st * w > wsi.shape[0]
-                or ox0 + self.w_st * w > wsi.shape[1]):
-            raise ValueError(
-                f"dense lattice [{oy0}:{oy0 + self.h_st * w}, "
-                f"{ox0}:{ox0 + self.w_st * w}] exceeds the "
-                f"{wsi.shape[0]}x{wsi.shape[1]} image; pad the slide (and "
-                "pass pad_offset) so the full lattice is in bounds")
-        fg = np.zeros((self.h_st, self.w_st), np.int32)
-        fg[oy, ox] = 1
-        labels = self._jitted_dense(wsi, oy0, ox0, jnp.asarray(fg))
+                "positions are not a dense regular lattice (or it exceeds "
+                "the image); use the per-bin registration path (__call__) "
+                "instead")
+        if plan[0] == "exact":
+            _, oy0, ox0, fg = plan
+            labels = self._jitted_dense(wsi, oy0, ox0, jnp.asarray(fg))
+        else:
+            _, y0, x0, py, px_, fg, h_band = plan
+            labels = self._jitted_dense_rs(
+                wsi, jnp.float32(y0), jnp.float32(x0), jnp.float32(py),
+                jnp.float32(px_), jnp.asarray(fg), h_band=h_band)
         return np.asarray(labels)
 
     def _spot_arrays(self, wsi_shape, positions, pad_offset):
@@ -554,35 +688,43 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
 
         # pallas-extractor registrars take pre-packed slides: run pack_wsi
         # at staging time (behind the previous batch's registration) so the
-        # ~6 ms/slide pack never sits on the registration dispatch.
+        # ~6 ms/slide pack never sits on the registration dispatch. Square
+        # registrars stay unpacked -- the dense-tiling route (preferred for
+        # HD lattices) slices the raw WSI; per-bin fallbacks pack in-dispatch.
         source = SlideSource(image_files, spaceranger_dirs,
                              hd_binning=hd_binning,
                              prefetch=prefetch or slide_batch + 1,
-                             pack=(registrar.extractor == "pallas"))
+                             pack=(registrar.extractor == "pallas"
+                                   and registrar.hex_coords))
     timer = source.timer
 
     from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
 
     def flush(group):
+        out = []
         if not registrar.hex_coords:
-            # square HD lattices: prefer the dense-tiling path (one slice +
-            # reshape instead of a per-bin gather -- 3.2M bins/s measured at
-            # 16um capture-area scale); irregular/sparse position sets fall
-            # back to per-bin registration per slide.
-            out = []
-            for i, wsi, pos in group:
-                with timer("register"):
-                    try:
-                        labels = registrar.register_dense(wsi, pos)
-                    except ValueError:
-                        labels = registrar(wsi, pos)
-                out.append((i, labels, pos))
-            return out
+            # square HD lattices: prefer the dense-tiling path (no per-bin
+            # gather -- 3.2M bins/s measured at 16um capture-area scale).
+            # The explicit predicate (not exception control flow) decides:
+            # genuine dense-path errors surface, and slides that fail the
+            # dense precondition keep the batched per-bin dispatch below.
+            rest = []
+            for item in group:
+                i, wsi, pos = item
+                if registrar.dense_applicable(wsi, pos):
+                    with timer("register"):
+                        out.append((i, registrar.register_dense(wsi, pos),
+                                    pos))
+                else:
+                    rest.append(item)
+            group = rest
+            if not group:
+                return out
         if len(group) == 1:
             i, wsi, pos = group[0]
             with timer("register"):
                 labels = registrar(wsi, pos)
-            return [(i, labels, pos)]
+            return out + [(i, labels, pos)]
         idxs, wsis, poss = zip(*group)
         if isinstance(wsis[0], PackedWSI):
             wsis = PackedWSI(jnp.stack([w.data for w in wsis]),
@@ -591,7 +733,8 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
             wsis = jnp.stack(wsis)
         with timer("register"):
             labels = registrar.register_batch(wsis, list(poss))
-        return [(i, labels[k], p) for k, (i, p) in enumerate(zip(idxs, poss))]
+        return out + [(i, labels[k], p)
+                      for k, (i, p) in enumerate(zip(idxs, poss))]
 
     groups: dict = {}
     for i, wsi, pos in source:

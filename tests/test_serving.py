@@ -476,6 +476,16 @@ def test_register_dense_matches_per_bin(tmp_path_factory):
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(got > 0, s["label_grid"] > 0)
 
+    # mesh-sharded dense serving: f shards over the flat bin axis, labels
+    # identical (the dense path must not silently drop the mesh)
+    from gridnext_tpu.parallel import make_mesh
+
+    reg_mesh = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, window_size=12, normalize=None,
+        patch_chunk=None, h_st=hd_grid[0], w_st=hd_grid[1],
+        mesh=make_mesh({"data": 8}))
+    np.testing.assert_array_equal(reg_mesh.register_dense(wsi, pos), got)
+
     # guardrails: hex lattices and irregular positions are rejected
     hexr = SlideRegistrar.from_gridnet(
         GridNetHex(patch_classifier=f, n_classes=3),
@@ -543,3 +553,61 @@ def test_register_slides_square_hd_uses_dense(tmp_path_factory):
         wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
         pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
         np.testing.assert_array_equal(got8[i], reg8(wsi, pos))
+
+
+def test_register_dense_fractional_pitch():
+    """Real Spaceranger HD lattices have FRACTIONAL fullres pixel pitch
+    (16um / microns-per-pixel); the dense path must still engage -- via the
+    banded lattice resample -- and agree with the per-bin gather path."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from gridnext_tpu.models import GridNet
+
+    hd_grid, pitch, origin = (20, 16), 12.6, (30.7, 25.3)
+    rng = np.random.default_rng(4)
+    rows = np.repeat(np.arange(hd_grid[0]), hd_grid[1])
+    cols = np.tile(np.arange(hd_grid[1]), hd_grid[0])
+    y_c = np.rint(origin[0] + (rows + 0.5) * pitch).astype(int)
+    x_c = np.rint(origin[1] + (cols + 0.5) * pitch).astype(int)
+    in_tissue = (rng.random(len(rows)) < 0.7).astype(int)
+    pos = pd.DataFrame({"in_tissue": in_tissue, "array_row": rows,
+                        "array_col": cols, "pxl_row_in_fullres": y_c,
+                        "pxl_col_in_fullres": x_c},
+                       index=[f"b{i}" for i in range(len(rows))])
+    wsi = jnp.asarray(rng.integers(0, 255, (320, 280, 3), dtype=np.uint8))
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + hd_grid + (patch, patch, 3)))
+    reg = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                      window_size=13,  # ~ the 12.6px pitch
+                                      normalize=None, patch_chunk=None,
+                                      h_st=hd_grid[0], w_st=hd_grid[1])
+
+    assert reg.dense_applicable(wsi, pos)
+    plan = reg._dense_plan(wsi.shape, pos)
+    assert plan[0] == "resample"
+    assert abs(plan[3] - pitch) < 0.05 and abs(plan[4] - pitch) < 0.05
+
+    got = reg.register_dense(wsi, pos)
+    want = reg(wsi, pos)                       # per-bin gather path
+    fg = np.zeros(hd_grid, np.int32)
+    fg[rows[in_tissue == 1], cols[in_tissue == 1]] = 1
+    np.testing.assert_array_equal(got > 0, fg > 0)
+    # resampled full-bin extents vs 13px center crops: near-identical
+    # patches, so label agreement on tissue must be high (argmax flips only
+    # where f is uncertain)
+    agree = (got[fg > 0] == want[fg > 0]).mean()
+    assert agree >= 0.9, agree
+
+    # a window far from the pitch means center crops -- dense must decline
+    reg_crop = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                           window_size=8, normalize=None,
+                                           patch_chunk=None,
+                                           h_st=hd_grid[0], w_st=hd_grid[1])
+    assert not reg_crop.dense_applicable(wsi, pos)
