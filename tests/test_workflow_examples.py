@@ -255,3 +255,15 @@ def test_scbert_mm_fullscale_smoke():
                                   "--depth", "2"])
     assert r["forward_ms_per_array"] > 0
     assert r["train_ms_per_array"] > 0
+
+
+@pytest.mark.slow
+def test_visium_hd_fullscale_smoke():
+    """The HD capture-area-scale training artifact at reduced dims (full
+    384x384 scale runs on the real TPU; ms/array in docs/roadmap.md)."""
+    import visium_hd_fullscale
+
+    r = visium_hd_fullscale.main(["--grid", "8", "8", "--patch-px", "32",
+                                  "--patch-chunk", "16"])
+    assert r["forward_ms_per_array"] > 0
+    assert r["train_ms_per_array"] > 0
