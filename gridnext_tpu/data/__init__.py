@@ -10,4 +10,5 @@ from gridnext_tpu.data.datasets import (  # noqa: F401
     load_count_dataset,
     load_count_grid_dataset,
 )
+from gridnext_tpu.data.dense_ingest import DenseWSIGridDataset  # noqa: F401
 from gridnext_tpu.data.simulate import simulate_spaceranger_dir  # noqa: F401

@@ -65,6 +65,72 @@ def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
 _SPOT_BUCKET = 128
 
 
+def fit_dense_lattice(positions, h_st: int, w_st: int, window: int,
+                      wsi_shape=None, pad_offset: int = 0):
+    """Host-side dense-lattice analysis -> an execution plan or None.
+
+    Fits ``center = origin + (idx + 1/2) * pitch`` per axis by least squares
+    over the listed in-lattice bins of a square (``hex_coords=False``)
+    positions frame. Returns ``("exact", oy0, ox0, fg)`` when the pitch is
+    exactly the integer ``window`` (tiling: one slice + reshape,
+    bit-identical to per-bin extraction), ``("resample", y0, x0, py, px,
+    fg, h_band)`` when the lattice is regular to <=0.5 px but
+    fractional-pitch (real Spaceranger HD: pitch = 16um/mpp) and ``window``
+    means the full bin (|pitch - window| <= 1), and None when the positions
+    aren't a dense regular lattice (or it exceeds ``wsi_shape``).
+    ``fg`` is the (h_st, w_st) in-tissue mask of the listed bins.
+    """
+    oy, ox, y_px, x_px = spot_pixel_arrays(positions, h_st, w_st,
+                                           hex_coords=False)
+    if len(oy) == 0 or len(np.unique(oy)) < 2 or len(np.unique(ox)) < 2:
+        return None
+    y_px = y_px.astype(np.float64) + pad_offset
+    x_px = x_px.astype(np.float64) + pad_offset
+
+    def fit(idx, px):
+        a = np.stack([np.ones_like(idx, np.float64), idx], axis=1)
+        (b0, pitch), *_ = np.linalg.lstsq(a, px, rcond=None)
+        res = np.abs(px - (b0 + pitch * idx)).max()
+        return b0, pitch, res
+
+    by, pitch_y, res_y = fit(oy.astype(np.float64), y_px)
+    bx, pitch_x, res_x = fit(ox.astype(np.float64), x_px)
+    if (max(res_y, res_x) > 0.5 or pitch_y <= 1 or pitch_x <= 1):
+        return None
+    fg = np.zeros((h_st, w_st), np.int32)
+    fg[oy, ox] = 1
+    w = window
+    h_img, w_img = ((wsi_shape[0], wsi_shape[1]) if wsi_shape is not None
+                    else (np.inf, np.inf))
+    # exact tiling when the fitted lattice is the integer window pitch
+    # (lstsq of exact integer data leaves ~1e-12 float residue)
+    tol = 1e-6
+    int_pitch = (abs(pitch_y - w) < tol and abs(pitch_x - w) < tol
+                 and res_y < tol and res_x < tol
+                 and abs(by - round(by)) < tol
+                 and abs(bx - round(bx)) < tol)
+    if int_pitch:
+        oy0, ox0 = round(by) - w // 2, round(bx) - w // 2
+        if (oy0 >= 0 and ox0 >= 0 and oy0 + h_st * w <= h_img
+                and ox0 + w_st * w <= w_img):
+            return ("exact", oy0, ox0, fg)
+        return None
+    # fractional (or shifted) regular lattice -> resample plan, but only
+    # when the window means "the full bin" (window ~ pitch): a window much
+    # smaller than the pitch asks for center CROPS, which only the per-bin
+    # gather provides. Bands clamp at image borders like the per-bin path's
+    # coordinate clip.
+    if abs(pitch_y - w) > 1.0 or abs(pitch_x - w) > 1.0:
+        return None
+    y0 = by - pitch_y / 2
+    x0 = bx - pitch_x / 2
+    h_band = int(np.ceil(pitch_y)) + 3
+    if h_band > h_img or w_st * pitch_x > w_img + pitch_x:
+        return None
+    return ("resample", float(y0), float(x0), float(pitch_y),
+            float(pitch_x), fg, h_band)
+
+
 class SlideRegistrar:
     """Jitted full-slide registration: image -> label grid.
 
@@ -454,64 +520,9 @@ class SlideRegistrar:
         return self._dense_feats_to_labels(feats, fg)
 
     def _dense_plan(self, wsi_shape, positions, pad_offset: int = 0):
-        """Host-side dense-lattice analysis -> an execution plan or None.
-
-        Fits ``center = origin + (idx + 1/2) * pitch`` per axis by least
-        squares over the listed in-lattice bins. Returns
-        ``("exact", oy0, ox0, fg)`` when the pitch is exactly the integer
-        ``window_size`` (tiling path, bit-identical to per-bin),
-        ``("resample", y0, x0, py, px, fg, h_band)`` when the lattice is
-        regular to <=0.5 px but fractional-pitch (real Spaceranger HD), and
-        None when the positions aren't a dense regular lattice at all.
-        """
-        oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
-                                               self.w_st, hex_coords=False)
-        if len(oy) == 0 or len(np.unique(oy)) < 2 or len(np.unique(ox)) < 2:
-            return None
-        y_px = y_px.astype(np.float64) + pad_offset
-        x_px = x_px.astype(np.float64) + pad_offset
-
-        def fit(idx, px):
-            a = np.stack([np.ones_like(idx, np.float64), idx], axis=1)
-            (b0, pitch), *_ = np.linalg.lstsq(a, px, rcond=None)
-            res = np.abs(px - (b0 + pitch * idx)).max()
-            return b0, pitch, res
-
-        by, pitch_y, res_y = fit(oy.astype(np.float64), y_px)
-        bx, pitch_x, res_x = fit(ox.astype(np.float64), x_px)
-        if (max(res_y, res_x) > 0.5 or pitch_y <= 1 or pitch_x <= 1):
-            return None
-        fg = np.zeros((self.h_st, self.w_st), np.int32)
-        fg[oy, ox] = 1
-        w = self.window_size
-        h_img, w_img = wsi_shape[0], wsi_shape[1]
-        # exact tiling when the fitted lattice is the integer window pitch
-        # (lstsq of exact integer data leaves ~1e-12 float residue)
-        tol = 1e-6
-        int_pitch = (abs(pitch_y - w) < tol and abs(pitch_x - w) < tol
-                     and res_y < tol and res_x < tol
-                     and abs(by - round(by)) < tol
-                     and abs(bx - round(bx)) < tol)
-        if int_pitch:
-            oy0, ox0 = round(by) - w // 2, round(bx) - w // 2
-            if (oy0 >= 0 and ox0 >= 0 and oy0 + self.h_st * w <= h_img
-                    and ox0 + self.w_st * w <= w_img):
-                return ("exact", oy0, ox0, fg)
-            return None
-        # fractional (or shifted) regular lattice -> resample plan, but only
-        # when the window means "the full bin" (window ~ pitch): a window
-        # much smaller than the pitch asks for center CROPS, which only the
-        # per-bin gather provides. Bands clamp at image borders like the
-        # per-bin path's coordinate clip.
-        if abs(pitch_y - w) > 1.0 or abs(pitch_x - w) > 1.0:
-            return None
-        y0 = by - pitch_y / 2
-        x0 = bx - pitch_x / 2
-        h_band = int(np.ceil(pitch_y)) + 3
-        if h_band > h_img or self.w_st * pitch_x > w_img + pitch_x:
-            return None
-        return ("resample", float(y0), float(x0), float(pitch_y),
-                float(pitch_x), fg, h_band)
+        """:func:`fit_dense_lattice` for this registrar's lattice/window."""
+        return fit_dense_lattice(positions, self.h_st, self.w_st,
+                                 self.window_size, wsi_shape, pad_offset)
 
     def dense_applicable(self, wsi, positions, pad_offset: int = 0) -> bool:
         """True when :meth:`register_dense` will accept these inputs --

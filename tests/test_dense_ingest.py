@@ -1,0 +1,106 @@
+"""DenseWSIGridDataset: HD training grids tiled straight from slides."""
+
+import numpy as np
+import pytest
+
+from gridnext_tpu.data import DenseWSIGridDataset, simulate_spaceranger_dir
+from gridnext_tpu.io import read_positions
+from gridnext_tpu.serving import spot_pixel_arrays
+
+
+@pytest.fixture(scope="module")
+def hd(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dense_ingest")
+    binning, hd_grid, pitch = "square_016um", (14, 12), 12
+    sims = [simulate_spaceranger_dir(root / f"a{i}", seed=3 + i, n_genes=8,
+                                     n_classes=3, spaceranger_version="hd",
+                                     hd_grid=hd_grid, hd_binning=binning,
+                                     image=True, spot_spacing_px=pitch)
+            for i in range(2)]
+    return sims, binning, hd_grid, pitch
+
+
+def test_grid_matches_per_bin_extraction(hd):
+    """Tiled grids == per-bin crops from the decoded slide, bit for bit
+    (pitch == patch, so extraction is a pure gather either way), with
+    background bins zeroed and labels placed like the cache datasets."""
+    from PIL import Image
+
+    sims, binning, hd_grid, pitch = hd
+    ds = DenseWSIGridDataset([s["image_file"] for s in sims],
+                             [s["spaceranger_dir"] for s in sims],
+                             [s["annot_file"] for s in sims],
+                             patch_size=pitch, hd_binning=binning,
+                             grid_dims=hd_grid)
+    assert len(ds) == 2
+    assert ds.classes is not None and len(ds.classes) == 3
+
+    for i, s in enumerate(sims):
+        grid, annots = ds[i]
+        assert grid.shape == hd_grid + (pitch, pitch, 3)
+        assert grid.dtype == np.float32 and annots.dtype == np.int64
+        fg = s["label_grid"] > 0
+        np.testing.assert_array_equal(annots > 0, fg)
+
+        wsi = np.asarray(Image.open(s["image_file"]).convert("RGB"))
+        pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+        oy, ox, ypx, xpx = spot_pixel_arrays(pos, *hd_grid,
+                                             hex_coords=False)
+        h = pitch // 2
+        for k in range(0, len(oy), 7):   # spot-check a spread of bins
+            want = wsi[ypx[k] - h:ypx[k] + h,
+                       xpx[k] - h:xpx[k] + h].astype(np.float32) / 255.0
+            np.testing.assert_array_equal(grid[oy[k], ox[k]], want)
+        # background bins are zero patches (training convention)
+        bg = ~fg
+        assert float(np.abs(grid[bg]).max()) == 0.0
+
+    # no annotations: labels all zero, grids unchanged
+    ds0 = DenseWSIGridDataset([sims[0]["image_file"]],
+                              [sims[0]["spaceranger_dir"]],
+                              patch_size=pitch, hd_binning=binning,
+                              grid_dims=hd_grid)
+    g0, a0 = ds0[0]
+    assert a0.sum() == 0
+    np.testing.assert_array_equal(g0, ds[0][0])
+
+    # sample_item: cheap, correctly shaped, no decode
+    assert ds.sample_item().shape == hd_grid + (pitch, pitch, 3)
+
+
+def test_non_dense_lattice_rejected(hd):
+    sims, binning, hd_grid, pitch = hd
+    ds = DenseWSIGridDataset([sims[0]["image_file"]],
+                             [sims[0]["spaceranger_dir"]],
+                             patch_size=pitch + 2,   # != lattice pitch
+                             hd_binning=binning, grid_dims=hd_grid)
+    with pytest.raises(ValueError, match="dense ingest"):
+        ds[0]
+
+
+def test_train_gridwise_on_dense_ingest(hd):
+    """The dense dataset feeds the public gridwise trainer directly --
+    f AND corrector train, loss decreases over a few epochs."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import GridNet, TpuPatchClassifier
+    from gridnext_tpu.train import (create_train_state,
+                                    make_gridwise_optimizer, train_gridwise)
+
+    sims, binning, hd_grid, pitch = hd
+    ds = DenseWSIGridDataset([s["image_file"] for s in sims],
+                             [s["spaceranger_dir"] for s in sims],
+                             [s["annot_file"] for s in sims],
+                             patch_size=pitch, hd_binning=binning,
+                             grid_dims=hd_grid)
+    f = TpuPatchClassifier(n_classes=3, stages=((128, 1),), stem_patch=4)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(3e-3, f_lr=3e-4)
+    state = create_train_state(g, jax.random.key(0),
+                               jnp.asarray(ds.sample_item()[None]), tx)
+    state, _, hist = train_gridwise(g, {"train": ds}, state=state, tx=tx,
+                                    num_epochs=4, batch_size=2,
+                                    verbose=False)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
