@@ -185,7 +185,9 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     classes = list(grids.classes)
     mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size,
                                      grid_batch=args.grid_batch_size)
-    print(f"{len(spots)} spots, {len(grids)} arrays, classes: {classes}"
+    spot_desc = ("joint f+g (dense ingest)" if spots is None
+                 else f"{len(spots)} spots")
+    print(f"{spot_desc}, {len(grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else "")
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
@@ -196,21 +198,27 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
     # shuffled stratification-friendly split (file order is spatially sorted)
     split_kw = dict(seed=getattr(args, 'split_seed', 0),
                     val_arrays=getattr(args, 'val_arrays', None))
-    dls_f = _split_dls(spots, 5, stream, transform, **split_kw)
-    f_state, *_ = train_spotwise(
-        f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
-        batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
-        outfile=f_out, resume=_resume_path(args, f_out))
+    f_state = None
+    if spots is not None:
+        dls_f = _split_dls(spots, 5, stream, transform, **split_kw)
+        f_state, *_ = train_spotwise(
+            f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
+            batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
+            outfile=f_out, resume=_resume_path(args, f_out))
 
     g_cls = GridNet if corrector == "square" else GridNetHex
     g = g_cls(patch_classifier=f, n_classes=len(classes),
               patch_chunk=patch_chunk)
+    # dense ingest has no spotwise stage: every grid step already batches
+    # the full bin lattice through f, so f trains jointly with g instead
+    joint_f = args.finetune_f or spots is None
     tx = make_gridwise_optimizer(args.g_lr,
-                                 f_lr=args.f_lr if args.finetune_f else None)
+                                 f_lr=args.f_lr if joint_f else None)
     dls = _split_dls(grids, 4, stream, transform, val_if_single=False,
                      **split_kw)
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
-    state = load_f_params(state, f_state.variables())
+    if f_state is not None:
+        state = load_f_params(state, f_state.variables())
     state, *_ = train_gridwise(g, dls, state=state, tx=tx,
                                num_epochs=args.epochs, verbose=True,
                                batch_size=args.grid_batch_size,
@@ -396,13 +404,35 @@ def _cmd_train_image(args):
     _check_image_args(args)
     hd_binning, grid_dims = _parse_hd_args(args, require_dims=True,
                                            what="image training")
-    kw = dict(annot_files=args.annots, use_count=False, use_image=True,
-              fullres_image_files=args.images, patch_size_px=args.patch_px,
-              window_size_px=args.window_px, hd_binning=hd_binning)
-    spots = create_visium_dataset(args.spaceranger, spatial=False,
-                                  grid_dims=grid_dims, **kw)
-    grids = create_visium_dataset(args.spaceranger, spatial=True,
-                                  grid_dims=grid_dims, **kw)
+    if args.dense_ingest:
+        # HD bins tile the slide (pitch == bin size): the whole training
+        # grid is one reshape of the decoded slide -- no patch cache, no
+        # spotwise stage (each grid step already batches every bin
+        # through f, so f trains jointly with g). data/dense_ingest.py.
+        from gridnext_tpu.data import DenseWSIGridDataset
+
+        if grid_dims is None:
+            sys.exit("error: --dense-ingest needs a square HD bin lattice "
+                     "(--grid-dims / --hd-binning); Visium pseudo-hex "
+                     "spots don't tile the slide")
+        if args.window_px is not None and args.window_px != args.patch_px:
+            sys.exit("error: --dense-ingest extracts whole bins (window == "
+                     "pitch == --patch-px); drop --window-px or use the "
+                     "cache-based pipeline")
+        spots = None
+        grids = DenseWSIGridDataset(args.images, args.spaceranger,
+                                    args.annots, patch_size=args.patch_px,
+                                    hd_binning=hd_binning,
+                                    grid_dims=grid_dims)
+    else:
+        kw = dict(annot_files=args.annots, use_count=False, use_image=True,
+                  fullres_image_files=args.images,
+                  patch_size_px=args.patch_px,
+                  window_size_px=args.window_px, hd_binning=hd_binning)
+        spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                      grid_dims=grid_dims, **kw)
+        grids = create_visium_dataset(args.spaceranger, spatial=True,
+                                      grid_dims=grid_dims, **kw)
 
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
     g_name = "GridNet" if square else "GridNetHex"
@@ -423,7 +453,8 @@ def _cmd_train_image(args):
                "model": model_name, "tpu_f": tpu_f_meta,
                "image_f": args.f, "hd_binning": hd_binning,
                "grid_dims": ([grids.h_st, grids.w_st] if square else None),
-               "patch_chunk": args.patch_chunk},
+               "patch_chunk": args.patch_chunk,
+               "dense_ingest": bool(args.dense_ingest)},
               patch_chunk=args.patch_chunk, stream=not args.no_stream,
               corrector="square" if square else "hex")
 
@@ -994,6 +1025,12 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
+    s.add_argument("--dense-ingest", action="store_true",
+                   help="square-HD only: tile training grids straight from "
+                        "the fullres slides (bins tile the image, so no "
+                        "per-bin JPEG patch cache is written -- ~147k "
+                        "files/slide saved at capture-area scale); skips "
+                        "the spotwise stage and trains f jointly with g")
     _add_hd_args(s, "GridNet")
     _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_image)

@@ -49,7 +49,9 @@ class DenseWSIGridDataset:
         annotation stay 0/background like the cache-based datasets).
       patch_size: bin patch side in pixels; must equal the lattice pitch.
       hd_binning: Visium HD binned-output name for position lookup.
-      grid_dims: (h_st, w_st) bin lattice dims.
+      grid_dims: (h_st, w_st) bin lattice dims, or "auto" to infer the
+        cohort-max lattice from positions (the factory's semantics,
+        datasets.create_visium_dataset).
       decode: override the slide decode function (ingest.decode_slide).
 
     Background bins (not listed in positions / not in tissue) are zeroed,
@@ -70,8 +72,21 @@ class DenseWSIGridDataset:
         self.annot_files = (list(annot_files) if annot_files is not None
                             else None)
         self.patch_size = int(patch_size)
-        self.h_st, self.w_st = int(grid_dims[0]), int(grid_dims[1])
         self.hd_binning = hd_binning
+        if isinstance(grid_dims, str):
+            if grid_dims != "auto":
+                raise ValueError(f"grid_dims must be 'auto' or (h, w); "
+                                 f"got {grid_dims!r}")
+            if hd_binning is None:
+                raise ValueError("grid_dims='auto' needs hd_binning")
+            from gridnext_tpu.io.spaceranger import hd_lattice_dims
+
+            h = w = 0
+            for srd in self.spaceranger_dirs:
+                hh, ww = hd_lattice_dims(srd, hd_binning)
+                h, w = max(h, hh), max(w, ww)
+            grid_dims = (h, w)
+        self.h_st, self.w_st = int(grid_dims[0]), int(grid_dims[1])
         if decode is None:
             from gridnext_tpu.ingest import decode_slide
 

@@ -78,6 +78,63 @@ def test_non_dense_lattice_rejected(hd):
         ds[0]
 
 
+def test_grid_dims_auto(hd):
+    """'auto' resolves the cohort-max lattice like the factory."""
+    sims, binning, hd_grid, pitch = hd
+    ds = DenseWSIGridDataset([s["image_file"] for s in sims],
+                             [s["spaceranger_dir"] for s in sims],
+                             patch_size=pitch, hd_binning=binning,
+                             grid_dims="auto")
+    assert (ds.h_st, ds.w_st) == hd_grid
+
+
+def test_cli_dense_ingest_train_register(tmp_path):
+    """train-image --dense-ingest: no patch cache on disk, joint f+g
+    training, and register serves the result through the dense path."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    binning, hd_grid, pitch = "square_016um", (12, 10), 32
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=7 + i,
+                                     n_genes=8, n_classes=3,
+                                     spaceranger_version="hd",
+                                     hd_grid=hd_grid, hd_binning=binning,
+                                     image=True, spot_spacing_px=pitch)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-image", "--hd-binning", binning,
+                     "--grid-dims", "auto", "--f", "tpu", "--dense-ingest",
+                     "--patch-px", str(pitch), "--spaceranger"] + dirs +
+                    ["--annots"] + [s["annot_file"] for s in sims] +
+                    ["--images"] + [s["image_file"] for s in sims] +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1"])
+        cli.main()
+        sys.argv = (["x", "register", "--spaceranger", dirs[0],
+                     "--model", str(tmp_path / "model"),
+                     "--images", sims[0]["image_file"],
+                     "--out", str(tmp_path / "loupe.csv")])
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+
+    # the whole point: no per-bin JPEG patch cache was materialized
+    caches = list(tmp_path.glob("a*/**/*_patches*"))
+    assert caches == [], caches
+    meta = json.loads((tmp_path / "model" / "model.json").read_text())
+    assert meta["dense_ingest"] is True
+    assert meta["grid_dims"] == list(hd_grid)
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert len(df) == int((sims[0]["label_grid"] > 0).sum())
+
+
 def test_train_gridwise_on_dense_ingest(hd):
     """The dense dataset feeds the public gridwise trainer directly --
     f AND corrector train, loss decreases over a few epochs."""
