@@ -71,12 +71,10 @@ def _cmd_prepare(args):
             # COHORT-max lattice dims, exactly like the factory's
             # grid_dims='auto' -- per-array dims would name caches the
             # factory never looks for
-            from gridnext_tpu.io.spaceranger import hd_lattice_dims
+            from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
 
-            for srd in args.spaceranger:
-                h, w = hd_lattice_dims(srd, args.hd_binning)
-                h_st = max(h_st or 0, h)
-                w_st = max(w_st or 0, w)
+            h_st, w_st = cohort_hd_lattice_dims(args.spaceranger,
+                                                args.hd_binning)
             suffix = f"_{args.hd_binning}_{h_st}x{w_st}{suffix}"
         for srd, im in zip(args.spaceranger, args.images):
             pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)

@@ -709,15 +709,12 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
     spaceranger_dirs = [str(s) for s in spaceranger_dirs]
     hd_square = hd_binning is not None and grid_dims is not None
     if hd_square:
-        from gridnext_tpu.io.spaceranger import hd_lattice_dims
+        from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
 
         if isinstance(grid_dims, str):
             if grid_dims != "auto":
                 raise ValueError(f"grid_dims must be 'auto' or (h, w); got {grid_dims!r}")
-            h_hd = w_hd = 0
-            for srd in spaceranger_dirs:
-                h, w = hd_lattice_dims(srd, hd_binning)
-                h_hd, w_hd = max(h_hd, h), max(w_hd, w)
+            h_hd, w_hd = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
         else:
             h_hd, w_hd = int(grid_dims[0]), int(grid_dims[1])
     if hd_binning is not None:

@@ -25,6 +25,8 @@ Scope: exact integer-pitch lattices with ``patch_size == pitch`` (the
 native-resolution HD configuration). Fractional-pitch cohorts need the
 device resample (serving's banded ``scale_and_translate``) -- use the
 cache-based pipeline for training there, or pre-resample the slides.
+Mixed-size cohorts work: extraction covers each slide's own listed-bin
+extent and pads the cohort-max grid with background rows/cols.
 """
 
 from __future__ import annotations
@@ -79,14 +81,12 @@ class DenseWSIGridDataset:
                                  f"got {grid_dims!r}")
             if hd_binning is None:
                 raise ValueError("grid_dims='auto' needs hd_binning")
-            from gridnext_tpu.io.spaceranger import hd_lattice_dims
+            from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
 
-            h = w = 0
-            for srd in self.spaceranger_dirs:
-                hh, ww = hd_lattice_dims(srd, hd_binning)
-                h, w = max(h, hh), max(w, ww)
-            grid_dims = (h, w)
+            grid_dims = cohort_hd_lattice_dims(self.spaceranger_dirs,
+                                               hd_binning)
         self.h_st, self.w_st = int(grid_dims[0]), int(grid_dims[1])
+        self._plans = {}   # idx -> fitted lattice plan (deterministic)
         if decode is None:
             from gridnext_tpu.ingest import decode_slide
 
@@ -104,6 +104,9 @@ class DenseWSIGridDataset:
         return len(self.image_files)
 
     def _plan(self, idx, wsi_shape):
+        plan = self._plans.get(idx)   # the fit is ~2 lstsq over every bin;
+        if plan is not None:          # once per array, not once per epoch
+            return plan
         from gridnext_tpu.serving import fit_dense_lattice
 
         pos = read_positions(self.spaceranger_dirs[idx], self.hd_binning)
@@ -116,16 +119,22 @@ class DenseWSIGridDataset:
                 f"image -- dense ingest needs pitch == patch_size exactly; "
                 "use the cache-based pipeline (create_visium_dataset) for "
                 "fractional-pitch or irregular cohorts")
+        self._plans[idx] = plan
         return plan
 
     def __getitem__(self, idx):
         p = self.patch_size
         wsi = self.decode(self.image_files[idx])
-        _, oy0, ox0, fg = self._plan(idx, wsi.shape)
+        _, oy0, ox0, fg, ey, ex = self._plan(idx, wsi.shape)
 
-        region = wsi[oy0:oy0 + self.h_st * p, ox0:ox0 + self.w_st * p]
-        grid = region.reshape(self.h_st, p, self.w_st, p, 3)
-        grid = grid.transpose(0, 2, 1, 3, 4).astype(np.float32) / 255.0
+        # tile only the in-tissue bin extent (ey, ex); a slide smaller than a
+        # cohort-max lattice pads with background rows/cols, exactly like
+        # the cache-based grids
+        region = wsi[oy0:oy0 + ey * p, ox0:ox0 + ex * p]
+        tiles = region.reshape(ey, p, ex, p, 3)
+        tiles = tiles.transpose(0, 2, 1, 3, 4).astype(np.float32) / 255.0
+        grid = np.zeros((self.h_st, self.w_st, p, p, 3), np.float32)
+        grid[:ey, :ex] = tiles
         # background bins are zero patches, exactly like the cache-based
         # grids (PatchGridDataset leaves unlisted coords at 0.0)
         grid *= (fg > 0)[:, :, None, None, None]
@@ -143,6 +152,14 @@ class DenseWSIGridDataset:
                 if lbl is not None:
                     annots[y, x] = int(lbl) + 1   # 0 reserved for background
         return grid, annots
+
+    def materialize(self):
+        """Whole cohort as ((N, H, W, P, P, 3), (N, H, W)) arrays -- the
+        non-streaming trainer contract (cli --no-stream). RAM-bound at
+        capture-area scale; meant for small cohorts."""
+        items = [self[i] for i in range(len(self))]
+        return (np.stack([x for x, _ in items]),
+                np.stack([y for _, y in items]))
 
     def sample_item(self):
         """Zero item with the real per-array shape (cheap model-init sample

@@ -111,12 +111,9 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
             # Dims are the COHORT-MAX lattice (identical to the factory's
             # grid_dims='auto'), so caches written here and there share names
             # even when per-array HD lattices differ.
-            from gridnext_tpu.io.spaceranger import hd_lattice_dims
+            from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
 
-            h_hd = w_hd = 0
-            for srd in spaceranger_dirs:
-                h, w = hd_lattice_dims(srd, hd_binning)
-                h_hd, w_hd = max(h_hd, h), max(w_hd, w)
+            h_hd, w_hd = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
             hd_dims = [(h_hd, w_hd)] * len(spaceranger_dirs)
             suffixes = [f"_{hd_binning}_{h_hd}x{w_hd}{patch_suffix}"
                         for _ in spaceranger_dirs]

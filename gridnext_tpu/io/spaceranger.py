@@ -130,6 +130,18 @@ def hd_lattice_dims(spaceranger_dir, hd_binning: str) -> tuple:
             int(pos["array_col"].astype(int).max()) + 1)
 
 
+def cohort_hd_lattice_dims(spaceranger_dirs, hd_binning: str) -> tuple:
+    """Cohort-max (h, w) over every array's :func:`hd_lattice_dims` -- THE
+    ``grid_dims='auto'`` rule, shared by the dataset factory, prepare's
+    cache namer, the AnnData builder, and the dense ingest so their lattice
+    dims (and cache names) can never diverge."""
+    h = w = 0
+    for srd in spaceranger_dirs:
+        hh, ww = hd_lattice_dims(srd, hd_binning)
+        h, w = max(h, hh), max(w, ww)
+    return h, w
+
+
 def positions_to_coord_strings(positions: pd.DataFrame, barcodes) -> list:
     """Barcodes -> '{array_col}_{array_row}' coordinate strings."""
     sub = positions.loc[barcodes]

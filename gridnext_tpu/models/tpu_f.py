@@ -116,13 +116,14 @@ def tpu_f_arch_meta(f: TpuPatchClassifier) -> dict:
 def tpu_f_arch_kwargs(meta: Optional[dict]) -> dict:
     """model.json ``tpu_f`` dict -> TpuPatchClassifier constructor kwargs.
 
-    ``None``/missing (checkpoints from before the field existed) falls back
-    to the class defaults -- pre-round-3 checkpoints trained on the old
-    default shape must add ``"tpu_f": {"stages": [[128,2],[256,2],[512,2]],
-    "stem_patch": 8, "norm": "layer"}`` to their model.json by hand.
+    ``None``/missing means a checkpoint from before the field existed --
+    those were all trained on the ORIGINAL default shape, so that shape
+    (not the current class defaults, which have since changed) is what
+    loads their params: stages ((128,2),(256,2),(512,2)), stem 8, LayerNorm.
     """
     if not meta:
-        return {}
+        return {"stages": ((128, 2), (256, 2), (512, 2)),
+                "stem_patch": 8, "norm": "layer"}
     return {"stages": tuple((int(w), int(d)) for w, d in meta["stages"]),
             "stem_patch": int(meta["stem_patch"]),
             "norm": str(meta["norm"])}

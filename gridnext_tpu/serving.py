@@ -71,14 +71,20 @@ def fit_dense_lattice(positions, h_st: int, w_st: int, window: int,
 
     Fits ``center = origin + (idx + 1/2) * pitch`` per axis by least squares
     over the listed in-lattice bins of a square (``hex_coords=False``)
-    positions frame. Returns ``("exact", oy0, ox0, fg)`` when the pitch is
-    exactly the integer ``window`` (tiling: one slice + reshape,
+    positions frame. Returns ``("exact", oy0, ox0, fg, ey, ex)`` when the
+    pitch is exactly the integer ``window`` (tiling: one slice + reshape,
     bit-identical to per-bin extraction), ``("resample", y0, x0, py, px,
-    fg, h_band)`` when the lattice is regular to <=0.5 px but
+    fg, h_band, ey, ex)`` when the lattice is regular to <=0.5 px but
     fractional-pitch (real Spaceranger HD: pitch = 16um/mpp) and ``window``
     means the full bin (|pitch - window| <= 1), and None when the positions
-    aren't a dense regular lattice (or it exceeds ``wsi_shape``).
-    ``fg`` is the (h_st, w_st) in-tissue mask of the listed bins.
+    aren't a dense regular lattice (or the in-tissue bins' extent exceeds
+    ``wsi_shape``). ``fg`` is the (h_st, w_st) in-tissue mask of the listed
+    bins; ``(ey, ex)`` is the in-tissue bin extent (max index + 1 -- the
+    fit, like every serving path, sees only ``in_tissue == 1`` rows) --
+    bounds and extraction cover only that extent, so a slide whose lattice
+    (or tissue footprint) is smaller than a cohort-max ``(h_st, w_st)``
+    still plans (the extra grid rows/cols are background), exactly like
+    the cache-based pipeline.
     """
     oy, ox, y_px, x_px = spot_pixel_arrays(positions, h_st, w_st,
                                            hex_coords=False)
@@ -99,6 +105,7 @@ def fit_dense_lattice(positions, h_st: int, w_st: int, window: int,
         return None
     fg = np.zeros((h_st, w_st), np.int32)
     fg[oy, ox] = 1
+    ey, ex = int(oy.max()) + 1, int(ox.max()) + 1
     w = window
     h_img, w_img = ((wsi_shape[0], wsi_shape[1]) if wsi_shape is not None
                     else (np.inf, np.inf))
@@ -111,24 +118,26 @@ def fit_dense_lattice(positions, h_st: int, w_st: int, window: int,
                  and abs(bx - round(bx)) < tol)
     if int_pitch:
         oy0, ox0 = round(by) - w // 2, round(bx) - w // 2
-        if (oy0 >= 0 and ox0 >= 0 and oy0 + h_st * w <= h_img
-                and ox0 + w_st * w <= w_img):
-            return ("exact", oy0, ox0, fg)
+        if (oy0 >= 0 and ox0 >= 0 and oy0 + ey * w <= h_img
+                and ox0 + ex * w <= w_img):
+            return ("exact", oy0, ox0, fg, ey, ex)
         return None
     # fractional (or shifted) regular lattice -> resample plan, but only
     # when the window means "the full bin" (window ~ pitch): a window much
     # smaller than the pitch asks for center CROPS, which only the per-bin
-    # gather provides. Bands clamp at image borders like the per-bin path's
-    # coordinate clip.
+    # gather provides. The listed extent must sit fully inside the image
+    # (origin included) -- an overhanging lattice falls back to the per-bin
+    # path, whose coordinate clip handles borders.
     if abs(pitch_y - w) > 1.0 or abs(pitch_x - w) > 1.0:
         return None
     y0 = by - pitch_y / 2
     x0 = bx - pitch_x / 2
     h_band = int(np.ceil(pitch_y)) + 3
-    if h_band > h_img or w_st * pitch_x > w_img + pitch_x:
+    if (y0 < 0 or x0 < 0 or y0 + ey * pitch_y > h_img
+            or x0 + ex * pitch_x > w_img or h_band > h_img):
         return None
     return ("resample", float(y0), float(x0), float(pitch_y),
-            float(pitch_x), fg, h_band)
+            float(pitch_x), fg, h_band, ey, ex)
 
 
 class SlideRegistrar:
@@ -216,9 +225,11 @@ class SlideRegistrar:
         self._jitted = jax.jit(self._register, static_argnames=("orig_hw",))
         self._jitted_batch = jax.jit(self._register_batch,
                                      static_argnames=("orig_hw",))
-        self._jitted_dense = jax.jit(self._register_dense)
+        self._jitted_dense = jax.jit(self._register_dense,
+                                     static_argnames=("ey", "ex"))
         self._jitted_dense_rs = jax.jit(self._register_dense_resampled,
-                                        static_argnames=("h_band",))
+                                        static_argnames=("h_band", "ey",
+                                                         "ex"))
 
     @classmethod
     def from_gridnet(cls, model, variables, *, patch_size: int = 128,
@@ -463,28 +474,44 @@ class SlideRegistrar:
         grid = feats.reshape(1, self.h_st, self.w_st, -1)
         return self._labels_from_grid(grid, fg[None])[0]
 
-    def _register_dense(self, wsi, oy0, ox0, fg):
+    def _register_dense(self, wsi, oy0, ox0, fg, *, ey, ex):
         """Tiling-form registration of an exact integer-pitch lattice.
 
         ``(oy0, ox0)``: top-left pixel of bin (0, 0). One dynamic_slice +
         reshape replaces the per-bin gather entirely -- HD bins tile the
         capture area contiguously (pitch == window), and at ~30x the Visium
         spot count per slide the gather is the cost that matters.
+        ``(ey, ex)``: the in-tissue bin extent (static); f runs over only that
+        region, and the feature grid pads to (h_st, w_st) -- the extra
+        rows/cols of a cohort-max lattice are background (fg masks them to
+        the trained bg vector downstream).
         """
         from gridnext_tpu.pipeline import resize_patches_device
 
-        hs, ws, w = self.h_st, self.w_st, self.window_size
+        w = self.window_size
         region = jax.lax.dynamic_slice(wsi, (oy0, ox0, 0),
-                                       (hs * w, ws * w, wsi.shape[-1]))
-        crops = region.reshape(hs, w, ws, w, region.shape[-1])
+                                       (ey * w, ex * w, wsi.shape[-1]))
+        crops = region.reshape(ey, w, ex, w, region.shape[-1])
         crops = crops.transpose(0, 2, 1, 3, 4).reshape(
-            hs * ws, w, w, region.shape[-1])
+            ey * ex, w, w, region.shape[-1])
         patches = self._normalize(resize_patches_device(crops,
                                                         self.patch_size))
-        feats = self._apply_f_sharded(patches)               # (hs*ws, f_dim)
-        return self._dense_feats_to_labels(feats, fg)
+        feats = self._apply_f_sharded(patches)               # (ey*ex, f_dim)
+        return self._dense_feats_to_labels(self._pad_extent(feats, ey, ex),
+                                           fg)
 
-    def _register_dense_resampled(self, wsi, y0, x0, py, px_, fg, *, h_band):
+    def _pad_extent(self, feats, ey, ex):
+        """(ey*ex, F) extent features -> (h_st*w_st, F), zero-padded; the
+        pad rows are fg=0 so _dense_feats_to_labels swaps in the bg vector."""
+        if (ey, ex) == (self.h_st, self.w_st):
+            return feats
+        grid = feats.reshape(ey, ex, -1)
+        grid = jnp.pad(grid, ((0, self.h_st - ey), (0, self.w_st - ex),
+                              (0, 0)))
+        return grid.reshape(self.h_st * self.w_st, -1)
+
+    def _register_dense_resampled(self, wsi, y0, x0, py, px_, fg, *,
+                                  h_band, ey, ex):
         """Fractional-pitch dense lattice: banded lattice resampling.
 
         Real Spaceranger HD positions step at 16um / microns-per-pixel --
@@ -493,9 +520,11 @@ class SlideRegistrar:
         resamples (jax.image.scale_and_translate, linear) straight to patch
         scale, sampling the exact fractional bin extents; a lax.map over
         bands keeps peak memory at one band, and the band stack IS the
-        patch tensor (no gather, no per-bin resize).
+        patch tensor (no gather, no per-bin resize). ``(ey, ex)``: the
+        in-tissue bin extent (static); bands cover only it, features pad to
+        (h_st, w_st).
         """
-        hs, ws, p = self.h_st, self.w_st, self.patch_size
+        p = self.patch_size
         c = wsi.shape[-1]
         w_img = wsi.shape[1]
         scale = jnp.stack([p / py, p / px_])
@@ -511,29 +540,40 @@ class SlideRegistrar:
             # the band's own fractional top for y)
             trans = jnp.stack([-(sy - iy) * (p / py), -x0 * (p / px_)])
             return jax.image.scale_and_translate(
-                rows, (p, ws * p, c), (0, 1), scale, trans, method="linear")
+                rows, (p, ex * p, c), (0, 1), scale, trans, method="linear")
 
-        bands = jax.lax.map(band, jnp.arange(hs))  # (hs, P, ws*P, C)
-        patches = bands.reshape(hs, p, ws, p, c).transpose(0, 2, 1, 3, 4)
-        patches = self._normalize(patches.reshape(hs * ws, p, p, c))
+        bands = jax.lax.map(band, jnp.arange(ey))  # (ey, P, ex*P, C)
+        patches = bands.reshape(ey, p, ex, p, c).transpose(0, 2, 1, 3, 4)
+        patches = self._normalize(patches.reshape(ey * ex, p, p, c))
         feats = self._apply_f_sharded(patches)
-        return self._dense_feats_to_labels(feats, fg)
+        return self._dense_feats_to_labels(self._pad_extent(feats, ey, ex),
+                                           fg)
 
     def _dense_plan(self, wsi_shape, positions, pad_offset: int = 0):
         """:func:`fit_dense_lattice` for this registrar's lattice/window."""
         return fit_dense_lattice(positions, self.h_st, self.w_st,
                                  self.window_size, wsi_shape, pad_offset)
 
-    def dense_applicable(self, wsi, positions, pad_offset: int = 0) -> bool:
-        """True when :meth:`register_dense` will accept these inputs --
-        square registrar, unpacked WSI, dense regular lattice in bounds."""
+    def dense_plan(self, wsi, positions, pad_offset: int = 0):
+        """The dense-lattice execution plan for these inputs, or None when
+        :meth:`register_dense` would not accept them (hex registrar, packed
+        WSI, irregular/sparse/out-of-bounds lattice). Pass the returned plan
+        back via ``register_dense(plan=...)`` to skip refitting -- the fit
+        is two lstsq's over every in-tissue bin (~147k at HD capture-area
+        scale), worth computing once per slide."""
         from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
 
         if self.hex_coords or isinstance(wsi, PackedWSI):
-            return False
-        return self._dense_plan(wsi.shape, positions, pad_offset) is not None
+            return None
+        return self._dense_plan(wsi.shape, positions, pad_offset)
 
-    def register_dense(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
+    def dense_applicable(self, wsi, positions, pad_offset: int = 0) -> bool:
+        """True when :meth:`register_dense` will accept these inputs --
+        square registrar, unpacked WSI, dense regular lattice in bounds."""
+        return self.dense_plan(wsi, positions, pad_offset) is not None
+
+    def register_dense(self, wsi, positions, pad_offset: int = 0,
+                       plan=None) -> np.ndarray:
         """Register a DENSE square bin lattice (Visium HD) by tiling.
 
         HD bins tile the capture area contiguously (bin pitch == bin size),
@@ -548,7 +588,8 @@ class SlideRegistrar:
         Requires ``hex_coords=False`` (square lattices only) and an unpacked
         (H, W, 3) WSI; raises ValueError for irregular/sparse position sets
         (use plain ``__call__`` there, or :meth:`dense_applicable` to probe
-        first).
+        first). ``plan``: a precomputed :meth:`dense_plan` result, skipping
+        the refit.
         """
         if self.hex_coords:
             raise ValueError("register_dense needs a square lattice "
@@ -558,20 +599,23 @@ class SlideRegistrar:
         if isinstance(wsi, PackedWSI):
             raise ValueError("register_dense slices the raw WSI; pass the "
                              "unpacked (H, W, 3) image")
-        plan = self._dense_plan(wsi.shape, positions, pad_offset)
+        if plan is None:
+            plan = self._dense_plan(wsi.shape, positions, pad_offset)
         if plan is None:
             raise ValueError(
                 "positions are not a dense regular lattice (or it exceeds "
                 "the image); use the per-bin registration path (__call__) "
                 "instead")
         if plan[0] == "exact":
-            _, oy0, ox0, fg = plan
-            labels = self._jitted_dense(wsi, oy0, ox0, jnp.asarray(fg))
+            _, oy0, ox0, fg, ey, ex = plan
+            labels = self._jitted_dense(wsi, oy0, ox0, jnp.asarray(fg),
+                                        ey=ey, ex=ex)
         else:
-            _, y0, x0, py, px_, fg, h_band = plan
+            _, y0, x0, py, px_, fg, h_band, ey, ex = plan
             labels = self._jitted_dense_rs(
                 wsi, jnp.float32(y0), jnp.float32(x0), jnp.float32(py),
-                jnp.float32(px_), jnp.asarray(fg), h_band=h_band)
+                jnp.float32(px_), jnp.asarray(fg), h_band=h_band,
+                ey=ey, ex=ex)
         return np.asarray(labels)
 
     def _spot_arrays(self, wsi_shape, positions, pad_offset):
@@ -722,9 +766,11 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
             rest = []
             for item in group:
                 i, wsi, pos = item
-                if registrar.dense_applicable(wsi, pos):
+                plan = registrar.dense_plan(wsi, pos)  # fit once per slide
+                if plan is not None:
                     with timer("register"):
-                        out.append((i, registrar.register_dense(wsi, pos),
+                        out.append((i, registrar.register_dense(wsi, pos,
+                                                                plan=plan),
                                     pos))
                 else:
                     rest.append(item)

@@ -161,3 +161,58 @@ def test_train_gridwise_on_dense_ingest(hd):
                                     verbose=False)
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_mixed_size_cohort_pads_background(hd, tmp_path):
+    """grid_dims='auto' over slides with UNEQUAL lattices: the smaller
+    slide's item pads the extra cohort-max rows/cols as background instead
+    of failing the lattice fit (the cache-based pipeline's semantics)."""
+    sims, binning, hd_grid, pitch = hd
+    small_grid = (hd_grid[0] - 4, hd_grid[1] - 3)
+    s_small = simulate_spaceranger_dir(tmp_path / "small", seed=9,
+                                       n_genes=8, n_classes=3,
+                                       spaceranger_version="hd",
+                                       hd_grid=small_grid,
+                                       hd_binning=binning, image=True,
+                                       spot_spacing_px=pitch)
+    ds = DenseWSIGridDataset(
+        [sims[0]["image_file"], s_small["image_file"]],
+        [sims[0]["spaceranger_dir"], s_small["spaceranger_dir"]],
+        [sims[0]["annot_file"], s_small["annot_file"]],
+        patch_size=pitch, hd_binning=binning, grid_dims="auto")
+    assert (ds.h_st, ds.w_st) == hd_grid    # cohort max
+
+    grid, annots = ds[1]                    # the smaller slide
+    assert grid.shape == hd_grid + (pitch, pitch, 3)
+    # cohort-max padding rows/cols are pure background
+    assert float(np.abs(grid[small_grid[0]:]).max()) == 0.0
+    assert float(np.abs(grid[:, small_grid[1]:]).max()) == 0.0
+    assert (annots[small_grid[0]:] == 0).all()
+    assert (annots[:, small_grid[1]:] == 0).all()
+    # the slide's own bins still carry labels + pixels
+    np.testing.assert_array_equal(
+        annots[:small_grid[0], :small_grid[1]] > 0,
+        s_small["label_grid"] > 0)
+    assert float(np.abs(grid[:small_grid[0], :small_grid[1]]).max()) > 0
+
+    # plans are cached: a second access must not refit (read-only check)
+    assert set(ds._plans) == {1}
+    ds[1]
+    assert set(ds._plans) == {1}
+
+
+def test_materialize_contract(hd):
+    """materialize() returns the stacked (X, Y) pair the non-streaming
+    trainer path (cli --no-stream) consumes."""
+    sims, binning, hd_grid, pitch = hd
+    ds = DenseWSIGridDataset([s["image_file"] for s in sims],
+                             [s["spaceranger_dir"] for s in sims],
+                             [s["annot_file"] for s in sims],
+                             patch_size=pitch, hd_binning=binning,
+                             grid_dims=hd_grid)
+    X, Y = ds.materialize()
+    assert X.shape == (2,) + hd_grid + (pitch, pitch, 3)
+    assert Y.shape == (2,) + hd_grid
+    g0, a0 = ds[0]
+    np.testing.assert_array_equal(X[0], g0)
+    np.testing.assert_array_equal(Y[0], a0)

@@ -359,5 +359,9 @@ def test_tpu_f_arch_meta_roundtrip():
     f2 = TpuPatchClassifier(n_classes=5, **tpu_f_arch_kwargs(meta))
     assert (f2.stages, f2.stem_patch, f2.norm) == (f.stages, f.stem_patch,
                                                    f.norm)
-    # missing field (pre-round-3 checkpoints): class defaults
-    assert tpu_f_arch_kwargs(None) == {}
+    # missing field = pre-round-3 checkpoint: the ORIGINAL default shape
+    # those were trained on (NOT the since-changed class defaults)
+    legacy = tpu_f_arch_kwargs(None)
+    assert legacy == {"stages": ((128, 2), (256, 2), (512, 2)),
+                      "stem_patch": 8, "norm": "layer"}
+    TpuPatchClassifier(n_classes=5, **legacy)  # constructible

@@ -611,3 +611,82 @@ def test_register_dense_fractional_pitch():
                                            patch_chunk=None,
                                            h_st=hd_grid[0], w_st=hd_grid[1])
     assert not reg_crop.dense_applicable(wsi, pos)
+
+
+def test_register_dense_cohort_max_extent(tmp_path_factory):
+    """A slide whose own lattice is SMALLER than the registrar's cohort-max
+    (h_st, w_st) still serves dense: extraction covers only the listed-bin
+    extent, the extra grid rows/cols are background, and labels equal the
+    per-bin path bit for bit (mixed-size HD cohorts, grid_dims='auto')."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.models import GridNet
+
+    root = tmp_path_factory.mktemp("serving_dense_ext")
+    binning, slide_grid, cohort = "square_016um", (12, 10), (16, 14)
+    s = simulate_spaceranger_dir(root / "hd0", seed=5, n_genes=8,
+                                 n_classes=3, spaceranger_version="hd",
+                                 hd_grid=slide_grid, hd_binning=binning,
+                                 image=True, spot_spacing_px=12)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + cohort + (patch, patch, 3)))
+    registrar = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                            window_size=12, normalize=None,
+                                            patch_chunk=None,
+                                            h_st=cohort[0], w_st=cohort[1])
+
+    wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+    pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+    plan = registrar.dense_plan(wsi, pos)
+    assert plan is not None and plan[0] == "exact"
+    it = pos[pos["in_tissue"].astype(int) == 1]
+    extent = (int(it["array_row"].max()) + 1, int(it["array_col"].max()) + 1)
+    # in-tissue bin extent: <= the slide's own lattice, never the cohort max
+    assert plan[-2:] == extent
+    assert extent <= slide_grid < cohort
+    got = registrar.register_dense(wsi, pos, plan=plan)
+    want = registrar(wsi, pos)              # per-bin gather path
+    np.testing.assert_array_equal(got, want)
+    assert got.shape == cohort
+    assert (got[slide_grid[0]:, :] == 0).all()
+    assert (got[:, slide_grid[1]:] == 0).all()
+    assert (got[:slide_grid[0], :slide_grid[1]] > 0).any()
+
+
+def test_dense_resample_rejects_overhang():
+    """A fractional-pitch lattice whose bin extents overhang the image must
+    NOT plan dense: the banded resample would zero-fill out-of-image pixels
+    where the per-bin path clamps to border pixels, so it falls back."""
+    import pandas as pd
+
+    from gridnext_tpu.serving import fit_dense_lattice
+
+    hd_grid, pitch = (20, 16), 12.6
+    rows = np.repeat(np.arange(hd_grid[0]), hd_grid[1])
+    cols = np.tile(np.arange(hd_grid[1]), hd_grid[0])
+
+    def make_pos(origin):
+        y_c = np.rint(origin[0] + (rows + 0.5) * pitch).astype(int)
+        x_c = np.rint(origin[1] + (cols + 0.5) * pitch).astype(int)
+        return pd.DataFrame({"in_tissue": np.ones(len(rows), int),
+                             "array_row": rows, "array_col": cols,
+                             "pxl_row_in_fullres": y_c,
+                             "pxl_col_in_fullres": x_c},
+                            index=[f"b{i}" for i in range(len(rows))])
+
+    shape = (320, 280, 3)
+    ok = fit_dense_lattice(make_pos((30.7, 25.3)), *hd_grid, 13, shape)
+    assert ok is not None and ok[0] == "resample"
+    # negative origin: bin (., 0) extends past the left image edge
+    assert fit_dense_lattice(make_pos((30.7, -4.0)), *hd_grid, 13,
+                             shape) is None
+    # bottom overhang: last bin row extends past the image bottom
+    assert fit_dense_lattice(make_pos((shape[0] - hd_grid[0] * pitch + 5.0,
+                                       25.3)), *hd_grid, 13, shape) is None
