@@ -569,32 +569,66 @@ def _cmd_train_mm(args):
     _check_image_args(args)
     hd_binning, grid_dims = _parse_hd_args(args, require_dims=True,
                                            what="multimodal training")
-    kw = dict(annot_files=args.annots, minimum_detection_rate=args.min_detection,
-              fullres_image_files=args.images, patch_size_px=args.patch_px,
-              window_size_px=args.window_px, hd_binning=hd_binning)
-    mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
-                                     use_count=True, use_image=True,
-                                     grid_dims=grid_dims, **kw)
+    if args.dense_ingest:
+        # HD bins tile the slide: the image modality's training grids come
+        # straight off the decoded slides (no per-bin JPEG cache), stacked
+        # with the count grids. The image f has no cached spot patches to
+        # pretrain on, so it trains jointly with g (data/dense_ingest.py;
+        # same contract as train-image --dense-ingest).
+        from gridnext_tpu.data import DenseWSIGridDataset, MMStackDataset
+
+        if grid_dims is None:
+            sys.exit("error: --dense-ingest needs a square HD bin lattice "
+                     "(--grid-dims / --hd-binning); Visium pseudo-hex "
+                     "spots don't tile the slide")
+        if args.window_px is not None and args.window_px != args.patch_px:
+            sys.exit("error: --dense-ingest extracts whole bins (window == "
+                     "pitch == --patch-px); drop --window-px or use the "
+                     "cache-based pipeline")
+        img_grids = DenseWSIGridDataset(args.images, args.spaceranger,
+                                        args.annots,
+                                        patch_size=args.patch_px,
+                                        hd_binning=hd_binning,
+                                        grid_dims=grid_dims)
+        count_grids = create_visium_dataset(
+            args.spaceranger, spatial=True, use_count=True, use_image=False,
+            annot_files=args.annots,
+            minimum_detection_rate=args.min_detection,
+            hd_binning=hd_binning,
+            grid_dims=(img_grids.h_st, img_grids.w_st))
+        mm_grids = MMStackDataset(img_grids, count_grids)
+        image_spots = None
+    else:
+        kw = dict(annot_files=args.annots,
+                  minimum_detection_rate=args.min_detection,
+                  fullres_image_files=args.images,
+                  patch_size_px=args.patch_px,
+                  window_size_px=args.window_px, hd_binning=hd_binning)
+        mm_grids = create_visium_dataset(args.spaceranger, spatial=True,
+                                         use_count=True, use_image=True,
+                                         grid_dims=grid_dims, **kw)
+        image_spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                            use_count=False, use_image=True,
+                                            annot_files=args.annots,
+                                            fullres_image_files=args.images,
+                                            patch_size_px=args.patch_px,
+                                            window_size_px=args.window_px,
+                                            hd_binning=hd_binning,
+                                            grid_dims=grid_dims)
     count_spots = create_visium_dataset(args.spaceranger, spatial=False,
                                         use_count=True, use_image=False,
                                         annot_files=args.annots,
                                         minimum_detection_rate=args.min_detection,
                                         hd_binning=hd_binning)
-    image_spots = create_visium_dataset(args.spaceranger, spatial=False,
-                                        use_count=False, use_image=True,
-                                        annot_files=args.annots,
-                                        fullres_image_files=args.images,
-                                        patch_size_px=args.patch_px,
-                                        window_size_px=args.window_px,
-                                        hd_binning=hd_binning,
-                                        grid_dims=grid_dims)
     classes = list(mm_grids.classes)
     n_classes = len(classes)
     stream = not getattr(args, "no_stream", False)
     mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size,
                                      grid_batch=args.grid_batch_size)
-    print(f"{len(count_spots)} count spots, {len(image_spots)} image spots, "
-          f"{len(mm_grids)} arrays, classes: {classes}"
+    print(f"{len(count_spots)} count spots, "
+          + (f"{len(image_spots)} image spots, " if image_spots is not None
+             else "dense image ingest, ")
+          + f"{len(mm_grids)} arrays, classes: {classes}"
           + (" [streaming]" if stream else "")
           + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
 
@@ -686,7 +720,10 @@ def _cmd_train_mm(args):
         tpu_f_meta = tpu_f_arch_meta(f_image)
     else:
         f_image = densenet121(num_classes=n_classes, dtype=dtype)
-    f_image_state = spot_train(f_image, image_spots, name="f_image_state")
+    # dense ingest has no cached spot patches for an image-f spotwise stage:
+    # the image f starts from init and trains jointly with g below
+    f_image_state = (spot_train(f_image, image_spots, name="f_image_state")
+                     if image_spots is not None else None)
 
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
     mm_cls = GridNetMM if square else GridNetHexMM
@@ -697,11 +734,13 @@ def _cmd_train_mm(args):
     mm_transform = lambda x: (x[0], count_transform(x[1]))  # noqa: E731
     dls = _split_dls(mm_grids, 4, stream, mm_transform, val_if_single=False,
                      **split_kw)
+    joint_f = args.finetune_f or f_image_state is None
     tx = make_gridwise_optimizer(args.g_lr,
-                                 f_lr=args.f_lr if args.finetune_f else None)
+                                 f_lr=args.f_lr if joint_f else None)
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
-    state = load_f_params(state, f_image_state.variables(),
-                          key="image_classifier")
+    if f_image_state is not None:
+        state = load_f_params(state, f_image_state.variables(),
+                              key="image_classifier")
     state = load_f_params(state, f_count_state.variables(),
                           key="count_classifier")
     g_out = os.path.join(args.out, "g_state.msgpack")
@@ -736,6 +775,7 @@ def _cmd_train_mm(args):
                                   mm_grids.image_dataset.w_st] if square
                                  else None),
                    "image_f": args.f, "tpu_f": tpu_f_meta,
+                   "dense_ingest": bool(args.dense_ingest),
                    "model": "GridNetMM" if square else "GridNetHexMM"}, fh)
     print(f"saved model to {args.out}")
 
@@ -819,17 +859,36 @@ def _cmd_register(args):
                    n_classes=len(classes),
                    patch_chunk=meta.get("patch_chunk", 624),
                    count_chunk=meta.get("count_chunk"))
-        mm = create_visium_dataset(args.spaceranger, spatial=True,
-                                   use_count=True, use_image=True,
-                                   fullres_image_files=args.images,
-                                   patch_size_px=meta.get("patch_px", 128),
-                                   window_size_px=meta.get("window_px"),
-                                   hd_binning=meta.get("hd_binning"),
-                                   grid_dims=(tuple(grid_dims)
-                                              if grid_dims else None),
-                                   minimum_detection_rate=None)
+        if meta.get("dense_ingest") and grid_dims:
+            # dense-ingest model: the image modality tiles straight off the
+            # decoded slides at register time too (no per-bin patch cache
+            # is ever materialized), paired with count grids from the
+            # validated unified caches
+            from gridnext_tpu.data import DenseWSIGridDataset
+
+            img_ds = DenseWSIGridDataset(
+                args.images, args.spaceranger, None,
+                patch_size=meta.get("patch_px", 128),
+                hd_binning=meta.get("hd_binning"),
+                grid_dims=tuple(grid_dims))
+            cnt_ds = create_visium_dataset(
+                args.spaceranger, spatial=True, use_count=True,
+                use_image=False, hd_binning=meta.get("hd_binning"),
+                grid_dims=tuple(grid_dims), minimum_detection_rate=None)
+            mm_item = lambda i: (img_ds[i][0], cnt_ds[i][0])  # noqa: E731
+        else:
+            mm = create_visium_dataset(args.spaceranger, spatial=True,
+                                       use_count=True, use_image=True,
+                                       fullres_image_files=args.images,
+                                       patch_size_px=meta.get("patch_px", 128),
+                                       window_size_px=meta.get("window_px"),
+                                       hd_binning=meta.get("hd_binning"),
+                                       grid_dims=(tuple(grid_dims)
+                                                  if grid_dims else None),
+                                       minimum_detection_rate=None)
+            mm_item = lambda i: mm[i][0]  # noqa: E731
         for i, srd in enumerate(args.spaceranger):
-            (xi, xc), _ = mm[i]
+            xi, xc = mm_item(i)
             fg = xc.sum(-1) > 0  # tissue mask from RAW counts, pre-transform
             if count_transform is not None:
                 xc = count_transform(xc)
@@ -1065,6 +1124,11 @@ def main(argv=None):
     s.add_argument("--no-stream", action="store_true",
                    help="materialize the cohort in RAM instead of streaming "
                         "batches off disk")
+    s.add_argument("--dense-ingest", action="store_true",
+                   help="square-HD only: tile the image modality's training "
+                        "grids straight from the fullres slides (no per-bin "
+                        "JPEG patch cache); skips the image-f spotwise "
+                        "stage and trains the image f jointly with g")
     _add_hd_args(s, "GridNetMM")
     _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_mm)

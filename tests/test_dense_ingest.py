@@ -216,3 +216,90 @@ def test_materialize_contract(hd):
     g0, a0 = ds[0]
     np.testing.assert_array_equal(X[0], g0)
     np.testing.assert_array_equal(Y[0], a0)
+
+
+def test_mm_stack_over_dense_ingest(hd):
+    """MMStackDataset pairs dense image grids with count grids: the
+    train-mm --dense-ingest composition (image modality off the slides,
+    count modality from the unified caches, same labels both sides)."""
+    from gridnext_tpu.data import MMStackDataset, create_visium_dataset
+
+    sims, binning, hd_grid, pitch = hd
+    dirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    img = DenseWSIGridDataset([s["image_file"] for s in sims], dirs, annots,
+                              patch_size=pitch, hd_binning=binning,
+                              grid_dims="auto")
+    counts = create_visium_dataset(dirs, spatial=True, use_count=True,
+                                   use_image=False, annot_files=annots,
+                                   minimum_detection_rate=0,
+                                   hd_binning=binning,
+                                   grid_dims=(img.h_st, img.w_st))
+    mm = MMStackDataset(img, counts)
+    assert len(mm) == 2 and list(mm.classes) == list(img.classes)
+
+    (x_img, x_cnt), y = mm[0]
+    assert x_img.shape == hd_grid + (pitch, pitch, 3)
+    assert x_cnt.shape[:2] == hd_grid and x_cnt.shape[2] > 0
+    # identical annotation source both sides: disagreement-zeroing is a
+    # no-op and labels match the simulator ground truth
+    np.testing.assert_array_equal(y > 0, sims[0]["label_grid"] > 0)
+
+    # model-init sample: per-modality zero items at the real shapes
+    s_img, s_cnt = mm.sample_item()
+    assert s_img.shape == x_img.shape and s_cnt.shape == x_cnt.shape
+
+
+@pytest.mark.slow
+def test_cli_train_mm_dense_ingest(tmp_path):
+    """train-mm --dense-ingest: the image modality tiles off the slides
+    (no per-bin patch cache), the image f trains jointly with g, and
+    register serves the trained GridNetMM."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.data import simulate_spaceranger_dir
+
+    binning, hd_grid, pitch = "square_016um", (12, 10), 32
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=11 + i,
+                                     n_genes=8, n_classes=3,
+                                     spaceranger_version="hd",
+                                     hd_grid=hd_grid, hd_binning=binning,
+                                     image=True, spot_spacing_px=pitch)
+            for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+
+    argv_bak = sys.argv
+    try:
+        sys.argv = (["x", "train-mm", "--hd-binning", binning,
+                     "--grid-dims", "auto", "--f", "tpu", "--dense-ingest",
+                     "--patch-px", str(pitch), "--min-detection", "0",
+                     "--batch-size", "32", "--spaceranger"] + dirs +
+                    ["--annots"] + [s["annot_file"] for s in sims] +
+                    ["--images"] + [s["image_file"] for s in sims] +
+                    ["--out", str(tmp_path / "model"), "--epochs", "1"])
+        cli.main()
+        sys.argv = (["x", "register", "--spaceranger", dirs[0],
+                     "--model", str(tmp_path / "model"),
+                     "--images", sims[0]["image_file"],
+                     "--out", str(tmp_path / "loupe.csv")])
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+
+    # no per-bin image patch cache was materialized (count caches are
+    # unified TSVs, not patch dirs)
+    caches = list(tmp_path.glob("a*/**/*_patches*"))
+    assert caches == [], caches
+    # no image-f spotwise stage ran; count-f and g checkpoints exist
+    assert not (tmp_path / "model" / "f_image_state.msgpack").exists()
+    assert (tmp_path / "model" / "f_count_state.msgpack").exists()
+    meta = json.loads((tmp_path / "model" / "model.json").read_text())
+    assert meta["model"] == "GridNetMM"
+    assert meta["dense_ingest"] is True
+    assert meta["grid_dims"] == list(hd_grid)
+    df = pd.read_csv(tmp_path / "loupe.csv")
+    assert len(df) == int((sims[0]["label_grid"] > 0).sum())
