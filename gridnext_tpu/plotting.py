@@ -95,6 +95,31 @@ def performance_curves(true, smax, class_names: Optional[Sequence[str]] = None,
     return fig, ax, macro[0], macro[1]
 
 
+def plot_cv_curves(train_hist, val_hist, ylabel: str = "Loss", ax=None):
+    """Across-fold mean +/- std learning curves (errorbar per epoch).
+
+    ``train_hist``/``val_hist`` are (n_folds, n_epochs) arrays of epoch
+    losses -- a :class:`~gridnext_tpu.workflows.cv.CVResult`'s fields.
+    Renders register_BA44_counts.ipynb cell 6: one errorbar series per
+    phase, mean across folds with std bars.
+    """
+    from matplotlib import pyplot as plt
+
+    train_hist = np.asarray(train_hist, float)
+    val_hist = np.asarray(val_hist, float)
+    fig = None
+    if ax is None:
+        fig, ax = plt.subplots(1)
+    epochs = np.arange(train_hist.shape[1])
+    ax.errorbar(epochs, train_hist.mean(0), yerr=train_hist.std(0),
+                label="train")
+    ax.errorbar(np.arange(val_hist.shape[1]), val_hist.mean(0),
+                yerr=val_hist.std(0), label="val")
+    ax.set(xlabel="Epoch", ylabel=ylabel)
+    ax.legend()
+    return fig, ax
+
+
 def plot_confusion(y_true, y_pred, class_names=None, figsize=None):
     """Row-normalized confusion heatmap annotated with spot counts."""
     import seaborn as sns

@@ -10,3 +10,9 @@ from gridnext_tpu.workflows.hvg import (  # noqa: F401
     highly_variable_genes,
     select_hvgs_from_count_files,
 )
+from gridnext_tpu.workflows.cv import (  # noqa: F401
+    CVResult,
+    cross_validate,
+    grouped_partitions,
+    partition_masks,
+)

@@ -180,3 +180,18 @@ def test_visium_to_graphdata_mixed_annots_rejected(sims):
     with pytest.raises(ValueError, match="mixes annotated"):
         visium_to_graphdata([s["spaceranger_dir"] for s in sims],
                             annot_files=[sims[0]["annot_file"], None])
+
+
+def test_plot_cv_curves():
+    from gridnext_tpu import plotting
+
+    rng = np.random.default_rng(0)
+    tr, va = rng.random((4, 6)), rng.random((4, 6))
+    fig, ax = plotting.plot_cv_curves(tr, va)
+    assert fig is not None
+    # errorbar centers are the across-fold means
+    lines = [ln for ln in ax.get_lines() if len(ln.get_xdata()) == 6]
+    np.testing.assert_allclose(lines[0].get_ydata(), tr.mean(0))
+    import matplotlib.pyplot as plt
+
+    plt.close("all")

@@ -267,3 +267,12 @@ def test_visium_hd_fullscale_smoke():
                                   "--patch-chunk", "16"])
     assert r["forward_ms_per_array"] > 0
     assert r["train_ms_per_array"] > 0
+
+
+def test_register_cv_floor():
+    import register_cv
+
+    m = register_cv.main(["--epochs", "4", "--subjects", "3"])
+    assert m["n_folds"] == 3 and m["shape"] == (3, 4)
+    # fresh-per-fold training must actually learn: mean val loss drops
+    assert m["final_val_mean"] < m["first_val_mean"]

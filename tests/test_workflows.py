@@ -87,3 +87,69 @@ def test_n_pcs_for_variance_never_reaching_fraction():
     X = rng.normal(size=(50, 20)).astype(np.float32)
     pca = fit_pca(X, n_components=3)  # 3 PCs of isotropic noise: low EV
     assert n_pcs_for_variance(pca, fraction=0.99) == 3
+
+
+# ---- grouped k-fold CV (register_BA44*.ipynb workflow) ----
+
+def test_grouped_partitions_contiguous():
+    from gridnext_tpu.workflows import grouped_partitions
+
+    groups = ["s3", "s1", "s0", "s2", "s1", "s3"]  # unsorted, repeated
+    parts = grouped_partitions(groups, 2)
+    assert [list(p) for p in parts] == [["s0", "s1"], ["s2", "s3"]]
+    # every unique group lands in exactly one partition, any k
+    parts4 = grouped_partitions(groups, 4)
+    flat = [g for p in parts4 for g in p]
+    assert sorted(flat) == ["s0", "s1", "s2", "s3"]
+    with pytest.raises(ValueError):
+        grouped_partitions(groups, 5)
+    with pytest.raises(ValueError):
+        grouped_partitions(groups, 1)
+
+
+def test_partition_masks_semantics():
+    from gridnext_tpu.workflows import partition_masks
+
+    groups = ["a", "a", "b", "c"]
+    folds = list(partition_masks(groups, [["a"], ["b", "c"]]))
+    (tr0, va0), (tr1, va1) = folds
+    np.testing.assert_array_equal(va0, [True, True, False, False])
+    np.testing.assert_array_equal(tr0, ~va0)
+    np.testing.assert_array_equal(va1, [False, False, True, True])
+    with pytest.raises(ValueError, match="matches no"):
+        list(partition_masks(groups, [["zzz"]]))
+    with pytest.raises(ValueError, match="every array"):
+        list(partition_masks(groups, [["a", "b", "c"]]))
+
+
+def test_cross_validate_aggregation():
+    from gridnext_tpu.workflows import cross_validate
+
+    groups = ["a", "a", "b", "b", "c", "c"]
+    calls = []
+
+    def fold_fn(tr, va, i):
+        calls.append((tr.copy(), va.copy(), i))
+        # losses encode the fold so stacking order is checkable
+        return f"state{i}", [10.0 + i, 1.0 + i], [20.0 + i, 2.0 + i]
+
+    cv = cross_validate(fold_fn, groups, n_folds=3, verbose=False)
+    assert cv.val_hist.shape == (3, 2) and cv.train_hist.shape == (3, 2)
+    np.testing.assert_allclose(cv.val_hist[:, 0], [10.0, 11.0, 12.0])
+    assert cv.states == ["state0", "state1", "state2"]
+    # each fold held out exactly one subject's two arrays
+    for tr, va, i in calls:
+        assert va.sum() == 2 and tr.sum() == 4 and not (tr & va).any()
+    s = cv.summary()
+    np.testing.assert_allclose(s["val_mean"], [11.0, 2.0])
+    np.testing.assert_allclose(s["train_std"], cv.train_hist.std(0))
+
+
+def test_cross_validate_rejects_ragged_histories():
+    from gridnext_tpu.workflows import cross_validate
+
+    def fold_fn(tr, va, i):
+        return None, [1.0] * (2 + i), [1.0] * (2 + i)
+
+    with pytest.raises(ValueError, match="unequal history lengths"):
+        cross_validate(fold_fn, ["a", "b"], n_folds=2, verbose=False)
