@@ -181,8 +181,11 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
                                     train_gridwise, train_spotwise)
 
     classes = list(grids.classes)
-    mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size,
-                                     grid_batch=args.grid_batch_size)
+    # dense ingest has no spotwise stage: --batch-size is unused there, so
+    # don't reject it against the mesh
+    mesh_shape = _checked_mesh_shape(
+        args, spot_batch=args.batch_size if spots is not None else None,
+        grid_batch=args.grid_batch_size)
     spot_desc = ("joint f+g (dense ingest)" if spots is None
                  else f"{len(spots)} spots")
     print(f"{spot_desc}, {len(grids)} arrays, classes: {classes}"
@@ -293,6 +296,18 @@ def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None):
         sys.exit(f"error: {e} (adjust --batch-size / --grid-batch-size "
                  "before training starts)")
     return mesh_shape
+
+
+def _check_dense_ingest_args(args, grid_dims):
+    """Shared --dense-ingest preconditions (train-image and train-mm)."""
+    if grid_dims is None:
+        sys.exit("error: --dense-ingest needs a square HD bin lattice "
+                 "(--grid-dims / --hd-binning); Visium pseudo-hex "
+                 "spots don't tile the slide")
+    if args.window_px is not None and args.window_px != args.patch_px:
+        sys.exit("error: --dense-ingest extracts whole bins (window == "
+                 "pitch == --patch-px); drop --window-px or use the "
+                 "cache-based pipeline")
 
 
 def _parse_mesh(args):
@@ -409,14 +424,7 @@ def _cmd_train_image(args):
         # through f, so f trains jointly with g). data/dense_ingest.py.
         from gridnext_tpu.data import DenseWSIGridDataset
 
-        if grid_dims is None:
-            sys.exit("error: --dense-ingest needs a square HD bin lattice "
-                     "(--grid-dims / --hd-binning); Visium pseudo-hex "
-                     "spots don't tile the slide")
-        if args.window_px is not None and args.window_px != args.patch_px:
-            sys.exit("error: --dense-ingest extracts whole bins (window == "
-                     "pitch == --patch-px); drop --window-px or use the "
-                     "cache-based pipeline")
+        _check_dense_ingest_args(args, grid_dims)
         spots = None
         grids = DenseWSIGridDataset(args.images, args.spaceranger,
                                     args.annots, patch_size=args.patch_px,
@@ -577,14 +585,7 @@ def _cmd_train_mm(args):
         # same contract as train-image --dense-ingest).
         from gridnext_tpu.data import DenseWSIGridDataset, MMStackDataset
 
-        if grid_dims is None:
-            sys.exit("error: --dense-ingest needs a square HD bin lattice "
-                     "(--grid-dims / --hd-binning); Visium pseudo-hex "
-                     "spots don't tile the slide")
-        if args.window_px is not None and args.window_px != args.patch_px:
-            sys.exit("error: --dense-ingest extracts whole bins (window == "
-                     "pitch == --patch-px); drop --window-px or use the "
-                     "cache-based pipeline")
+        _check_dense_ingest_args(args, grid_dims)
         img_grids = DenseWSIGridDataset(args.images, args.spaceranger,
                                         args.annots,
                                         patch_size=args.patch_px,

@@ -118,7 +118,7 @@ class CountGridDataset(_GridDatasetBase):
                  select_genes: Optional[Sequence[str]] = None,
                  h_st: int = geometry.VISIUM_H_ST, w_st: int = geometry.VISIUM_W_ST,
                  cfile_delim: str = "\t", afile_delim: str = "\t",
-                 annot_format: str = "loupe"):
+                 annot_format: str = "loupe", check_gene_axis: bool = True):
         _check_lengths(count_files, annot_files, position_files, Visium,
                        annot_format)
         self.annot_format = annot_format
@@ -143,9 +143,11 @@ class CountGridDataset(_GridDatasetBase):
 
         # Caches from separate prepare runs may not share a gene axis; fail
         # at construction with a clear message instead of as an np.stack
-        # shape error mid-training (the factory checks only when all caches
-        # pre-exist in one call; direct construction must check too).
-        if (self._n_arrays > 1 and select_genes is None
+        # shape error mid-training (direct construction must check; the
+        # factory passes check_gene_axis=False since it already checked or
+        # just generated the caches -- the check decompresses every cache,
+        # so doubling it matters at HD scale).
+        if (check_gene_axis and self._n_arrays > 1 and select_genes is None
                 and cfile_delim == "\t"
                 and all(os.path.exists(cf) for cf in self.count_files)):
             from gridnext_tpu.io.unify import check_unified_gene_axis
@@ -213,19 +215,17 @@ class CountSpotDataset:
             self.classes = union_classes(annot_files, position_files, afile_delim)
 
         rxp = re.compile(r"\d+_\d+")
-        genes0 = None  # cross-file gene-axis consistency (see CountGridDataset)
-        for i, cf in enumerate(self.count_files):
+        genes0 = None  # cross-file gene-axis consistency (free: frames are
+        for i, cf in enumerate(self.count_files):  # read here for indexing)
             frame = _read_count_frame(cf, cfile_delim)
             if self.select_genes is None:
                 if genes0 is None:
                     genes0 = list(frame.index)
-                elif list(frame.index) != genes0:
-                    raise ValueError(
-                        f"count files do not share a gene axis: {cf} differs "
-                        f"from {self.count_files[0]} (unified caches prepared "
-                        "in separate runs?). Regenerate them over the full "
-                        "cohort in one prepare_count_files call, or pass "
-                        "select_genes to align by name.")
+                else:
+                    from gridnext_tpu.io.unify import assert_gene_axis_match
+
+                    assert_gene_axis_match(list(frame.index), genes0, cf,
+                                           self.count_files[0])
             if annot_files is not None:
                 if Visium:
                     coord_strs, annot_strs = read_annotfile(
@@ -512,13 +512,11 @@ class MMSpotDataset:
             if self.select_genes is None:
                 if genes0 is None:
                     genes0 = list(frame.index)
-                elif list(frame.index) != genes0:
-                    raise ValueError(
-                        f"count files do not share a gene axis: {cf} differs "
-                        f"from {self.count_files[0]} (unified caches prepared "
-                        "in separate runs?). Regenerate them over the full "
-                        "cohort in one prepare_count_files call, or pass "
-                        "select_genes to align by name.")
+                else:
+                    from gridnext_tpu.io.unify import assert_gene_axis_match
+
+                    assert_gene_axis_match(list(frame.index), genes0, cf,
+                                           self.count_files[0])
             frame_cols = set(frame.columns)
             adict = None
             if annot_files is not None:
@@ -823,9 +821,11 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
                                          position_files=position_files,
                                          img_transforms=img_transforms, **grid_kw)
         if use_count:
+            # the factory already checked (or just generated) the gene axis
             dat_count = CountGridDataset(count_files, annot_files=annot_files,
                                          position_files=position_files,
-                                         select_genes=select_genes, **grid_kw)
+                                         select_genes=select_genes,
+                                         check_gene_axis=False, **grid_kw)
         if use_image and use_count:
             return MMStackDataset(dat_image, dat_count)
         return dat_image if use_image else dat_count

@@ -168,4 +168,6 @@ class DenseWSIGridDataset:
                          self.patch_size, 3), np.float32)
 
     def source_ids(self):
-        return list(self.image_files)
+        # Spaceranger dirs, not image paths: --val-arrays matches array dir
+        # basenames (cli._split_dls), same as every cache-based dataset
+        return list(self.spaceranger_dirs)

@@ -32,6 +32,21 @@ def unified_count_suffix(hd_binning=None,
     return f".{hd_binning}{base}" if hd_binning else base
 
 
+def assert_gene_axis_match(genes, genes0, cf, cf0):
+    """Raise the shared misaligned-gene-axis error when ``genes != genes0``.
+
+    One message for every construction path (factory check, spot datasets'
+    in-loop checks) so diagnostics stay consistent.
+    """
+    if genes != genes0:
+        raise ValueError(
+            f"count files do not share a gene axis: {cf} differs from "
+            f"{cf0} (unified caches prepared in separate runs?). Delete the "
+            "*.unified.tsv.gz caches and regenerate them over the full "
+            "cohort in one prepare_count_files/create_visium_dataset call, "
+            "or pass select_genes to align by name.")
+
+
 def check_unified_gene_axis(count_files: Sequence) -> list:
     """Assert pre-existing unified caches share one gene axis; return it.
 
@@ -40,20 +55,13 @@ def check_unified_gene_axis(count_files: Sequence) -> list:
     would train on misaligned gene axes (or die in np.stack). The unified
     contract is cohort-wide, so this is a user error worth a clear message.
     """
-    genes0, bad = None, None
+    genes0 = None
     for cf in count_files:
         genes = list(pd.read_csv(cf, sep="\t", index_col=0, usecols=[0]).index)
         if genes0 is None:
             genes0 = genes
-        elif genes != genes0:
-            bad = cf
-            break
-    if bad is not None:
-        raise ValueError(
-            f"unified count caches do not share a gene axis: {bad} differs "
-            f"from {count_files[0]} (prepared in separate runs?). Delete the "
-            "*.unified.tsv.gz caches and regenerate them over the full "
-            "cohort in one prepare_count_files/create_visium_dataset call.")
+        else:
+            assert_gene_axis_match(genes, genes0, cf, count_files[0])
     return genes0
 
 

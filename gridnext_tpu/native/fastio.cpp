@@ -259,20 +259,19 @@ static bool walk_members(const std::string& comp,
     return off == n && !members.empty();
 }
 
-// Inflate one complete gzip member (header auto-parsed by windowBits 15+16).
+// Inflate one complete gzip member (header auto-parsed by windowBits 15+16)
+// straight into its caller-provided slice of the output buffer.
 static bool inflate_member(const unsigned char* data, size_t size,
-                           std::string& out) {
-    // ISIZE trailer = uncompressed length mod 2^32 (members are ~4 MB raw)
-    out.resize(get_u32(data + size - 4));
+                           char* dst, size_t raw_size) {
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;
     zs.next_in = (Bytef*)data;
     zs.avail_in = (uInt)size;
-    zs.next_out = (Bytef*)&out[0];
-    zs.avail_out = (uInt)out.size();
+    zs.next_out = (Bytef*)dst;
+    zs.avail_out = (uInt)raw_size;
     int rc = inflate(&zs, Z_FINISH);
-    bool ok = rc == Z_STREAM_END && zs.total_out == out.size();
+    bool ok = rc == Z_STREAM_END && zs.total_out == raw_size;
     inflateEnd(&zs);
     return ok;
 }
@@ -294,7 +293,20 @@ static bool read_all(const char* path, std::string& out) {
             && (unsigned char)comp[1] == 0x8b) {
         std::vector<std::pair<size_t, size_t>> members;
         if (walk_members(comp, members)) {
-            std::vector<std::string> parts(members.size());
+            // Each member's raw size is in its ISIZE trailer, so every
+            // output offset is knowable up front: size `out` once and let
+            // workers inflate directly into their slice -- no per-member
+            // staging buffers (which would hold compressed + raw + copied
+            // output simultaneously, ~2x raw peak RSS on GB-scale caches).
+            const unsigned char* cd = (const unsigned char*)comp.data();
+            size_t base = out.size(), total = 0;
+            std::vector<size_t> offs(members.size());
+            for (size_t i = 0; i < members.size(); ++i) {
+                offs[i] = total;
+                total += get_u32(cd + members[i].first
+                                 + members[i].second - 4);
+            }
+            out.resize(base + total);
             unsigned hw = std::thread::hardware_concurrency();
             size_t n_threads = std::max<size_t>(1, std::min<size_t>(
                 {(size_t)(hw ? hw : 1), members.size(), (size_t)16}));
@@ -304,9 +316,11 @@ static bool read_all(const char* path, std::string& out) {
                 for (;;) {
                     size_t i = next.fetch_add(1);
                     if (i >= members.size() || failed.load()) return;
-                    if (!inflate_member(
-                            (const unsigned char*)comp.data() + members[i].first,
-                            members[i].second, parts[i]))
+                    size_t end = i + 1 < members.size() ? offs[i + 1] : total;
+                    if (!inflate_member(cd + members[i].first,
+                                        members[i].second,
+                                        &out[base + offs[i]],
+                                        end - offs[i]))
                         failed.store(true);
                 }
             };
@@ -318,14 +332,9 @@ static bool read_all(const char* path, std::string& out) {
                     threads.emplace_back(worker);
                 for (auto& th : threads) th.join();
             }
-            if (!failed.load()) {
-                size_t total = 0;
-                for (auto& s : parts) total += s.size();
-                out.reserve(out.size() + total);
-                for (auto& s : parts) out.append(s);
+            if (!failed.load())
                 return true;
-            }
-            out.clear();  // malformed despite valid-looking chain: fall back
+            out.resize(base);  // malformed despite valid chain: fall back
         }
         // foreign gzip (pandas single-member, bgzip, ...): serial gzread
         gzFile gz = gzopen(path, "rb");

@@ -731,8 +731,11 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
       image_files: fullres slide images, one per array.
       spaceranger_dirs: matching Spaceranger dirs (positions per slide).
       hd_binning: Visium HD binned-output name for position lookup.
-      slide_batch: max slides per device dispatch. Leftover groups dispatch
-        at their actual size (size-1 groups reuse the single-slide program).
+      slide_batch: max slides per device dispatch, and the cap on staged
+        slides held across shape groups (mixed-shape cohorts flush the
+        largest partial group at the cap instead of pinning every shape's
+        WSI in HBM until the source drains). Leftover groups dispatch at
+        their actual size (size-1 groups reuse the single-slide program).
       prefetch: SlideSource queue depth (default ``slide_batch + 1`` so the
         next full batch decodes behind the current dispatch).
       source: pass a pre-built SlideSource instead (image_files /
@@ -793,15 +796,28 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
         return out + [(i, labels[k], p)
                       for k, (i, p) in enumerate(zip(idxs, poss))]
 
+    # Shape-grouping must not pin unbounded device memory: a mixed-shape
+    # cohort (distinct scan dimensions are the norm for real WSIs) never
+    # fills any one group, so without a cap every staged slide would stay
+    # HBM-resident until the source drains. Bound the total held slides at
+    # slide_batch -- when the cap is hit, flush the largest partial group
+    # (best dispatch amortization) even though it's not full.
     groups: dict = {}
+    held = 0
     for i, wsi, pos in source:
         key = (tuple(wsi.orig_hw) if isinstance(wsi, PackedWSI)
                else tuple(wsi.shape))
-        group = groups.setdefault(key, [])
-        group.append((i, wsi, pos))
-        if len(group) >= slide_batch:
-            yield from flush(group)
-            group.clear()
+        groups.setdefault(key, []).append((i, wsi, pos))
+        held += 1
+        if len(groups[key]) >= slide_batch:
+            key_to_flush = key
+        elif held >= slide_batch:
+            key_to_flush = max(groups, key=lambda k: len(groups[k]))
+        else:
+            continue
+        group = groups.pop(key_to_flush)
+        held -= len(group)
+        yield from flush(group)
     for group in groups.values():
         if group:
             yield from flush(group)

@@ -303,3 +303,37 @@ def test_cli_train_mm_dense_ingest(tmp_path):
     assert meta["grid_dims"] == list(hd_grid)
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())
+
+
+def test_source_ids_are_spaceranger_dirs(hd):
+    """--val-arrays matches array dir basenames (cli._split_dls contract):
+    source_ids must be the Spaceranger dirs, like every cache dataset --
+    image paths would never contain the array names."""
+    sims, binning, hd_grid, pitch = hd
+    dirs = [s["spaceranger_dir"] for s in sims]
+    ds = DenseWSIGridDataset([s["image_file"] for s in sims], dirs, None,
+                             patch_size=pitch, hd_binning=binning,
+                             grid_dims=hd_grid)
+    assert ds.source_ids() == [str(d) for d in dirs]
+
+    from gridnext_tpu.cli import _split_dls
+
+    name = __import__("pathlib").Path(dirs[1]).name
+    dls = _split_dls(ds, 2, stream=True, val_arrays=[name])
+    assert len(dls["val"]) == 1 and len(dls["train"]) == 1
+
+
+def test_dense_ingest_mesh_skips_spot_batch_check():
+    """--dense-ingest has no spotwise stage: an (otherwise invalid)
+    --batch-size must not be rejected against --mesh; --grid-batch-size
+    still is."""
+    import types
+
+    from gridnext_tpu.cli import _checked_mesh_shape
+
+    args = types.SimpleNamespace(mesh="data=8")
+    # 7 % 8 != 0: would sys.exit if validated as the spot batch
+    assert _checked_mesh_shape(args, spot_batch=None, grid_batch=8) \
+        == {"data": 8}
+    with pytest.raises(SystemExit):
+        _checked_mesh_shape(args, spot_batch=7, grid_batch=8)

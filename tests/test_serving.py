@@ -690,3 +690,71 @@ def test_dense_resample_rejects_overhang():
     # bottom overhang: last bin row extends past the image bottom
     assert fit_dense_lattice(make_pos((shape[0] - hd_grid[0] * pitch + 5.0,
                                        25.3)), *hd_grid, 13, shape) is None
+
+
+def test_register_slides_mixed_shapes_bounded_hold(tmp_path_factory):
+    """All-distinct-shape cohorts must not pin every staged slide until the
+    source drains: register_slides caps held slides at slide_batch, flushing
+    the largest partial group at the cap (mixed scan dimensions are the norm
+    for real WSIs; unbounded holds OOM HBM on GB-scale slides)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.ingest import SlideSource
+    from gridnext_tpu.serving import register_slides
+
+    root = tmp_path_factory.mktemp("serving_mixed")
+    sims = [simulate_spaceranger_dir(root / f"m{k}", seed=20 + k, n_genes=6,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=12 + 2 * k,
+                                     tissue_fraction=0.4)
+            for k in range(4)]
+    files = [s["image_file"] for s in sims]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    shapes = {Image.open(f).size for f in files}
+    assert len(shapes) == 4  # premise: every slide its own shape group
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                                  patch, patch, 3)))
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(variables, gr, train=False,
+                                           method=lambda m, x, train: m.corrector(x, train=train)))
+
+    want = []
+    for s in sims:
+        wsi = jnp.asarray(np.asarray(Image.open(s["image_file"])))
+        want.append(registrar(wsi, read_positions(s["spaceranger_dir"])))
+
+    class CountingSource:
+        """Counts slides handed to the consumer (== staged device memory)."""
+
+        def __init__(self, src):
+            self.src, self.timer, self.consumed = src, src.timer, 0
+
+        def __iter__(self):
+            for item in self.src:
+                self.consumed += 1
+                yield item
+
+    slide_batch = 2
+    cs = CountingSource(SlideSource(files, dirs, prefetch=2))
+    got, done, max_gap = {}, 0, 0
+    for i, labels, pos in register_slides(registrar, files, dirs,
+                                          slide_batch=slide_batch, source=cs):
+        done += 1
+        max_gap = max(max_gap, cs.consumed - done)
+        got[i] = labels
+    assert set(got) == set(range(4))
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], want[i])
+    # the cap: at every yield, consumed-but-unyielded slides <= slide_batch
+    # (pre-fix this was len(cohort)-1: nothing yielded until the source drained)
+    assert max_gap <= slide_batch, max_gap
