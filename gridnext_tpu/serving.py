@@ -60,6 +60,22 @@ def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
             y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: jax.shard_map (>=0.8, check_vma) with
+    the jax.experimental fallback (check_rep). Replication checking is off
+    either way -- the bodies all_gather explicitly."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 # Padded spot arrays round up to a multiple of this, so batches with
 # near-equal spot counts share one compiled program.
 _SPOT_BUCKET = 128
@@ -341,7 +357,6 @@ class SlideRegistrar:
         if self.mesh is None:
             return compute(wsi, y_c, x_c, slide)
 
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(self.mesh.axis_names)
@@ -352,10 +367,10 @@ class SlideRegistrar:
             local = compute(wsi_, y_, x_, None if single else slide_)
             return jax.lax.all_gather(local, axes, axis=0, tiled=True)
 
-        fn = shard_map(
+        fn = _shard_map(
             body, mesh=self.mesh,
             in_specs=(P(), spot_spec, spot_spec, spot_spec),
-            out_specs=P(), check_rep=False)
+            out_specs=P())
         # pad the spot axis to a mesh-size multiple (dummy spots crop the
         # top-left corner of slide 0 -- harmless, sliced off below)
         n = y_c.shape[0]
@@ -379,7 +394,6 @@ class SlideRegistrar:
         if self.mesh is None:
             return self._apply_f(patches)
 
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(self.mesh.axis_names)
@@ -394,9 +408,8 @@ class SlideRegistrar:
             return jax.lax.all_gather(self._apply_f(p), axes, axis=0,
                                       tiled=True)
 
-        fn = shard_map(body, mesh=self.mesh,
-                       in_specs=(P(axes),), out_specs=P(),
-                       check_rep=False)
+        fn = _shard_map(body, mesh=self.mesh,
+                        in_specs=(P(axes),), out_specs=P())
         return fn(patches)[:n]
 
     def _apply_f(self, patches):
