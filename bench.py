@@ -431,8 +431,22 @@ def bench_ingest_secondary():
         f"{os.cpu_count()} host cpu)")
 
 
+def _retry(fn, attempts=3, wait_s=120):
+    """Best-effort retries: the relay-attached TPU backend can be transiently
+    Unavailable; a headline-killing hiccup should not cost the whole bench."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            log(f"{getattr(fn, '__name__', 'bench')} attempt "
+                f"{a + 1}/{attempts} failed: {e}")
+            if a + 1 == attempts:
+                raise
+            time.sleep(wait_s)
+
+
 def main():
-    tpu_rate = bench_tpu_image()
+    tpu_rate = _retry(bench_tpu_image)
     # batched serving (4 slides/dispatch): the production shape; headline is
     # whichever is faster for the same model + patch config
     try:
