@@ -431,16 +431,24 @@ def bench_ingest_secondary():
         f"{os.cpu_count()} host cpu)")
 
 
+_TRANSIENT_MARKERS = ("unavailable", "deadline", "connection", "transport",
+                      "socket", "reset", "unreachable", "timed out")
+
+
 def _retry(fn, attempts=3, wait_s=120):
     """Best-effort retries: the relay-attached TPU backend can be transiently
-    Unavailable; a headline-killing hiccup should not cost the whole bench."""
+    Unavailable; a headline-killing hiccup should not cost the whole bench.
+    Only relay-shaped errors are retried — a deterministic code/shape bug
+    re-raises immediately instead of burning attempts*wait_s on re-compiles."""
     for a in range(attempts):
         try:
             return fn()
         except Exception as e:
             log(f"{getattr(fn, '__name__', 'bench')} attempt "
                 f"{a + 1}/{attempts} failed: {e}")
-            if a + 1 == attempts:
+            msg = f"{type(e).__name__}: {e}".lower()
+            transient = any(m in msg for m in _TRANSIENT_MARKERS)
+            if a + 1 == attempts or not transient:
                 raise
             time.sleep(wait_s)
 

@@ -39,12 +39,18 @@ def assert_gene_axis_match(genes, genes0, cf, cf0):
     in-loop checks) so diagnostics stay consistent.
     """
     if genes != genes0:
+        if all(".unified" in str(f) for f in (cf, cf0)):
+            remedy = ("(unified caches prepared in separate runs?). Delete "
+                      "the *.unified.tsv.gz caches and regenerate them over "
+                      "the full cohort in one prepare_count_files/"
+                      "create_visium_dataset call, or pass select_genes to "
+                      "align by name.")
+        else:
+            remedy = ("Pass select_genes to align the files by gene name, "
+                      "or rebuild them over one shared gene axis.")
         raise ValueError(
             f"count files do not share a gene axis: {cf} differs from "
-            f"{cf0} (unified caches prepared in separate runs?). Delete the "
-            "*.unified.tsv.gz caches and regenerate them over the full "
-            "cohort in one prepare_count_files/create_visium_dataset call, "
-            "or pass select_genes to align by name.")
+            f"{cf0}. {remedy}")
 
 
 def check_unified_gene_axis(count_files: Sequence) -> list:

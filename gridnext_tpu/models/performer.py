@@ -110,6 +110,37 @@ def apply_rotary_pos_emb(q, k, freqs):
     return rot(q), rot(k)
 
 
+def interleaved_rotary_angles(n: int, dim: int, dtype=jnp.float32):
+    """Angle table for the *interleaved* (GPT-J) rotary convention used by
+    the reference's layer-level helpers (llm/performer_pytorch.py:430-444):
+    theta_i = 10000^(-2i/dim), one angle per adjacent (2i, 2i+1) pair."""
+    inv = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=dtype) / dim))
+    return jnp.arange(n, dtype=dtype)[:, None] * inv[None, :]  # (n, dim//2)
+
+
+def _rotate_every_two(x):
+    x1, x2 = x[..., ::2], x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rotary_interleaved(q, k, angles):
+    """Interleaved-pair rotary on q and k: each adjacent feature pair
+    (2i, 2i+1) is rotated by ``angles[pos, i]`` in the complex plane --
+    the math of the reference's ``apply_rotary_pos_emb``/``rotate_every_two``
+    (llm/performer_pytorch.py:432-444; dead code there: PerformerLM sets
+    ``layer_pos_emb = Always(None)`` on every path, :594-597). q, k:
+    (..., N, d); angles (N, d//2). Distinct from the half-rotation (NeoX)
+    convention of :func:`apply_rotary_pos_emb`, which matches the
+    ``local_attention`` package for the local heads."""
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)
+
+    def rot(t):
+        return t * cos + _rotate_every_two(t) * sin
+
+    return rot(q), rot(k)
+
+
 def local_block_attention(q, k, v, window: int, causal: bool = False,
                           mask=None, rel_pos: bool = False):
     """Blockwise local attention: each block attends to itself + the previous
@@ -210,6 +241,10 @@ class SelfAttention(nn.Module):
     # reference parity default: SelfAttention always hands LocalAttention a
     # rel_pos_emb_config (llm/performer_pytorch.py:369)
     local_rel_pos: bool = True
+    # rotary on the *global* FAVOR heads (the reference's injection point,
+    # llm/performer_pytorch.py:397-398). Off by default: PerformerLM never
+    # produces a layer pos_emb (:594-597), so parity checkpoints need False.
+    rotary: bool = False
     causal: bool = False
     nb_features: Optional[int] = None
     generalized_attention: bool = False
@@ -253,6 +288,9 @@ class SelfAttention(nn.Module):
                 # reference masks only v (llm/performer_pytorch.py:397-399);
                 # phi(k) of masked positions stays in the FAVOR denominator
                 vg = vg * mask[:, None, :, None]
+            if self.rotary:
+                qg, kg = apply_rotary_interleaved(
+                    qg, kg, interleaved_rotary_angles(n, dh, jnp.float32))
             outs.append(fa(qg, kg, vg))
         if self.local_heads > 0:
             outs.append(local_block_attention(
@@ -322,6 +360,7 @@ class Performer(nn.Module):
     dim_head: int = 64
     local_attn_heads: Union[int, Sequence[int]] = 0
     local_window_size: int = 256
+    rotary: bool = False          # interleaved rotary on the global heads
     causal: bool = False
     ff_mult: int = 4
     nb_features: Optional[int] = None
@@ -351,6 +390,7 @@ class Performer(nn.Module):
             attn = SelfAttention(
                 dim=self.dim, heads=self.heads, dim_head=self.dim_head,
                 local_heads=lh, local_window_size=self.local_window_size,
+                rotary=self.rotary,
                 causal=self.causal, nb_features=self.nb_features,
                 generalized_attention=self.generalized_attention,
                 kernel_fn=self.kernel_fn, dropout=self.attn_dropout,
@@ -422,6 +462,7 @@ class PerformerLM(nn.Module):
     dim_head: int = 64
     local_attn_heads: Union[int, Sequence[int]] = 0
     local_window_size: int = 256
+    rotary: bool = False          # interleaved rotary on the global heads
     causal: bool = False
     ff_mult: int = 4
     nb_features: Optional[int] = None
@@ -476,7 +517,8 @@ class PerformerLM(nn.Module):
         h = Performer(
             dim=self.dim, depth=self.depth, heads=self.heads,
             dim_head=self.dim_head, local_attn_heads=self.local_attn_heads,
-            local_window_size=self.local_window_size, causal=self.causal,
+            local_window_size=self.local_window_size, rotary=self.rotary,
+            causal=self.causal,
             ff_mult=self.ff_mult, nb_features=self.nb_features,
             feature_redraw_interval=self.feature_redraw_interval,
             remat=self.remat, ff_chunks=self.ff_chunks,

@@ -327,3 +327,66 @@ def test_local_block_attention_all_masked_row_is_zero():
     np.testing.assert_allclose(np.asarray(out[0, :, 0]), 0.0, atol=1e-7)
     # other rows unaffected vs an unmasked-except-0 run remains finite
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_interleaved_rotary_matches_complex_oracle():
+    """apply_rotary_interleaved == rotating each adjacent (2i, 2i+1) feature
+    pair by angles[pos, i] in the complex plane (independent oracle for the
+    reference's rotate_every_two math, llm/performer_pytorch.py:432-444)."""
+    from gridnext_tpu.models.performer import (
+        apply_rotary_interleaved, interleaved_rotary_angles)
+
+    n, d = 7, 8
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 3, n, d)).astype(np.float32)
+    k = rng.normal(size=(2, 3, n, d)).astype(np.float32)
+    ang = np.asarray(interleaved_rotary_angles(n, d))
+    qr, kr = apply_rotary_interleaved(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(ang))
+
+    def oracle(t):
+        z = t[..., ::2] + 1j * t[..., 1::2]          # (..., n, d//2)
+        z = z * np.exp(1j * ang)                      # rotate each pair
+        out = np.empty_like(t)
+        out[..., ::2], out[..., 1::2] = z.real, z.imag
+        return out
+
+    np.testing.assert_allclose(np.asarray(qr), oracle(q), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kr), oracle(k), rtol=1e-5, atol=1e-5)
+    # rotation preserves per-pair (hence per-vector) norms
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qr), axis=-1),
+                               np.linalg.norm(q, axis=-1), rtol=1e-5)
+
+
+def test_interleaved_rotary_scores_are_relative():
+    """Post-rotary q.k dot products depend only on the position offset:
+    shifting both positions by s leaves the score unchanged."""
+    from gridnext_tpu.models.performer import (
+        apply_rotary_interleaved, interleaved_rotary_angles)
+
+    n, d, s = 12, 6, 4
+    rng = np.random.default_rng(1)
+    qv = rng.normal(size=d).astype(np.float32)
+    kv = rng.normal(size=d).astype(np.float32)
+    q = jnp.broadcast_to(jnp.asarray(qv), (1, 1, n, d))
+    k = jnp.broadcast_to(jnp.asarray(kv), (1, 1, n, d))
+    ang = interleaved_rotary_angles(n, d)
+    qr, kr = apply_rotary_interleaved(q, k, ang)
+    scores = np.asarray(jnp.einsum("bhid,bhjd->bhij", qr, kr))[0, 0]
+    i, j = 2, 5
+    np.testing.assert_allclose(scores[i, j], scores[i + s, j + s],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_performer_rotary_option():
+    """rotary=True initializes (no new params -- parameterless), changes the
+    global-head outputs, and rotary=False stays checkpoint-compatible."""
+    x = jax.random.normal(jax.random.key(0), (2, 10, 16))
+    kw = dict(dim=16, depth=1, heads=2, dim_head=8, nb_features=8)
+    m0 = Performer(**kw)
+    m1 = Performer(rotary=True, **kw)
+    p0 = m0.init(jax.random.key(1), x)
+    y0 = m0.apply(p0, x)
+    y1 = m1.apply(p0, x)  # same params load: no extra state
+    assert y0.shape == y1.shape
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
