@@ -390,3 +390,31 @@ def test_performer_rotary_option():
     y1 = m1.apply(p0, x)  # same params load: no extra state
     assert y0.shape == y1.shape
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_neox_rotary_matches_complex_oracle():
+    """apply_rotary_pos_emb (half-rotation/NeoX, the local-head convention)
+    == rotating each (i, i + d/2) feature pair by freqs[pos, i] in the
+    complex plane -- an independent oracle complementing the invariance
+    tests (shift-equivariance, norm preservation) that pin the local heads."""
+    from gridnext_tpu.models.performer import (apply_rotary_pos_emb,
+                                               sinusoidal_rotary_freqs)
+
+    n, d = 9, 8
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(2, 2, n, d)).astype(np.float32)
+    k = rng.normal(size=(2, 2, n, d)).astype(np.float32)
+    freqs = np.asarray(sinusoidal_rotary_freqs(n, d))  # (n, d), halves equal
+    ang = freqs[:, : d // 2]
+    qr, kr = apply_rotary_pos_emb(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(freqs))
+
+    def oracle(t):
+        z = t[..., : d // 2] + 1j * t[..., d // 2:]   # pair (i, i + d/2)
+        z = z * np.exp(1j * ang)
+        return np.concatenate([z.real, z.imag], axis=-1)
+
+    np.testing.assert_allclose(np.asarray(qr), oracle(q), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kr), oracle(k), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(qr), axis=-1),
+                               np.linalg.norm(q, axis=-1), rtol=1e-5)
