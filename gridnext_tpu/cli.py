@@ -243,10 +243,9 @@ def _validated_count_cache(srd, meta):
         sys.exit(f"error: {cfile} not found -- run "
                  f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
     if meta.get("genes") is not None:
-        import pandas as pd
+        from gridnext_tpu.io.unify import read_unified_genes
 
-        genes = list(pd.read_csv(cfile, sep="\t", index_col=0,
-                                 usecols=[0]).index)
+        genes = read_unified_genes(cfile)
         if genes != meta["genes"]:
             sys.exit(
                 f"error: {cfile} has a different gene set/order than the "
@@ -479,14 +478,17 @@ def _scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
 
     from gridnext_tpu.io import unified_count_suffix
     from gridnext_tpu.io.spaceranger import read_feature_names
-    from gridnext_tpu.io.unify import check_unified_gene_axis
+    from gridnext_tpu.io.unify import read_unified_genes
     from gridnext_tpu.models.scbert import (load_gene2vec_names,
                                             preprocess_scbert)
 
     suffix = unified_count_suffix(hd_binning)
     caches = [os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
               for srd in spaceranger_dirs]
-    genes = check_unified_gene_axis(caches)
+    # First cache only: cross-file gene-axis consistency is enforced by the
+    # dataset constructors (train) / _validated_count_cache (register), and
+    # re-reading every GB-scale gzip here doubled startup I/O at HD scale.
+    genes = read_unified_genes(caches[0])
     try:
         names = read_feature_names(spaceranger_dirs[0], hd_binning=hd_binning)
         sym_lut = names["gene_symbol"].to_dict()

@@ -112,7 +112,15 @@ class SlideSource:
                 with self.timer("decode"):
                     arr = self.decode(f)
                 self.bytes_decoded += arr.nbytes
-                if not put((i, arr)):
+                # positions parse rides the decode thread too: at HD scale
+                # (~147k rows) it costs hundreds of ms that must overlap
+                # registration, not sit on the consumer's dispatch path
+                if self.spaceranger_dirs is not None:
+                    with self.timer("positions"):
+                        pos = self._positions(i)
+                else:
+                    pos = None
+                if not put((i, arr, pos)):
                     return
             put(None)
         except BaseException as e:  # surface in the consumer, don't hang it
@@ -137,12 +145,21 @@ class SlideSource:
         staged = collections.deque()
 
         def stage_next() -> bool:
-            item = decoded.get()
+            # stop-aware get: if close() cancels mid-iteration the worker
+            # exits WITHOUT the None sentinel -- a bare .get() would then
+            # hang the consumer forever once the queue drains
+            while True:
+                try:
+                    item = decoded.get(timeout=0.2)
+                    break
+                except queue.Empty:
+                    if stop.is_set() and not worker.is_alive():
+                        return False    # cancelled: treat as exhausted
             if item is None:
                 return False
             if isinstance(item, BaseException):
                 raise item
-            i, arr = item
+            i, arr, pos = item
             with self.timer("stage"):
                 # async put: returns immediately, transfer overlaps compute
                 dev = jax.device_put(arr)
@@ -156,7 +173,7 @@ class SlideSource:
                     # the previous slide's registration
                     dev = PackedWSI(self._pack_fn(dev), arr.shape[:2])
             self.bytes_staged += arr.nbytes
-            staged.append((i, dev, self._positions(i)))
+            staged.append((i, dev, pos))
             return True
 
         try:

@@ -53,6 +53,13 @@ def assert_gene_axis_match(genes, genes0, cf, cf0):
             f"{cf0}. {remedy}")
 
 
+def read_unified_genes(count_file) -> list:
+    """Gene axis (index column) of one unified cache. Decompresses the whole
+    gzip (TSV is row-major) but skips parsing the count columns."""
+    return list(pd.read_csv(count_file, sep="\t", index_col=0,
+                            usecols=[0]).index)
+
+
 def check_unified_gene_axis(count_files: Sequence) -> list:
     """Assert pre-existing unified caches share one gene axis; return it.
 
@@ -63,7 +70,7 @@ def check_unified_gene_axis(count_files: Sequence) -> list:
     """
     genes0 = None
     for cf in count_files:
-        genes = list(pd.read_csv(cf, sep="\t", index_col=0, usecols=[0]).index)
+        genes = read_unified_genes(cf)
         if genes0 is None:
             genes0 = genes
         else:

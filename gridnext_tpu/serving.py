@@ -636,9 +636,14 @@ class SlideRegistrar:
                                                self.w_st, self.hex_coords)
         y_px = y_px + pad_offset
         x_px = x_px + pad_offset
+        # Crop origin is center - w//2 and spans `window_size` pixels, so
+        # the max in-bounds center is H - (w - w//2) -- NOT H - w//2 - 1,
+        # which is one pixel tighter for even windows and would shift
+        # flush-to-edge lattice rows by 1 px vs register_dense's unclamped
+        # slice (breaking the dense==per-bin parity contract).
         p2 = self.window_size // 2
-        y_px = np.clip(y_px, p2, wsi_shape[0] - p2 - 1)
-        x_px = np.clip(x_px, p2, wsi_shape[1] - p2 - 1)
+        y_px = np.clip(y_px, p2, wsi_shape[0] - (self.window_size - p2))
+        x_px = np.clip(x_px, p2, wsi_shape[1] - (self.window_size - p2))
         return oy, ox, y_px, x_px
 
     def __call__(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:

@@ -227,6 +227,12 @@ def _pad_batch(x, y, batch_size: int, loss_kind: str):
     grid CE, -1 for spot CE, NaN targets for spot MSE. Returns the padded
     batch; callers track the real item count separately.
     """
+    # NaN padding needs a float dtype: np.full(..., np.nan, int64) silently
+    # fills INT64_MIN, which isfinite() treats as a VALID row and the pad
+    # poisons the loss. Regression targets are float math anyway, so cast
+    # -- full batches too, keeping one dtype (= one trace) per epoch.
+    if loss_kind == "spot_mse" and not np.issubdtype(y.dtype, np.floating):
+        y = y.astype(np.float32)
     n_real = len(y)
     n_pad = batch_size - n_real
     if n_pad <= 0:
@@ -591,6 +597,12 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     pad with loss-masked items, and XLA's SPMD partitioner inserts the
     gradient all-reduces. ``batch_size`` must be divisible by the device
     count. Numerics match single-device execution (tests/test_parallel.py).
+
+    Partial batches ALWAYS pad to ``batch_size`` with loss-masked repeats of
+    the final item (single- and multi-device alike: one execution semantics,
+    no remainder-batch recompile). The loss masks pads exactly; only
+    BatchNorm train-mode statistics see the repeated rows on a
+    non-divisible epoch's last batch (docs/roadmap.md "Parity edges").
 
     Resume: pass ``resume=<outfile>.latest`` (written at every epoch end when
     ``outfile`` is set) to continue an interrupted run; ``num_epochs`` is the

@@ -176,3 +176,31 @@ def test_slide_source_early_abandon_unblocks_decoder(slides):
     # the source stays re-iterable after a cancelled run
     got = list(src)
     assert [i for i, _, _ in got] == list(range(len(files) * 4))
+
+
+def test_slide_source_close_mid_iteration_does_not_hang(slides):
+    """close() cancels the decode worker WITHOUT delivering the None
+    sentinel; a consumer that keeps iterating must see the iterator end
+    (stop-aware get in stage_next) rather than block forever."""
+    import threading
+
+    files, arrays = slides
+    src = SlideSource(files * 4, prefetch=1)
+    it = iter(src)
+    next(it)
+    src.close()
+
+    got, done = [], threading.Event()
+
+    def drain():
+        for item in it:
+            got.append(item)
+        done.set()
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    assert done.wait(timeout=10.0), \
+        "iteration hung after close() instead of terminating"
+    # whatever was already staged/queued may still come through, but the
+    # full 12-slide run must have been cut short
+    assert len(got) < len(files) * 4 - 1

@@ -758,3 +758,34 @@ def test_register_slides_mixed_shapes_bounded_hold(tmp_path_factory):
     # the cap: at every yield, consumed-but-unyielded slides <= slide_batch
     # (pre-fix this was len(cohort)-1: nothing yielded until the source drained)
     assert max_gap <= slide_batch, max_gap
+
+
+def test_spot_center_clamp_allows_flush_to_edge_windows():
+    """_spot_arrays clamps centers so crops stay in bounds. The crop origin
+    is center - w//2 over `window` pixels, so the max valid center is
+    H - (w - w//2); the old H - w//2 - 1 was one pixel tighter for even
+    windows and shifted flush-to-edge HD bins vs register_dense's slice."""
+    import pandas as pd
+
+    w = 10
+    reg = SlideRegistrar(f_apply=lambda v, x: x, patch_size=w,
+                         h_st=4, w_st=4, hex_coords=False,
+                         use_pallas_corrector=False,
+                         corrector_apply=lambda g: g, extractor="xla")
+    # 2x2 dense lattice flush with a 20x20 image: centers 5 and 15
+    pos = pd.DataFrame({
+        "barcode": [f"b{i}" for i in range(4)],
+        "in_tissue": [1] * 4,
+        "array_row": [0, 0, 1, 1], "array_col": [0, 1, 0, 1],
+        "pxl_row_in_fullres": [5, 5, 15, 15],
+        "pxl_col_in_fullres": [5, 15, 5, 15],
+    })
+    oy, ox, y_px, x_px = reg._spot_arrays((20, 20), pos, 0)
+    # max center 15 must survive: origin 15 - 5 = 10 = H - window (in
+    # bounds); clamping to 14 would shift the crop by one pixel
+    assert y_px.max() == 15 and x_px.max() == 15
+    # and a genuinely out-of-range center still clamps into bounds
+    pos2 = pos.copy()
+    pos2.loc[3, "pxl_row_in_fullres"] = 19
+    _, _, y2, _ = reg._spot_arrays((20, 20), pos2, 0)
+    assert y2.max() == 15            # 19 -> clamped to H - (w - w//2)

@@ -370,3 +370,37 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     for a, b_ in zip(jax.tree_util.tree_leaves(s4.params),
                      jax.tree_util.tree_leaves(sr.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_mse_padding_integer_targets_stay_masked():
+    """Partial-batch padding with integer regression targets: np.nan cast
+    into int64 silently becomes INT64_MIN, which isfinite() would treat as
+    a VALID row and poison the loss with ~(9.2e18)^2 on every remainder
+    batch. _pad_batch must promote integer spot_mse targets to float."""
+    from gridnext_tpu.train.loops import _pad_batch, _spot_mse
+
+    x = np.random.default_rng(0).normal(size=(3, 4)).astype(np.float32)
+    y = np.arange(6, dtype=np.int64).reshape(3, 2)    # integer targets
+    xp, yp = _pad_batch(x, y, 8, "spot_mse")
+    assert len(yp) == 8 and np.issubdtype(yp.dtype, np.floating)
+    assert np.isnan(yp[3:]).all()                      # pads ARE masked
+    loss, _, n = _spot_mse(jnp.zeros((8, 2)), jnp.asarray(yp))
+    assert int(n) == 3
+    assert np.isfinite(float(loss))
+    # == unpadded mean over the real rows
+    want = np.mean((0.0 - y.astype(np.float32)) ** 2)
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+
+
+def test_train_spotwise_mse_integer_targets_nondivisible():
+    """End-to-end: loss='mse' with int targets and len % batch_size != 0
+    must produce finite losses (the reproduced round-3 review bug)."""
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(7, 5)).astype(np.float32)
+    Y = rng.integers(0, 4, size=(7, 2))               # int64 targets
+    model = CountMLP(n_classes=2, hidden=(8, 8, 8, 8))
+    state, _, train_hist = train_spotwise(
+        model, {"train": (X, Y), "val": None}, loss="mse",
+        num_epochs=2, batch_size=4, verbose=False)
+    assert len(train_hist) == 2
+    assert all(np.isfinite(v) for v in train_hist)
