@@ -376,10 +376,9 @@ def _cmd_train_count(args):
     grids = create_visium_dataset(args.spaceranger, spatial=True,
                                   grid_dims=grid_dims, **kw)
 
-    import pandas as pd
+    from gridnext_tpu.io.unify import read_unified_genes
 
-    genes = list(pd.read_csv(caches[0], sep="\t", index_col=0,
-                             usecols=[0]).index)
+    genes = read_unified_genes(caches[0])
 
     # square HD lattices get the Cartesian corrector (hex taps assume the
     # Visium pseudo-hex packing)
@@ -754,14 +753,13 @@ def _cmd_train_mm(args):
                                outfile=g_out, resume=_resume_path(args, g_out))
 
     save_checkpoint(g_out, state)
-    import pandas as pd
-
     from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io.unify import read_unified_genes
 
     suffix = unified_count_suffix(hd_binning)
     cache0 = os.path.join(args.spaceranger[0],
                           os.path.basename(args.spaceranger[0].rstrip("/")) + suffix)
-    genes = list(pd.read_csv(cache0, sep="\t", index_col=0, usecols=[0]).index)
+    genes = read_unified_genes(cache0)
     with open(os.path.join(args.out, "model.json"), "w") as fh:
         json.dump({"classes": classes, "patch_px": args.patch_px,
                    "window_px": args.window_px,

@@ -336,15 +336,41 @@ static bool read_all(const char* path, std::string& out) {
                 return true;
             out.resize(base);  // malformed despite valid chain: fall back
         }
-        // foreign gzip (pandas single-member, bgzip, ...): serial gzread
-        gzFile gz = gzopen(path, "rb");
-        if (!gz) return false;
-        gzbuffer(gz, 1 << 20);
-        char chunk[1 << 20];
-        int n;
-        while ((n = gzread(gz, chunk, sizeof(chunk))) > 0) out.append(chunk, n);
-        bool ok = n == 0;
-        gzclose(gz);
+        // foreign gzip (pandas single-member, bgzip, ...): stream-inflate
+        // the bytes ALREADY in memory. gzopen here would re-read the whole
+        // file from disk while `comp` stayed resident anyway -- double the
+        // I/O for the same compressed+raw peak RSS.
+        z_stream zs;
+        std::memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, 15 + 16) != Z_OK) return false;  // gzip wrap
+        size_t in_pos = 0;
+        std::vector<char> buf(1 << 20);
+        bool ok = true;
+        for (;;) {
+            if (zs.avail_in == 0 && in_pos < comp.size()) {
+                size_t n = std::min<size_t>(comp.size() - in_pos,
+                                            0x7fffffffu);  // uInt chunks
+                zs.next_in = (Bytef*)comp.data() + in_pos;
+                zs.avail_in = (uInt)n;
+                in_pos += n;
+            }
+            zs.next_out = (Bytef*)buf.data();
+            zs.avail_out = (uInt)buf.size();
+            int ret = inflate(&zs, Z_NO_FLUSH);
+            if (ret != Z_OK && ret != Z_STREAM_END) { ok = false; break; }
+            size_t produced = buf.size() - zs.avail_out;
+            out.append(buf.data(), produced);
+            if (ret == Z_STREAM_END) {
+                if (zs.avail_in == 0 && in_pos >= comp.size()) break;
+                // concatenated members (bgzip): expect another gzip header
+                if (inflateReset(&zs) != Z_OK) { ok = false; break; }
+            } else if (zs.avail_in == 0 && in_pos >= comp.size()
+                       && produced == 0) {
+                ok = false;  // input exhausted mid-member: truncated file
+                break;
+            }
+        }
+        inflateEnd(&zs);
         return ok;
     }
     out = std::move(comp);  // plain TSV

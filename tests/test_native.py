@@ -198,3 +198,27 @@ def test_load_patches_fallback_equivalence(tmp_path, monkeypatch):
         slow = _load_patches(paths, transform)
         monkeypatch.undo()
         np.testing.assert_array_equal(fast, slow)
+
+
+def test_reader_handles_foreign_concatenated_members(lib_ok, tmp_path):
+    """Concatenated foreign gzip members WITHOUT our GX size tags (bgzip
+    files, or two gzip streams catted together) must stream through the
+    in-memory inflate fallback's inflateReset path."""
+    import gzip
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(rng.poisson(2, size=(30, 6)),
+                      index=[f"G{i}" for i in range(30)],
+                      columns=[f"{i}_{i}" for i in range(6)])
+    df.index.name = "Gene"
+    text = df.to_csv(sep="\t").encode()
+    half = len(text) // 2
+    path = tmp_path / "catted.tsv.gz"
+    with open(path, "wb") as fh:        # two members, split mid-table
+        fh.write(gzip.compress(text[:half]))
+        fh.write(gzip.compress(text[half:]))
+    # stdlib reads the concatenation transparently -- ours must match
+    assert gzip.decompress(path.read_bytes()) == text
+    rows, cols, values = native.read_tsv_matrix(path)
+    assert rows == list(df.index) and cols == list(df.columns)
+    np.testing.assert_array_equal(values, df.values)
