@@ -798,6 +798,82 @@ def _write_loupe(label_grid, srd, args, classes, hd_binning=None,
     print(f"registered {name} -> {out_csv}")
 
 
+def _image_registrar_from_meta(meta, classes, variables, mesh=None):
+    """Jitted SlideRegistrar for a trained IMAGE model dir's metadata --
+    the shared construction of `register` and `export` (f architecture,
+    window size, and hex vs square-HD lattice all come from model.json)."""
+    from gridnext_tpu.models import GridNetHex, densenet121
+    from gridnext_tpu.serving import SlideRegistrar
+
+    model_name = meta.get("model", "")
+    if model_name.endswith("TpuPatchClassifier"):
+        from gridnext_tpu.models import TpuPatchClassifier
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
+
+        f = TpuPatchClassifier(n_classes=len(classes),
+                               **tpu_f_arch_kwargs(meta.get("tpu_f")))
+    else:
+        f = densenet121(num_classes=len(classes))
+
+    grid_dims = meta.get("grid_dims")
+    if grid_dims is not None:
+        # square HD image model: same jitted slide->labels serving path,
+        # with direct (array_row, array_col) grid indexing and the
+        # Cartesian GridNet corrector (from_gridnet auto-detects it)
+        from gridnext_tpu.models import GridNet
+
+        g = GridNet(patch_classifier=f, n_classes=len(classes),
+                    patch_chunk=meta.get("patch_chunk", 624))
+        return SlideRegistrar.from_gridnet(
+            g, variables, patch_size=meta.get("patch_px", 128),
+            window_size=meta.get("window_px"), mesh=mesh,
+            normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+    return SlideRegistrar.from_gridnet(
+        g, variables, patch_size=meta.get("patch_px", 128),
+        window_size=meta.get("window_px"), mesh=mesh, normalize=None)
+
+
+def _load_model_dir(model_dir):
+    """(meta, classes, variables) from a trained model directory."""
+    from gridnext_tpu.train import load_checkpoint
+
+    with open(os.path.join(model_dir, "model.json")) as fh:
+        meta = json.load(fh)
+    payload = load_checkpoint(os.path.join(model_dir, "g_state.msgpack"))
+    variables = {"params": payload["params"]}
+    if payload.get("batch_stats") is not None:
+        variables["batch_stats"] = payload["batch_stats"]
+    # extra collections (e.g. a scBERT count-f's FAVOR+ 'favor' projections)
+    variables.update(payload.get("extra_vars") or {})
+    return meta, meta["classes"], variables
+
+
+def _cmd_export(args):
+    """Serialize a trained image model's registration pipeline to a
+    portable StableHLO artifact (weights embedded; reload with
+    serving.load_exported_registration -- no model code needed)."""
+    meta, classes, variables = _load_model_dir(args.model)
+    if not meta.get("model", "").endswith(("DenseNet121",
+                                           "TpuPatchClassifier")):
+        sys.exit("error: export serializes the jitted image-registration "
+                 f"path; model {meta.get('model')!r} is not an image model")
+    registrar = _image_registrar_from_meta(meta, classes, variables)
+    h, w = args.wsi_shape
+    blob = registrar.export((int(h), int(w), 3), n_spots=args.n_spots,
+                            platforms=args.platforms)
+    with open(args.out, "wb") as fh:
+        fh.write(blob)
+    sidecar = {"wsi_shape": [int(h), int(w), 3], "n_spots": args.n_spots,
+               "classes": classes, "h_st": registrar.h_st,
+               "w_st": registrar.w_st, "window_px": registrar.window_size,
+               "platforms": args.platforms, "model": meta.get("model")}
+    with open(args.out + ".json", "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+    print(f"wrote {args.out} ({len(blob)/1e6:.1f} MB) + sidecar "
+          f"{args.out}.json")
+
+
 def _cmd_register(args):
     import jax
     import numpy as np
@@ -805,19 +881,8 @@ def _cmd_register(args):
     from gridnext_tpu.data import CountGridDataset
     from gridnext_tpu.models import (CountMLP, GridNetHex, GridNetHexMM,
                                      densenet121)
-    from gridnext_tpu.train import load_checkpoint
 
-    with open(os.path.join(args.model, "model.json")) as fh:
-        meta = json.load(fh)
-    classes = meta["classes"]
-
-    payload = load_checkpoint(os.path.join(args.model, "g_state.msgpack"))
-    variables = {"params": payload["params"]}
-    if payload.get("batch_stats") is not None:
-        variables["batch_stats"] = payload["batch_stats"]
-    # extra collections (e.g. a scBERT count-f's FAVOR+ 'favor' projections)
-    variables.update(payload.get("extra_vars") or {})
-
+    meta, classes, variables = _load_model_dir(args.model)
     model_name = meta.get("model", "")
     if model_name in ("GridNetHexMM", "GridNetMM"):
         # multimodal registration: count grids + patch grids through g
@@ -913,34 +978,9 @@ def _cmd_register(args):
         if mesh is not None:
             print(f"serving over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
-        if model_name.endswith("TpuPatchClassifier"):
-            from gridnext_tpu.models import TpuPatchClassifier
-            from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
-
-            f = TpuPatchClassifier(n_classes=len(classes),
-                                   **tpu_f_arch_kwargs(meta.get("tpu_f")))
-        else:
-            f = densenet121(num_classes=len(classes))
-
-        grid_dims = meta.get("grid_dims")
-        if grid_dims is not None:
-            # square HD image model: same jitted slide->labels serving path,
-            # with direct (array_row, array_col) grid indexing and the
-            # Cartesian GridNet corrector (from_gridnet auto-detects it)
-            from gridnext_tpu.models import GridNet
-
-            g = GridNet(patch_classifier=f, n_classes=len(classes),
-                        patch_chunk=meta.get("patch_chunk", 624))
-            registrar = SlideRegistrar.from_gridnet(
-                g, variables, patch_size=meta.get("patch_px", 128),
-                window_size=meta.get("window_px"), mesh=mesh,
-                normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
-        else:
-            g = GridNetHex(patch_classifier=f, n_classes=len(classes))
-            registrar = SlideRegistrar.from_gridnet(
-                g, variables, patch_size=meta.get("patch_px", 128),
-                window_size=meta.get("window_px"), mesh=mesh,
-                normalize=None)
+        grid_dims = meta.get("grid_dims")  # square HD (direct-coord Loupe)
+        registrar = _image_registrar_from_meta(meta, classes, variables,
+                                               mesh=mesh)
         # production serving loop: threaded decode + async staging overlap
         # the device dispatches; same-shape slides batch per dispatch
         for i, label_grid, _pos in register_slides(
@@ -1150,6 +1190,25 @@ def main(argv=None):
                         "shards over every mesh axis, features all-gather "
                         "over ICI, labels identical to single-device")
     s.set_defaults(fn=_cmd_register)
+
+    s = sub.add_parser(
+        "export",
+        help="serialize a trained image model's registration pipeline to a "
+             "portable StableHLO artifact (jax.export; weights embedded, "
+             "reload with serving.load_exported_registration)")
+    s.add_argument("--model", required=True, help="trained model directory")
+    s.add_argument("--out", required=True, help="output artifact path")
+    s.add_argument("--wsi-shape", nargs=2, type=int, required=True,
+                   metavar=("H", "W"),
+                   help="fullres slide pixel dims the artifact is "
+                        "specialized to (shapes are static under XLA)")
+    s.add_argument("--n-spots", type=int, default=8192,
+                   help="fixed spot-axis length; pad real spot arrays with "
+                        "SlideRegistrar.spot_inputs")
+    s.add_argument("--platforms", nargs="*", default=None,
+                   help="target platforms (e.g. tpu cpu); default = "
+                        "current backend")
+    s.set_defaults(fn=_cmd_export)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -681,6 +681,60 @@ class SlideRegistrar:
             return wsi.data, tuple(wsi.orig_hw)
         return wsi, None
 
+    def spot_inputs(self, wsi_shape, positions, n_spots: int,
+                    pad_offset: int = 0):
+        """Fixed-length device inputs for one slide: (oy, ox, y_px, x_px)
+        int32 arrays padded to exactly ``n_spots``.
+
+        Padded entries park outside the lattice (``oy == h_st``, dropped by
+        the scatter's mode='drop') and crop a harmless corner window --
+        the same convention as :meth:`register_batch`. Use with
+        :meth:`export` artifacts, whose spot axis is a fixed shape.
+        """
+        a_oy, a_ox, a_y, a_x = self._spot_arrays(wsi_shape, positions,
+                                                 pad_offset)
+        k = len(a_oy)
+        if k > n_spots:
+            raise ValueError(f"{k} in-tissue spots exceed n_spots={n_spots}")
+        p2 = self.window_size // 2
+        oy = np.full((n_spots,), self.h_st, np.int32)
+        ox = np.zeros((n_spots,), np.int32)
+        y_px = np.full((n_spots,), p2, np.int32)
+        x_px = np.full((n_spots,), p2, np.int32)
+        oy[:k], ox[:k], y_px[:k], x_px[:k] = a_oy, a_ox, a_y, a_x
+        return oy, ox, y_px, x_px
+
+    def export(self, wsi_shape, n_spots: int, platforms=None) -> bytes:
+        """Serialize the registration computation as a portable artifact.
+
+        Returns jax.export-serialized StableHLO bytes of the FULL pipeline
+        (patch gather -> f -> corrector -> label grid) with the model
+        weights embedded as constants: a serving container reloads and runs
+        it with :func:`load_exported_registration` and NO model code, and
+        the artifact is a stable deployment unit (the reference has no
+        deployment story at all -- its serving is a Python loop over a
+        live torch module, utils.py:20-57).
+
+        Shapes are static: ``wsi_shape`` = (H, W, 3) uint8 and a fixed
+        ``n_spots`` spot axis -- build inputs with :meth:`spot_inputs`.
+        ``platforms``: target platform list (e.g. ``['tpu', 'cpu']``);
+        default = the current backend only.
+        """
+        from jax import export as jexport
+
+        if self.mesh is not None:
+            raise ValueError("export serializes the single-device path; "
+                             "build the registrar with mesh=None")
+        if len(wsi_shape) != 3 or wsi_shape[-1] != 3:
+            raise ValueError(f"wsi_shape must be (H, W, 3); got {wsi_shape}")
+        spot = jax.ShapeDtypeStruct((int(n_spots),), jnp.int32)
+        args = (jax.ShapeDtypeStruct(tuple(map(int, wsi_shape)), jnp.uint8),
+                spot, spot, spot, spot)
+        fn = jax.jit(lambda wsi, oy, ox, y, x:
+                     self._register(wsi, oy, ox, y, x))
+        exported = jexport.export(fn, platforms=platforms)(*args)
+        return bytes(exported.serialize())
+
     def register_batch(self, wsis, positions_list: Sequence,
                        pad_offset: int = 0) -> np.ndarray:
         """Register N same-shape slides in ONE device dispatch.
@@ -722,6 +776,19 @@ class SlideRegistrar:
                                     jnp.asarray(y_px), jnp.asarray(x_px),
                                     orig_hw=orig_hw)
         return np.asarray(labels)
+
+
+def load_exported_registration(blob: bytes) -> Callable:
+    """Rehydrate a :meth:`SlideRegistrar.export` artifact.
+
+    Returns ``fn(wsi, oy, ox, y_px, x_px) -> (h_st, w_st) int32 labels``
+    executing the serialized StableHLO -- weights included, no model code
+    or registrar construction needed. Inputs must match the exported
+    shapes (see :meth:`SlideRegistrar.spot_inputs`).
+    """
+    from jax import export as jexport
+
+    return jexport.deserialize(bytearray(blob)).call
 
 
 def register_slides(registrar: SlideRegistrar, image_files: Sequence,

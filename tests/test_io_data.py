@@ -373,6 +373,36 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     assert df["Barcode"].str.startswith("s_016um_").all()
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())
 
+    # export: the same trained model serialized as a StableHLO artifact,
+    # reloaded with no model code, labels identical to the live registrar
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from gridnext_tpu.io import read_positions
+    from gridnext_tpu.serving import load_exported_registration
+
+    art = tmp_path / "reg.stablehlo"
+    wsi = np.asarray(Image.open(imgs[0]))
+    try:
+        sys.argv = ["x", "export", "--model", str(tmp_path / "model"),
+                    "--out", str(art), "--wsi-shape", str(wsi.shape[0]),
+                    str(wsi.shape[1]), "--n-spots", "256"]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    sidecar = _json.loads((tmp_path / "reg.stablehlo.json").read_text())
+    assert sidecar["n_spots"] == 256 and sidecar["h_st"] == 14
+
+    meta2, classes2, variables2 = cli._load_model_dir(str(tmp_path / "model"))
+    reg = cli._image_registrar_from_meta(meta2, classes2, variables2)
+    pos = read_positions(dirs[0], binning)
+    want = reg(jnp.asarray(wsi), pos)
+    fn = load_exported_registration(art.read_bytes())
+    ins = reg.spot_inputs(wsi.shape, pos, 256)
+    got = fn(jnp.asarray(wsi), *map(jnp.asarray, ins))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
 
 def test_hd_square_binning_rejected_for_grids(tmp_path):
     """Square-binned HD positions must fail loudly at the factory, not

@@ -789,3 +789,53 @@ def test_spot_center_clamp_allows_flush_to_edge_windows():
     pos2.loc[3, "pxl_row_in_fullres"] = 19
     _, _, y2, _ = reg._spot_arrays((20, 20), pos2, 0)
     assert y2.max() == 15            # 19 -> clamped to H - (w - w//2)
+
+
+def test_export_registration_round_trip(sim):
+    """SlideRegistrar.export serializes the FULL registration pipeline
+    (gather -> f -> corrector -> labels, weights embedded); the reloaded
+    StableHLO artifact must reproduce the live registrar's label grid
+    with no model code (the deployment-unit contract)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.models import CountMLP  # noqa: F401 (import surface)
+    from gridnext_tpu.serving import load_exported_registration
+
+    patch = 8
+
+    def f_apply(patches):                      # tiny deterministic f
+        m = patches.mean(axis=(1, 2))          # (N, 3)
+        return jnp.concatenate([m, m[:, :1] * 0.5], axis=-1)
+
+    def corrector(grid):                       # linear map to 3 classes
+        w = jnp.asarray([[1.0, 0.0, -1.0], [0.0, 1.0, 0.0],
+                         [-1.0, 0.5, 1.0], [0.2, -0.3, 0.1]])
+        return grid @ w
+
+    reg = SlideRegistrar(f_apply=f_apply, patch_size=patch, normalize=None,
+                         patch_chunk=None, use_pallas_corrector=False,
+                         corrector_apply=corrector, extractor="xla")
+    wsi = np.asarray(Image.open(sim["image_file"]))
+    pos = read_positions(sim["spaceranger_dir"])
+    want = reg(jnp.asarray(wsi), pos)
+
+    blob = reg.export(wsi.shape, n_spots=4096)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    fn = load_exported_registration(blob)
+    oy, ox, y_px, x_px = reg.spot_inputs(wsi.shape, pos, n_spots=4096)
+    got = np.asarray(fn(jnp.asarray(wsi), jnp.asarray(oy), jnp.asarray(ox),
+                        jnp.asarray(y_px), jnp.asarray(x_px)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_rejects_mesh_and_bad_shapes(sim):
+    reg = SlideRegistrar(f_apply=lambda p: p.mean(axis=(1, 2)), patch_size=8,
+                         normalize=None, use_pallas_corrector=False,
+                         corrector_apply=lambda g: g, extractor="xla")
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        reg.export((64, 64), n_spots=128)
+    pos = read_positions(sim["spaceranger_dir"])
+    with pytest.raises(ValueError, match="exceed n_spots"):
+        reg.spot_inputs((640, 640, 3), pos, n_spots=4)
