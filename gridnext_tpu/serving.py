@@ -735,6 +735,38 @@ class SlideRegistrar:
         exported = jexport.export(fn, platforms=platforms)(*args)
         return bytes(exported.serialize())
 
+    def export_dense(self, wsi_shape, ey: int, ex: int,
+                     platforms=None) -> bytes:
+        """Serialize the HD dense-tiling registration as a portable artifact.
+
+        The exact integer-pitch path of :meth:`register_dense` (one
+        dynamic_slice + reshape -> f -> corrector -> labels) exported via
+        jax.export for a fixed ``wsi_shape`` and in-tissue bin extent
+        ``(ey, ex)`` -- take these from :meth:`dense_plan`'s
+        ``("exact", oy0, ox0, fg, ey, ex)`` result. The reloaded callable
+        (:func:`load_exported_registration`) takes ``(wsi, oy0, ox0, fg)``
+        with ``fg`` the (h_st, w_st) int32 in-tissue mask.
+        """
+        from jax import export as jexport
+
+        if self.mesh is not None:
+            raise ValueError("export serializes the single-device path; "
+                             "build the registrar with mesh=None")
+        if self.hex_coords:
+            raise ValueError("export_dense needs a square-lattice registrar "
+                             "(hex_coords=False)")
+        if len(wsi_shape) != 3 or wsi_shape[-1] != 3:
+            raise ValueError(f"wsi_shape must be (H, W, 3); got {wsi_shape}")
+        scalar = jax.ShapeDtypeStruct((), jnp.int32)
+        args = (jax.ShapeDtypeStruct(tuple(map(int, wsi_shape)), jnp.uint8),
+                scalar, scalar,
+                jax.ShapeDtypeStruct((self.h_st, self.w_st), jnp.int32))
+        ey, ex = int(ey), int(ex)
+        fn = jax.jit(lambda wsi, oy0, ox0, fg:
+                     self._register_dense(wsi, oy0, ox0, fg, ey=ey, ex=ex))
+        return bytes(jexport.export(fn, platforms=platforms)(*args)
+                     .serialize())
+
     def register_batch(self, wsis, positions_list: Sequence,
                        pad_offset: int = 0) -> np.ndarray:
         """Register N same-shape slides in ONE device dispatch.

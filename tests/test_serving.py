@@ -839,3 +839,52 @@ def test_export_rejects_mesh_and_bad_shapes(sim):
     pos = read_positions(sim["spaceranger_dir"])
     with pytest.raises(ValueError, match="exceed n_spots"):
         reg.spot_inputs((640, 640, 3), pos, n_spots=4)
+
+
+def test_export_dense_round_trip(tmp_path_factory):
+    """export_dense serializes the HD dense-tiling registration; the
+    reloaded artifact reproduces register_dense's labels from the plan's
+    (oy0, ox0, fg) inputs with no model code."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gridnext_tpu.models import GridNet
+    from gridnext_tpu.serving import load_exported_registration
+
+    root = tmp_path_factory.mktemp("serving_dense_export")
+    binning, hd_grid = "square_016um", (20, 16)
+    s = simulate_spaceranger_dir(root / "hd0", seed=3, n_genes=8, n_classes=3,
+                                 spaceranger_version="hd", hd_grid=hd_grid,
+                                 hd_binning=binning, image=True,
+                                 spot_spacing_px=12)
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNet(patch_classifier=f, n_classes=3)
+    patch = 8
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1,) + hd_grid + (patch, patch, 3)))
+    registrar = SlideRegistrar.from_gridnet(g, variables, patch_size=patch,
+                                            window_size=12, normalize=None,
+                                            patch_chunk=None,
+                                            h_st=hd_grid[0], w_st=hd_grid[1])
+
+    wsi = np.asarray(Image.open(s["image_file"]))
+    pos = read_positions(s["spaceranger_dir"], hd_binning=binning)
+    plan = registrar.dense_plan(jnp.asarray(wsi), pos)
+    assert plan is not None and plan[0] == "exact"
+    _, oy0, ox0, fg, ey, ex = plan
+    want = registrar.register_dense(jnp.asarray(wsi), pos, plan=plan)
+
+    blob = registrar.export_dense(wsi.shape, ey, ex)
+    fn = load_exported_registration(blob)
+    got = np.asarray(fn(jnp.asarray(wsi), jnp.int32(oy0), jnp.int32(ox0),
+                        jnp.asarray(fg)))
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="square-lattice"):
+        SlideRegistrar(f_apply=lambda p: p.mean(axis=(1, 2)), patch_size=8,
+                       normalize=None, use_pallas_corrector=False,
+                       corrector_apply=lambda g_: g_,
+                       extractor="xla").export_dense((64, 64, 3), 4, 4)
