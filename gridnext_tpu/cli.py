@@ -834,6 +834,40 @@ def _image_registrar_from_meta(meta, classes, variables, mesh=None):
         window_size=meta.get("window_px"), mesh=mesh, normalize=None)
 
 
+def _mm_model_from_meta(meta, classes):
+    """GridNetMM-family model from a trained model dir's metadata (count-f
+    scBERT vs CountMLP, image-f TPU-shaped vs DenseNet-121, hex vs
+    Cartesian corrector, training-time chunk sizes)."""
+    from gridnext_tpu.models import (CountMLP, GridNetHexMM, GridNetMM,
+                                     TpuPatchClassifier, densenet121)
+
+    if meta.get("count_f") == "scbert":
+        from gridnext_tpu.models import scBERT
+
+        f_count = scBERT(n_genes=meta["scbert_vocab"],
+                         dim=meta["scbert_dim"],
+                         depth=meta["scbert_depth"],
+                         heads=meta["scbert_heads"],
+                         n_classes=len(classes),
+                         generalized_attention=True)
+    else:
+        f_count = CountMLP(n_classes=len(classes))
+    if meta.get("image_f") == "tpu":
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
+
+        f_image = TpuPatchClassifier(n_classes=len(classes),
+                                     **tpu_f_arch_kwargs(meta.get("tpu_f")))
+    else:
+        f_image = densenet121(num_classes=len(classes))
+    # chunk f like training did (activation memory on real slides)
+    mm_cls = (GridNetMM if meta.get("model") == "GridNetMM"
+              else GridNetHexMM)
+    return mm_cls(image_classifier=f_image, count_classifier=f_count,
+                  n_classes=len(classes),
+                  patch_chunk=meta.get("patch_chunk", 624),
+                  count_chunk=meta.get("count_chunk"))
+
+
 def _load_model_dir(model_dir):
     """(meta, classes, variables) from a trained model directory."""
     from gridnext_tpu.train import load_checkpoint
@@ -850,24 +884,64 @@ def _load_model_dir(model_dir):
 
 
 def _cmd_export(args):
-    """Serialize a trained image model's registration pipeline to a
-    portable StableHLO artifact (weights embedded; reload with
-    serving.load_exported_registration -- no model code needed)."""
+    """Serialize a trained model's registration pipeline to a portable
+    StableHLO artifact (weights embedded; reload with
+    serving.load_exported_registration -- no model code needed).
+
+    Image models export the full slide->labels pipeline (requires
+    --wsi-shape); count and multimodal models export the grid->labels
+    forward (shapes come from model.json)."""
+    from gridnext_tpu import geometry
+    from gridnext_tpu.serving import export_grid_forward
+
     meta, classes, variables = _load_model_dir(args.model)
-    if not meta.get("model", "").endswith(("DenseNet121",
-                                           "TpuPatchClassifier")):
-        sys.exit("error: export serializes the jitted image-registration "
-                 f"path; model {meta.get('model')!r} is not an image model")
-    registrar = _image_registrar_from_meta(meta, classes, variables)
-    h, w = args.wsi_shape
-    blob = registrar.export((int(h), int(w), 3), n_spots=args.n_spots,
-                            platforms=args.platforms)
+    model_name = meta.get("model", "")
+    grid_dims = meta.get("grid_dims")
+    h_st, w_st = (tuple(grid_dims) if grid_dims
+                  else (geometry.VISIUM_H_ST, geometry.VISIUM_W_ST))
+    sidecar = {"classes": classes, "h_st": int(h_st), "w_st": int(w_st),
+               "platforms": args.platforms, "model": model_name}
+
+    if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
+        if args.wsi_shape is None:
+            sys.exit("error: image-model export needs --wsi-shape H W")
+        registrar = _image_registrar_from_meta(meta, classes, variables)
+        h, w = args.wsi_shape
+        blob = registrar.export((int(h), int(w), 3), n_spots=args.n_spots,
+                                platforms=args.platforms)
+        sidecar.update(wsi_shape=[int(h), int(w), 3], n_spots=args.n_spots,
+                       window_px=registrar.window_size,
+                       inputs="(wsi, oy, ox, y_px, x_px); see "
+                              "SlideRegistrar.spot_inputs")
+    elif model_name in ("GridNetHexMM", "GridNetMM"):
+        g = _mm_model_from_meta(meta, classes)
+        p = meta.get("patch_px", 128)
+        n_c = (meta["scbert_vocab"] if meta.get("count_f") == "scbert"
+               else meta["n_genes"])
+        shapes = ((h_st, w_st, p, p, 3), (h_st, w_st, n_c))
+        blob = export_grid_forward(g, variables, shapes,
+                                   platforms=args.platforms)
+        sidecar.update(grid_shapes=[list(s) for s in shapes],
+                       inputs="(image_grid, count_grid) batched (1, ...); "
+                              "counts pre-transformed as in training")
+    elif model_name.endswith("CountMLP"):
+        from gridnext_tpu.models import CountMLP, GridNet, GridNetHex
+
+        f = CountMLP(n_classes=len(classes))
+        g = (GridNet(patch_classifier=f, n_classes=len(classes)) if grid_dims
+             else GridNetHex(patch_classifier=f, n_classes=len(classes)))
+        shape = (h_st, w_st, meta["n_genes"])
+        blob = export_grid_forward(g, variables, shape,
+                                   platforms=args.platforms)
+        inputs = "(count_grid,) batched (1, H, W, n_genes)"
+        if meta.get("log1p"):
+            inputs += "; log1p-transformed"
+        sidecar.update(grid_shapes=[list(shape)], inputs=inputs)
+    else:
+        sys.exit(f"error: don't know how to export model {model_name!r}")
+
     with open(args.out, "wb") as fh:
         fh.write(blob)
-    sidecar = {"wsi_shape": [int(h), int(w), 3], "n_spots": args.n_spots,
-               "classes": classes, "h_st": registrar.h_st,
-               "w_st": registrar.w_st, "window_px": registrar.window_size,
-               "platforms": args.platforms, "model": meta.get("model")}
     with open(args.out + ".json", "w") as fh:
         json.dump(sidecar, fh, indent=1)
     print(f"wrote {args.out} ({len(blob)/1e6:.1f} MB) + sidecar "
@@ -888,7 +962,6 @@ def _cmd_register(args):
         # multimodal registration: count grids + patch grids through g
         _require_one_image_per_dir(args.images, args.spaceranger)
         from gridnext_tpu.data import create_visium_dataset
-        from gridnext_tpu.models import GridNetMM, TpuPatchClassifier
 
         # count caches must exist AND carry the training gene axis before
         # the factory touches them (it would otherwise regenerate with a
@@ -897,34 +970,13 @@ def _cmd_register(args):
             _validated_count_cache(srd, meta)
 
         if meta.get("count_f") == "scbert":
-            from gridnext_tpu.models import scBERT
-
             count_transform, _ = _scbert_count_transform(
                 args.spaceranger, meta.get("hd_binning"),
                 meta["scbert_vocab"])
-            f_count = scBERT(n_genes=meta["scbert_vocab"],
-                             dim=meta["scbert_dim"],
-                             depth=meta["scbert_depth"],
-                             heads=meta["scbert_heads"],
-                             n_classes=len(classes),
-                             generalized_attention=True)
         else:
             count_transform = np.log1p if meta.get("log1p") else None
-            f_count = CountMLP(n_classes=len(classes))
-        if meta.get("image_f") == "tpu":
-            from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
-
-            f_image = TpuPatchClassifier(n_classes=len(classes),
-                                         **tpu_f_arch_kwargs(meta.get("tpu_f")))
-        else:
-            f_image = densenet121(num_classes=len(classes))
-        # chunk f like training did (activation memory on real slides)
         grid_dims = meta.get("grid_dims")  # square HD (Cartesian corrector)
-        mm_cls = GridNetMM if model_name == "GridNetMM" else GridNetHexMM
-        g = mm_cls(image_classifier=f_image, count_classifier=f_count,
-                   n_classes=len(classes),
-                   patch_chunk=meta.get("patch_chunk", 624),
-                   count_chunk=meta.get("count_chunk"))
+        g = _mm_model_from_meta(meta, classes)
         if meta.get("dense_ingest") and grid_dims:
             # dense-ingest model: the image modality tiles straight off the
             # decoded slides at register time too (no per-bin patch cache
@@ -1198,10 +1250,12 @@ def main(argv=None):
              "reload with serving.load_exported_registration)")
     s.add_argument("--model", required=True, help="trained model directory")
     s.add_argument("--out", required=True, help="output artifact path")
-    s.add_argument("--wsi-shape", nargs=2, type=int, required=True,
+    s.add_argument("--wsi-shape", nargs=2, type=int, default=None,
                    metavar=("H", "W"),
-                   help="fullres slide pixel dims the artifact is "
-                        "specialized to (shapes are static under XLA)")
+                   help="image models: fullres slide pixel dims the "
+                        "artifact is specialized to (shapes are static "
+                        "under XLA); count/MM models export the "
+                        "grid->labels forward and don't need it")
     s.add_argument("--n-spots", type=int, default=8192,
                    help="fixed spot-axis length; pad real spot arrays with "
                         "SlideRegistrar.spot_inputs")

@@ -810,6 +810,39 @@ class SlideRegistrar:
         return np.asarray(labels)
 
 
+def export_grid_forward(model, variables, grid_shapes, platforms=None) -> bytes:
+    """Serialize a grid model's registration forward as a portable artifact.
+
+    The count/multimodal analog of :meth:`SlideRegistrar.export`: jits
+    ``argmax(model(x)) + 1`` masked by the tissue support (non-zero input
+    rows) over a fixed-shape input grid, exports it via jax.export with the
+    weights embedded, and returns the serialized bytes. ``grid_shapes``: one
+    ``(H, W, C)`` tuple for a single-modality model, or a sequence of them
+    (image, count order) for GridNetMM family. Reload with
+    :func:`load_exported_registration`; the callable takes the (1, H, W, C)
+    batched grid(s) and returns (1, H, W) int32 labels (0 = background).
+    """
+    from jax import export as jexport
+
+    single = bool(len(grid_shapes)) and np.ndim(grid_shapes[0]) == 0
+    shapes = (grid_shapes,) if single else tuple(grid_shapes)
+    args = tuple(jax.ShapeDtypeStruct((1,) + tuple(map(int, s)), jnp.float32)
+                 for s in shapes)
+
+    def fn(*xs):
+        x = xs[0] if single else xs
+        logits = model.apply(variables, x, train=False)
+        labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
+        # tissue support: any non-zero feature in the (last) count modality,
+        # matching the CLI register convention (raw counts > 0 somewhere)
+        ref = xs[-1]
+        fg = jnp.any(ref != 0, axis=-1)
+        return jnp.where(fg, labels, 0)
+
+    return bytes(jexport.export(jax.jit(fn), platforms=platforms)(*args)
+                 .serialize())
+
+
 def load_exported_registration(blob: bytes) -> Callable:
     """Rehydrate a :meth:`SlideRegistrar.export` artifact.
 

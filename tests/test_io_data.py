@@ -277,6 +277,40 @@ def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) > 1000 and set(df.columns) == {"Barcode", "AARs"}
 
+    # count-model export: grid->labels forward serialized; the reloaded
+    # artifact reproduces the register path's label grid exactly
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data import CountGridDataset
+    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.serving import load_exported_registration
+
+    art = tmp_path / "count.hlo"
+    try:
+        sys.argv = ["x", "export", "--model", str(tmp_path / "model"),
+                    "--out", str(art)]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    side = _json.loads((tmp_path / "count.hlo.json").read_text())
+    meta = _json.loads((tmp_path / "model" / "model.json").read_text())
+    assert side["grid_shapes"] == [[78, 64, meta["n_genes"]]]
+    import os as _os
+
+    cfile = _os.path.join(dirs[0], _os.path.basename(dirs[0].rstrip("/"))
+                          + unified_count_suffix("square_008um"))
+    x, _ = CountGridDataset([cfile])[0]
+    x = np.log1p(x).astype(np.float32)
+    fn = load_exported_registration(art.read_bytes())
+    labels = np.asarray(fn(jnp.asarray(x[None])))[0]
+    want = pd.read_csv(tmp_path / "loupe.csv")
+    got_names = [side["classes"][v - 1] for v in labels[labels > 0]]
+    assert sorted(set(got_names)) <= sorted(set(side["classes"]))
+    assert int((labels > 0).sum()) == len(want)
+
 
 def test_cli_hd_square_train_register_end_to_end(tmp_path):
     """CLI over a true square HD lattice: --grid-dims auto picks the

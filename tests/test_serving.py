@@ -888,3 +888,51 @@ def test_export_dense_round_trip(tmp_path_factory):
                        normalize=None, use_pallas_corrector=False,
                        corrector_apply=lambda g_: g_,
                        extractor="xla").export_dense((64, 64, 3), 4, 4)
+
+
+def test_export_grid_forward_count_and_mm(sim):
+    """export_grid_forward round-trips count and multimodal grid models:
+    reloaded artifacts reproduce argmax(model(x))+1 masked by tissue."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu import geometry as G2
+    from gridnext_tpu.models import CountMLP, GridNetHex, GridNetHexMM
+    from gridnext_tpu.serving import (export_grid_forward,
+                                      load_exported_registration)
+
+    h, w, ng = 12, 10, 6
+    rng = np.random.default_rng(0)
+    counts = rng.poisson(1.0, size=(1, h, w, ng)).astype(np.float32)
+    counts[0, :4] = 0                                   # background rows
+
+    f = CountMLP(n_classes=3, hidden=(8, 8, 8, 8))
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    variables = g.init(jax.random.key(0), jnp.zeros((1, h, w, ng)))
+    blob = export_grid_forward(g, variables, (h, w, ng))
+    fn = load_exported_registration(blob)
+    got = np.asarray(fn(jnp.asarray(counts)))
+    logits = g.apply(variables, jnp.asarray(counts), train=False)
+    want = np.where(counts.any(-1), np.asarray(jnp.argmax(logits, -1)) + 1, 0)
+    np.testing.assert_array_equal(got, want)
+    assert (got[0, :4] == 0).all() and (got[0, 4:] > 0).any()
+
+    # multimodal: (image grid, count grid) pair
+    from gridnext_tpu.models import DenseNet
+
+    p = 8
+    f_img = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                     num_classes=3, small_inputs=True)
+    gmm = GridNetHexMM(image_classifier=f_img, count_classifier=f,
+                       n_classes=3)
+    imgs = rng.uniform(size=(1, h, w, p, p, 3)).astype(np.float32)
+    vs = gmm.init(jax.random.key(1), (jnp.zeros((1, h, w, p, p, 3)),
+                                      jnp.zeros((1, h, w, ng))))
+    blob2 = export_grid_forward(gmm, vs, ((h, w, p, p, 3), (h, w, ng)))
+    fn2 = load_exported_registration(blob2)
+    got2 = np.asarray(fn2(jnp.asarray(imgs), jnp.asarray(counts)))
+    logits2 = gmm.apply(vs, (jnp.asarray(imgs), jnp.asarray(counts)),
+                        train=False)
+    want2 = np.where(counts.any(-1),
+                     np.asarray(jnp.argmax(logits2, -1)) + 1, 0)
+    np.testing.assert_array_equal(got2, want2)
