@@ -435,11 +435,16 @@ _TRANSIENT_MARKERS = ("unavailable", "deadline", "connection", "transport",
                       "socket", "reset", "unreachable", "timed out")
 
 
-def _retry(fn, attempts=3, wait_s=120):
+def _retry(fn, attempts=None, wait_s=None):
     """Best-effort retries: the relay-attached TPU backend can be transiently
     Unavailable; a headline-killing hiccup should not cost the whole bench.
     Only relay-shaped errors are retried — a deterministic code/shape bug
-    re-raises immediately instead of burning attempts*wait_s on re-compiles."""
+    re-raises immediately instead of burning attempts*wait_s on re-compiles.
+    Knobs: GNX_BENCH_ATTEMPTS / GNX_BENCH_WAIT_S (observed relay outages can
+    run long, and a failed backend init itself takes ~minutes to surface, so
+    each attempt already embeds a substantial wait)."""
+    attempts = attempts or int(os.environ.get("GNX_BENCH_ATTEMPTS", 4))
+    wait_s = wait_s or float(os.environ.get("GNX_BENCH_WAIT_S", 120))
     for a in range(attempts):
         try:
             return fn()
