@@ -911,8 +911,10 @@ def _cmd_export(args):
                                 platforms=args.platforms)
         sidecar.update(wsi_shape=[int(h), int(w), 3], n_spots=args.n_spots,
                        window_px=registrar.window_size,
+                       hex_coords=registrar.hex_coords,
+                       hd_binning=meta.get("hd_binning"),
                        inputs="(wsi, oy, ox, y_px, x_px); see "
-                              "SlideRegistrar.spot_inputs")
+                              "serving.artifact_spot_inputs")
     elif model_name in ("GridNetHexMM", "GridNetMM"):
         g = _mm_model_from_meta(meta, classes)
         p = meta.get("patch_px", 128)
@@ -946,6 +948,45 @@ def _cmd_export(args):
         json.dump(sidecar, fh, indent=1)
     print(f"wrote {args.out} ({len(blob)/1e6:.1f} MB) + sidecar "
           f"{args.out}.json")
+
+
+def _cmd_serve_artifact(args):
+    """Register slides from an exported StableHLO artifact: decode ->
+    fixed-shape spot inputs from the JSON sidecar -> artifact call ->
+    Loupe CSV. Never constructs a model -- the deployment-unit serving
+    loop (pair of `export`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.ingest import SlideSource
+    from gridnext_tpu.serving import (artifact_spot_inputs,
+                                      load_exported_registration)
+
+    with open(args.artifact, "rb") as fh:
+        blob = fh.read()
+    with open(args.artifact + ".json") as fh:
+        side = json.load(fh)
+    if "n_spots" not in side:
+        sys.exit("error: serve-artifact drives image-registration artifacts "
+                 "(wsi -> labels); this sidecar has no n_spots -- count/MM "
+                 "grid artifacts are plain functions of in-memory grids")
+    _require_one_image_per_dir(args.images, args.spaceranger)
+    fn = load_exported_registration(blob)
+    hexc = side.get("hex_coords", True)
+    source = SlideSource(args.images, args.spaceranger,
+                         hd_binning=side.get("hd_binning"))
+    for i, wsi, pos in source:
+        if list(wsi.shape) != list(side["wsi_shape"]):
+            sys.exit(f"error: slide {args.images[i]} is {tuple(wsi.shape)} "
+                     f"but the artifact was exported for "
+                     f"{tuple(side['wsi_shape'])} (shapes are static; "
+                     "re-export with --wsi-shape)")
+        ins = artifact_spot_inputs(
+            wsi.shape, pos, side["n_spots"], window_size=side["window_px"],
+            h_st=side["h_st"], w_st=side["w_st"], hex_coords=hexc)
+        labels = np.asarray(fn(wsi, *map(jnp.asarray, ins)))
+        _write_loupe(labels, args.spaceranger[i], args, side["classes"],
+                     hd_binning=side.get("hd_binning"), hex_coords=hexc)
 
 
 def _cmd_register(args):
@@ -1263,6 +1304,17 @@ def main(argv=None):
                    help="target platforms (e.g. tpu cpu); default = "
                         "current backend")
     s.set_defaults(fn=_cmd_export)
+
+    s = sub.add_parser(
+        "serve-artifact",
+        help="register slides from an exported StableHLO artifact (no "
+             "model code; pair of `export`)")
+    s.add_argument("--artifact", required=True,
+                   help="artifact path (its .json sidecar must sit beside)")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--images", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=_cmd_serve_artifact)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -60,6 +60,35 @@ def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
             y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 
 
+def artifact_spot_inputs(wsi_shape, positions, n_spots: int, *,
+                         window_size: int, h_st: int, w_st: int,
+                         hex_coords: bool = True, pad_offset: int = 0):
+    """Fixed-length (oy, ox, y_px, x_px) int32 inputs for an exported
+    registration artifact, built from its JSON sidecar fields alone
+    (window_px/h_st/w_st/hex_coords) -- no registrar or model code needed.
+
+    Same conventions as the live path: centers clamp so the window stays in
+    bounds (max center = H - (w - w//2)); pad entries park outside the
+    lattice (oy == h_st, scatter mode='drop') and crop a harmless corner.
+    """
+    oy_a, ox_a, y_a, x_a = spot_pixel_arrays(positions, h_st, w_st,
+                                             hex_coords)
+    y_a = y_a + pad_offset
+    x_a = x_a + pad_offset
+    p2 = window_size // 2
+    y_a = np.clip(y_a, p2, wsi_shape[0] - (window_size - p2))
+    x_a = np.clip(x_a, p2, wsi_shape[1] - (window_size - p2))
+    k = len(oy_a)
+    if k > n_spots:
+        raise ValueError(f"{k} in-tissue spots exceed n_spots={n_spots}")
+    oy = np.full((n_spots,), h_st, np.int32)
+    ox = np.zeros((n_spots,), np.int32)
+    y_px = np.full((n_spots,), p2, np.int32)
+    x_px = np.full((n_spots,), p2, np.int32)
+    oy[:k], ox[:k], y_px[:k], x_px[:k] = oy_a, ox_a, y_a, x_a
+    return oy, ox, y_px, x_px
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     """shard_map across jax versions: jax.shard_map (>=0.8, check_vma) with
     the jax.experimental fallback (check_rep). Replication checking is off
@@ -691,18 +720,10 @@ class SlideRegistrar:
         the same convention as :meth:`register_batch`. Use with
         :meth:`export` artifacts, whose spot axis is a fixed shape.
         """
-        a_oy, a_ox, a_y, a_x = self._spot_arrays(wsi_shape, positions,
-                                                 pad_offset)
-        k = len(a_oy)
-        if k > n_spots:
-            raise ValueError(f"{k} in-tissue spots exceed n_spots={n_spots}")
-        p2 = self.window_size // 2
-        oy = np.full((n_spots,), self.h_st, np.int32)
-        ox = np.zeros((n_spots,), np.int32)
-        y_px = np.full((n_spots,), p2, np.int32)
-        x_px = np.full((n_spots,), p2, np.int32)
-        oy[:k], ox[:k], y_px[:k], x_px[:k] = a_oy, a_ox, a_y, a_x
-        return oy, ox, y_px, x_px
+        return artifact_spot_inputs(
+            wsi_shape, positions, n_spots, window_size=self.window_size,
+            h_st=self.h_st, w_st=self.w_st, hex_coords=self.hex_coords,
+            pad_offset=pad_offset)
 
     def export(self, wsi_shape, n_spots: int, platforms=None) -> bytes:
         """Serialize the registration computation as a portable artifact.

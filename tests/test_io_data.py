@@ -437,6 +437,19 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     got = fn(jnp.asarray(wsi), *map(jnp.asarray, ins))
     np.testing.assert_array_equal(np.asarray(got), want)
 
+    # serve-artifact: the no-model-code serving loop writes the same
+    # registration as a Loupe CSV straight from the artifact
+    try:
+        sys.argv = ["x", "serve-artifact", "--artifact", str(art),
+                    "--spaceranger", dirs[0], "--images", imgs[0],
+                    "--out", str(tmp_path / "artifact_loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    df2 = pd.read_csv(tmp_path / "artifact_loupe.csv")
+    assert len(df2) == int((np.asarray(want) > 0).sum())
+    assert set(df2["AARs"]) <= set(sidecar["classes"])
+
 
 def test_hd_square_binning_rejected_for_grids(tmp_path):
     """Square-binned HD positions must fail loudly at the factory, not
