@@ -907,25 +907,67 @@ def _cmd_export(args):
             sys.exit("error: image-model export needs --wsi-shape H W")
         registrar = _image_registrar_from_meta(meta, classes, variables)
         h, w = args.wsi_shape
-        blob = registrar.export((int(h), int(w), 3), n_spots=args.n_spots,
-                                platforms=args.platforms)
-        sidecar.update(wsi_shape=[int(h), int(w), 3], n_spots=args.n_spots,
+        sidecar.update(wsi_shape=[int(h), int(w), 3],
                        window_px=registrar.window_size,
                        hex_coords=registrar.hex_coords,
-                       hd_binning=meta.get("hd_binning"),
-                       inputs="(wsi, oy, ox, y_px, x_px); see "
-                              "serving.artifact_spot_inputs")
+                       hd_binning=meta.get("hd_binning"))
+        if args.dense:
+            # dense-tiling artifact (HD): needs a representative slide's
+            # positions to fit the lattice extent; exact pitch only (the
+            # fractional-pitch banded resample stays a live-registrar path)
+            if not args.spaceranger:
+                sys.exit("error: export --dense needs --spaceranger SRD (a "
+                         "representative array to fit the bin lattice)")
+            from gridnext_tpu.io import read_positions
+            from gridnext_tpu.serving import fit_dense_lattice
+
+            pos = read_positions(args.spaceranger[0],
+                                 meta.get("hd_binning"))
+            plan = fit_dense_lattice(pos, registrar.h_st, registrar.w_st,
+                                     registrar.window_size,
+                                     (int(h), int(w), 3))
+            if plan is None or plan[0] != "exact":
+                sys.exit("error: --dense needs an exact integer-pitch "
+                         "lattice within --wsi-shape; fractional-pitch HD "
+                         "lattices use the banded resample (a live-"
+                         "registrar path) -- use `register`, or export the "
+                         "per-spot artifact with a large-enough --n-spots")
+            _, _, _, _, ey, ex = plan
+            blob = registrar.export_dense((int(h), int(w), 3), ey, ex,
+                                          platforms=args.platforms)
+            sidecar.update(kind="dense", extent=[int(ey), int(ex)],
+                           inputs="(wsi, oy0, ox0, fg) from an exact "
+                                  "serving.fit_dense_lattice plan")
+        else:
+            blob = registrar.export((int(h), int(w), 3),
+                                    n_spots=args.n_spots,
+                                    platforms=args.platforms)
+            sidecar.update(n_spots=args.n_spots,
+                           inputs="(wsi, oy, ox, y_px, x_px); see "
+                                  "serving.artifact_spot_inputs")
     elif model_name in ("GridNetHexMM", "GridNetMM"):
         g = _mm_model_from_meta(meta, classes)
         p = meta.get("patch_px", 128)
-        n_c = (meta["scbert_vocab"] if meta.get("count_f") == "scbert"
-               else meta["n_genes"])
+        scbert = meta.get("count_f") == "scbert"
+        n_c = meta["scbert_vocab"] if scbert else meta["n_genes"]
         shapes = ((h_st, w_st, p, p, 3), (h_st, w_st, n_c))
+        # scBERT's gene2vec reindex zeroes unmapped genes, so the tissue
+        # mask cannot be recovered from the transformed counts -- the
+        # artifact takes it explicitly (from RAW counts, like register)
         blob = export_grid_forward(g, variables, shapes,
-                                   platforms=args.platforms)
+                                   platforms=args.platforms,
+                                   explicit_fg=scbert)
+        if scbert:
+            inputs = ("(image_grid, count_grid, fg_mask) batched (1, ...); "
+                      "counts gene2vec-transformed (preprocess_scbert), "
+                      "fg_mask int32 from RAW counts (raw.sum(-1) > 0)")
+        elif meta.get("log1p"):
+            inputs = ("(image_grid, count_grid) batched (1, ...); "
+                      "counts log1p-transformed")
+        else:
+            inputs = "(image_grid, count_grid) batched (1, ...)"
         sidecar.update(grid_shapes=[list(s) for s in shapes],
-                       inputs="(image_grid, count_grid) batched (1, ...); "
-                              "counts pre-transformed as in training")
+                       explicit_fg=scbert, inputs=inputs)
     elif model_name.endswith("CountMLP"):
         from gridnext_tpu.models import CountMLP, GridNet, GridNetHex
 
@@ -966,7 +1008,8 @@ def _cmd_serve_artifact(args):
         blob = fh.read()
     with open(args.artifact + ".json") as fh:
         side = json.load(fh)
-    if "n_spots" not in side:
+    dense = side.get("kind") == "dense"
+    if "n_spots" not in side and not dense:
         sys.exit("error: serve-artifact drives image-registration artifacts "
                  "(wsi -> labels); this sidecar has no n_spots -- count/MM "
                  "grid artifacts are plain functions of in-memory grids")
@@ -981,10 +1024,29 @@ def _cmd_serve_artifact(args):
                      f"but the artifact was exported for "
                      f"{tuple(side['wsi_shape'])} (shapes are static; "
                      "re-export with --wsi-shape)")
-        ins = artifact_spot_inputs(
-            wsi.shape, pos, side["n_spots"], window_size=side["window_px"],
-            h_st=side["h_st"], w_st=side["w_st"], hex_coords=hexc)
-        labels = np.asarray(fn(wsi, *map(jnp.asarray, ins)))
+        if dense:
+            from gridnext_tpu.serving import fit_dense_lattice
+
+            plan = fit_dense_lattice(pos, side["h_st"], side["w_st"],
+                                     side["window_px"],
+                                     tuple(side["wsi_shape"]))
+            if plan is None or plan[0] != "exact":
+                sys.exit(f"error: {args.spaceranger[i]} is not an exact "
+                         "integer-pitch lattice; this dense artifact can't "
+                         "serve it (use `register`)")
+            _, oy0, ox0, fg, ey, ex = plan
+            if [int(ey), int(ex)] != list(side["extent"]):
+                sys.exit(f"error: {args.spaceranger[i]} extent ({ey}, {ex}) "
+                         f"differs from the artifact's {side['extent']} "
+                         "(shapes are static; re-export)")
+            labels = np.asarray(fn(wsi, jnp.int32(oy0), jnp.int32(ox0),
+                                   jnp.asarray(fg)))
+        else:
+            ins = artifact_spot_inputs(
+                wsi.shape, pos, side["n_spots"],
+                window_size=side["window_px"],
+                h_st=side["h_st"], w_st=side["w_st"], hex_coords=hexc)
+            labels = np.asarray(fn(wsi, *map(jnp.asarray, ins)))
         _write_loupe(labels, args.spaceranger[i], args, side["classes"],
                      hd_binning=side.get("hd_binning"), hex_coords=hexc)
 
@@ -994,8 +1056,7 @@ def _cmd_register(args):
     import numpy as np
 
     from gridnext_tpu.data import CountGridDataset
-    from gridnext_tpu.models import (CountMLP, GridNetHex, GridNetHexMM,
-                                     densenet121)
+    from gridnext_tpu.models import CountMLP, GridNetHex
 
     meta, classes, variables = _load_model_dir(args.model)
     model_name = meta.get("model", "")
@@ -1299,10 +1360,21 @@ def main(argv=None):
                         "grid->labels forward and don't need it")
     s.add_argument("--n-spots", type=int, default=8192,
                    help="fixed spot-axis length; pad real spot arrays with "
-                        "SlideRegistrar.spot_inputs")
+                        "SlideRegistrar.spot_inputs (HD bin lattices run "
+                        "~147k in-tissue bins -- raise this, or prefer "
+                        "--dense)")
+    s.add_argument("--dense", action="store_true",
+                   help="square-HD image models: export the dense-tiling "
+                        "registration (register_dense) instead of the "
+                        "per-spot gather; needs --spaceranger and an exact "
+                        "integer-pitch lattice")
+    s.add_argument("--spaceranger", nargs="*", default=None,
+                   help="--dense: representative array dir(s) to fit the "
+                        "bin lattice extent from")
     s.add_argument("--platforms", nargs="*", default=None,
-                   help="target platforms (e.g. tpu cpu); default = "
-                        "current backend")
+                   help="target platforms (e.g. tpu cpu); pallas-path "
+                        "registrars export for the current backend only; "
+                        "default = current backend")
     s.set_defaults(fn=_cmd_export)
 
     s = sub.add_parser(

@@ -60,6 +60,25 @@ def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
             y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 
 
+def _clamp_centers(y_px, x_px, wsi_shape, window_size: int,
+                   pad_offset: int = 0):
+    """Offset + clamp spot centers so the crop window stays in bounds.
+
+    THE load-bearing convention shared by the live registrar
+    (``_spot_arrays``) and exported-artifact inputs
+    (:func:`artifact_spot_inputs`) -- one implementation so they can never
+    desynchronize. Crop origin is center - w//2 over ``window_size``
+    pixels, so the max in-bounds center is H - (w - w//2); NOT
+    H - w//2 - 1, which is one pixel tighter for even windows and would
+    shift flush-to-edge lattice rows by 1 px vs register_dense's unclamped
+    slice (breaking the dense==per-bin parity contract).
+    """
+    p2 = window_size // 2
+    y_px = np.clip(y_px + pad_offset, p2, wsi_shape[0] - (window_size - p2))
+    x_px = np.clip(x_px + pad_offset, p2, wsi_shape[1] - (window_size - p2))
+    return y_px, x_px
+
+
 def artifact_spot_inputs(wsi_shape, positions, n_spots: int, *,
                          window_size: int, h_st: int, w_st: int,
                          hex_coords: bool = True, pad_offset: int = 0):
@@ -68,16 +87,13 @@ def artifact_spot_inputs(wsi_shape, positions, n_spots: int, *,
     (window_px/h_st/w_st/hex_coords) -- no registrar or model code needed.
 
     Same conventions as the live path: centers clamp so the window stays in
-    bounds (max center = H - (w - w//2)); pad entries park outside the
-    lattice (oy == h_st, scatter mode='drop') and crop a harmless corner.
+    bounds (:func:`_clamp_centers`); pad entries park outside the lattice
+    (oy == h_st, scatter mode='drop') and crop a harmless corner.
     """
     oy_a, ox_a, y_a, x_a = spot_pixel_arrays(positions, h_st, w_st,
                                              hex_coords)
-    y_a = y_a + pad_offset
-    x_a = x_a + pad_offset
+    y_a, x_a = _clamp_centers(y_a, x_a, wsi_shape, window_size, pad_offset)
     p2 = window_size // 2
-    y_a = np.clip(y_a, p2, wsi_shape[0] - (window_size - p2))
-    x_a = np.clip(x_a, p2, wsi_shape[1] - (window_size - p2))
     k = len(oy_a)
     if k > n_spots:
         raise ValueError(f"{k} in-tissue spots exceed n_spots={n_spots}")
@@ -663,16 +679,8 @@ class SlideRegistrar:
     def _spot_arrays(self, wsi_shape, positions, pad_offset):
         oy, ox, y_px, x_px = spot_pixel_arrays(positions, self.h_st,
                                                self.w_st, self.hex_coords)
-        y_px = y_px + pad_offset
-        x_px = x_px + pad_offset
-        # Crop origin is center - w//2 and spans `window_size` pixels, so
-        # the max in-bounds center is H - (w - w//2) -- NOT H - w//2 - 1,
-        # which is one pixel tighter for even windows and would shift
-        # flush-to-edge lattice rows by 1 px vs register_dense's unclamped
-        # slice (breaking the dense==per-bin parity contract).
-        p2 = self.window_size // 2
-        y_px = np.clip(y_px, p2, wsi_shape[0] - (self.window_size - p2))
-        x_px = np.clip(x_px, p2, wsi_shape[1] - (self.window_size - p2))
+        y_px, x_px = _clamp_centers(y_px, x_px, wsi_shape,
+                                    self.window_size, pad_offset)
         return oy, ox, y_px, x_px
 
     def __call__(self, wsi, positions, pad_offset: int = 0) -> np.ndarray:
@@ -710,6 +718,27 @@ class SlideRegistrar:
             return wsi.data, tuple(wsi.orig_hw)
         return wsi, None
 
+    def _check_export_platforms(self, platforms):
+        """Fail fast on cross-platform export of Pallas paths: the
+        interpret-mode heuristics (hexcorrector_pallas/patch_gather_pallas)
+        key off the CURRENT backend, not the lowering target -- exporting a
+        Mosaic kernel for a cpu target fails, and exporting the interpreted
+        fallback for a tpu target would silently embed the slow pure-XLA
+        form in the 'deployment unit'. Same-backend targets are fine."""
+        if not platforms:
+            return
+        uses_pallas = self.use_pallas or self.extractor == "pallas"
+        here = jax.default_backend()
+        mismatched = [p for p in platforms if str(p).lower() != here]
+        if uses_pallas and mismatched:
+            raise ValueError(
+                f"cannot export the Pallas corrector/extractor for platforms"
+                f" {mismatched} from a {here!r} backend: kernel vs interpret "
+                "lowering is decided by the current backend. Export on the "
+                "target backend, or build the registrar with "
+                "use_pallas_corrector=False and extractor='xla' for a "
+                "portable (pure-XLA) artifact")
+
     def spot_inputs(self, wsi_shape, positions, n_spots: int,
                     pad_offset: int = 0):
         """Fixed-length device inputs for one slide: (oy, ox, y_px, x_px)
@@ -746,6 +775,7 @@ class SlideRegistrar:
         if self.mesh is not None:
             raise ValueError("export serializes the single-device path; "
                              "build the registrar with mesh=None")
+        self._check_export_platforms(platforms)
         if len(wsi_shape) != 3 or wsi_shape[-1] != 3:
             raise ValueError(f"wsi_shape must be (H, W, 3); got {wsi_shape}")
         spot = jax.ShapeDtypeStruct((int(n_spots),), jnp.int32)
@@ -773,6 +803,7 @@ class SlideRegistrar:
         if self.mesh is not None:
             raise ValueError("export serializes the single-device path; "
                              "build the registrar with mesh=None")
+        self._check_export_platforms(platforms)
         if self.hex_coords:
             raise ValueError("export_dense needs a square-lattice registrar "
                              "(hex_coords=False)")
@@ -831,17 +862,28 @@ class SlideRegistrar:
         return np.asarray(labels)
 
 
-def export_grid_forward(model, variables, grid_shapes, platforms=None) -> bytes:
+def export_grid_forward(model, variables, grid_shapes, platforms=None,
+                        explicit_fg: bool = False) -> bytes:
     """Serialize a grid model's registration forward as a portable artifact.
 
     The count/multimodal analog of :meth:`SlideRegistrar.export`: jits
-    ``argmax(model(x)) + 1`` masked by the tissue support (non-zero input
-    rows) over a fixed-shape input grid, exports it via jax.export with the
-    weights embedded, and returns the serialized bytes. ``grid_shapes``: one
-    ``(H, W, C)`` tuple for a single-modality model, or a sequence of them
-    (image, count order) for GridNetMM family. Reload with
-    :func:`load_exported_registration`; the callable takes the (1, H, W, C)
-    batched grid(s) and returns (1, H, W) int32 labels (0 = background).
+    ``argmax(model(x)) + 1`` masked by the tissue support over a fixed-shape
+    input grid, exports it via jax.export with the weights embedded, and
+    returns the serialized bytes. ``grid_shapes``: one ``(H, W, C)`` tuple
+    for a single-modality model, or a sequence of them (image, count order)
+    for GridNetMM family. Reload with :func:`load_exported_registration`;
+    the callable takes the (1, H, W, C) batched grid(s) and returns
+    (1, H, W) int32 labels (0 = background).
+
+    Tissue mask: by default, any non-zero feature in the (last) count-grid
+    input -- equivalent to the live register convention (raw counts > 0)
+    for raw or log1p counts, where zero rows stay zero. With
+    ``explicit_fg=True`` the artifact instead takes a trailing (1, H, W)
+    int32 foreground mask input -- REQUIRED when the count grid is fed
+    pre-transformed by a support-changing map (scBERT's gene2vec reindex
+    zeroes unmapped genes, so a bin whose raw counts all fall outside the
+    vocabulary would otherwise silently flip to background, diverging from
+    the live register path).
     """
     from jax import export as jexport
 
@@ -849,15 +891,17 @@ def export_grid_forward(model, variables, grid_shapes, platforms=None) -> bytes:
     shapes = (grid_shapes,) if single else tuple(grid_shapes)
     args = tuple(jax.ShapeDtypeStruct((1,) + tuple(map(int, s)), jnp.float32)
                  for s in shapes)
+    n_grids = len(args)
+    if explicit_fg:
+        h, w = shapes[0][0], shapes[0][1]
+        args = args + (jax.ShapeDtypeStruct((1, int(h), int(w)), jnp.int32),)
 
     def fn(*xs):
-        x = xs[0] if single else xs
+        grids = xs[:n_grids]
+        x = grids[0] if single else grids
         logits = model.apply(variables, x, train=False)
         labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
-        # tissue support: any non-zero feature in the (last) count modality,
-        # matching the CLI register convention (raw counts > 0 somewhere)
-        ref = xs[-1]
-        fg = jnp.any(ref != 0, axis=-1)
+        fg = (xs[-1] > 0) if explicit_fg else jnp.any(grids[-1] != 0, axis=-1)
         return jnp.where(fg, labels, 0)
 
     return bytes(jexport.export(jax.jit(fn), platforms=platforms)(*args)

@@ -134,6 +134,33 @@ def test_cli_dense_ingest_train_register(tmp_path):
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())
 
+    # dense deployment artifact: export --dense fits the lattice from the
+    # sample array; serve-artifact re-fits per slide and must reproduce the
+    # register CSV exactly (same dense algorithm end to end)
+    import numpy as np
+    from PIL import Image
+
+    H, W = np.asarray(Image.open(sims[0]["image_file"])).shape[:2]
+    art = tmp_path / "dense.hlo"
+    try:
+        sys.argv = ["x", "export", "--model", str(tmp_path / "model"),
+                    "--out", str(art), "--wsi-shape", str(H), str(W),
+                    "--dense", "--spaceranger", dirs[0]]
+        cli.main()
+        sys.argv = ["x", "serve-artifact", "--artifact", str(art),
+                    "--spaceranger", dirs[0],
+                    "--images", sims[0]["image_file"],
+                    "--out", str(tmp_path / "dense_loupe.csv")]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    side = json.loads((tmp_path / "dense.hlo.json").read_text())
+    assert side["kind"] == "dense" and side["hex_coords"] is False
+    df2 = pd.read_csv(tmp_path / "dense_loupe.csv")
+    pd.testing.assert_frame_equal(
+        df2.sort_values("Barcode").reset_index(drop=True),
+        df.sort_values("Barcode").reset_index(drop=True))
+
 
 def test_train_gridwise_on_dense_ingest(hd):
     """The dense dataset feeds the public gridwise trainer directly --

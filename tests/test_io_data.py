@@ -306,10 +306,14 @@ def test_cli_hd_train_register_end_to_end(tmp_path, capsys):
     x = np.log1p(x).astype(np.float32)
     fn = load_exported_registration(art.read_bytes())
     labels = np.asarray(fn(jnp.asarray(x[None])))[0]
+    # the artifact must reproduce the register CSV's annotations exactly:
+    # same foreground support AND same per-class counts
+    from collections import Counter
+
     want = pd.read_csv(tmp_path / "loupe.csv")
     got_names = [side["classes"][v - 1] for v in labels[labels > 0]]
-    assert sorted(set(got_names)) <= sorted(set(side["classes"]))
     assert int((labels > 0).sum()) == len(want)
+    assert Counter(got_names) == Counter(want["AARs"])
 
 
 def test_cli_hd_square_train_register_end_to_end(tmp_path):

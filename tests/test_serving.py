@@ -840,6 +840,31 @@ def test_export_rejects_mesh_and_bad_shapes(sim):
     with pytest.raises(ValueError, match="exceed n_spots"):
         reg.spot_inputs((640, 640, 3), pos, n_spots=4)
 
+    # mesh registrars must refuse to export (single-device path only)
+    import jax
+
+    from gridnext_tpu.parallel import make_mesh
+
+    mesh_reg = SlideRegistrar(f_apply=lambda p: p.mean(axis=(1, 2)),
+                              patch_size=8, normalize=None,
+                              use_pallas_corrector=False,
+                              corrector_apply=lambda g: g, extractor="xla",
+                              mesh=make_mesh({"data": len(jax.devices())}))
+    with pytest.raises(ValueError, match="mesh=None"):
+        mesh_reg.export((64, 64, 3), n_spots=128)
+    with pytest.raises(ValueError, match="mesh=None"):
+        mesh_reg.export_dense((64, 64, 3), 4, 4)
+
+    # cross-platform export of pallas paths must fail fast, not embed the
+    # interpreted fallback (or a mosaic kernel) for the wrong target
+    pal = SlideRegistrar(f_apply=lambda p: p.mean(axis=(1, 2)),
+                         patch_size=128, normalize=None,
+                         use_pallas_corrector=False,
+                         corrector_apply=lambda g: g, extractor="pallas")
+    other = "tpu" if jax.default_backend() != "tpu" else "cpu"
+    with pytest.raises(ValueError, match="current backend"):
+        pal.export((512, 512, 3), n_spots=128, platforms=[other])
+
 
 def test_export_dense_round_trip(tmp_path_factory):
     """export_dense serializes the HD dense-tiling registration; the
@@ -936,3 +961,35 @@ def test_export_grid_forward_count_and_mm(sim):
     want2 = np.where(counts.any(-1),
                      np.asarray(jnp.argmax(logits2, -1)) + 1, 0)
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_export_grid_forward_explicit_fg():
+    """explicit_fg=True: the artifact takes the tissue mask as an input,
+    needed when the count transform changes the zero-support (scBERT's
+    gene2vec reindex zeroes unmapped genes -- the transformed grid can't
+    recover the raw-count foreground)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import CountMLP, GridNetHex
+    from gridnext_tpu.serving import (export_grid_forward,
+                                      load_exported_registration)
+
+    h, w, ng = 8, 6, 5
+    rng = np.random.default_rng(2)
+    counts = rng.poisson(1.0, size=(1, h, w, ng)).astype(np.float32)
+    counts[0, 0] = 0            # transformed-support hole...
+    fg = np.ones((1, h, w), np.int32)   # ...that RAW counts say is tissue
+    fg[0, -1] = 0               # and a transformed-nonzero row that is NOT
+
+    f = CountMLP(n_classes=3, hidden=(8, 8, 8, 8))
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    variables = g.init(jax.random.key(0), jnp.zeros((1, h, w, ng)))
+    blob = export_grid_forward(g, variables, (h, w, ng), explicit_fg=True)
+    fn = load_exported_registration(blob)
+    got = np.asarray(fn(jnp.asarray(counts), jnp.asarray(fg)))
+    assert (got[0, 0] > 0).all()     # mask wins over zero rows
+    assert (got[0, -1] == 0).all()   # and over nonzero rows
+    logits = g.apply(variables, jnp.asarray(counts), train=False)
+    want = np.where(fg > 0, np.asarray(jnp.argmax(logits, -1)) + 1, 0)
+    np.testing.assert_array_equal(got, want)
