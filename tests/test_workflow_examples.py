@@ -80,6 +80,38 @@ def test_cli_train_mm_register_end_to_end(tmp_path):
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) > 1000
 
+    # MM deployment artifact: export the grid->labels forward and check it
+    # reproduces the register CSV's per-class counts from the same grids
+    import json
+    from collections import Counter
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.serving import load_exported_registration
+
+    art = tmp_path / "mm.hlo"
+    try:
+        sys.argv = ["x", "export", "--model", str(tmp_path / "model"),
+                    "--out", str(art)]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    side = json.loads((tmp_path / "mm.hlo.json").read_text())
+    assert side["model"] == "GridNetHexMM" and not side["explicit_fg"]
+    mm = create_visium_dataset(dirs, spatial=True, use_count=True,
+                               use_image=True, fullres_image_files=imgs,
+                               patch_size_px=32, minimum_detection_rate=None)
+    (xi, xc), _ = mm[0]
+    fn = load_exported_registration(art.read_bytes())
+    labels = np.asarray(fn(jnp.asarray(xi[None]),
+                           jnp.asarray(np.log1p(xc)[None],
+                                       jnp.float32)))[0]
+    got = [side["classes"][v - 1] for v in labels[labels > 0]]
+    assert len(got) == len(df)
+    assert Counter(got) == Counter(df["AARs"])
+
 
 @pytest.mark.slow
 def test_cli_train_mm_scbert_count_f(tmp_path):
