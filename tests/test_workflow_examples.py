@@ -198,6 +198,40 @@ def test_cli_train_mm_scbert_count_f(tmp_path):
     assert len(df) > 1000
     assert set(df["AARs"].unique()) <= {"Layer1", "Layer2", "Layer3"}
 
+    # scBERT MM export: the artifact takes an EXPLICIT fg-mask input (the
+    # gene2vec reindex changes the zero support) and must reproduce the
+    # register CSV's per-class counts from raw-count foreground
+    from collections import Counter
+
+    import jax.numpy as jnp
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.serving import load_exported_registration
+
+    art = tmp_path / "scbert_mm.hlo"
+    try:
+        sys.argv = ["x", "export", "--model", str(tmp_path / "model"),
+                    "--out", str(art)]
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    side = json.load(open(str(art) + ".json"))
+    assert side["explicit_fg"] is True
+    assert side["grid_shapes"][1] == [78, 64, 64]   # gene2vec space
+    mm = create_visium_dataset(dirs, spatial=True, use_count=True,
+                               use_image=True, fullres_image_files=imgs,
+                               patch_size_px=32, minimum_detection_rate=None)
+    (xi, xc), _ = mm[0]
+    fg = (xc.sum(-1) > 0).astype(np.int32)          # RAW-count tissue mask
+    transform, _ = cli._scbert_count_transform(dirs, None, 64)
+    fn = load_exported_registration(art.read_bytes())
+    labels = np.asarray(fn(jnp.asarray(xi[None]),
+                           jnp.asarray(transform(xc)[None], jnp.float32),
+                           jnp.asarray(fg[None])))[0]
+    got = [side["classes"][v - 1] for v in labels[labels > 0]]
+    assert len(got) == len(df)
+    assert Counter(got) == Counter(df["AARs"])
+
 
 def test_visium_hd_example_floor():
     """Square-lattice HD workflow: bins classified well above 4-class chance
