@@ -56,22 +56,39 @@ def save_checkpoint_orbax(path, state: TrainState, *, block: bool = True):
     return ckptr
 
 
+def _abstract_leaf(leaf):
+    """Template leaf -> restore spec. jax.Array leaves become abstract
+    ShapeDtypeStructs CARRYING THEIR SHARDING, so orbax materializes each
+    restored array directly on device with the template's layout -- for a
+    mesh TrainState (replicated DP state, or explicitly sharded params for
+    larger f's) that means no host-numpy round-trip and no post-restore
+    device_put/reshard. Host (numpy/python) leaves restore as host values,
+    preserving the old behavior for single-device templates."""
+    if isinstance(leaf, jax.Array):
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype,
+                                    sharding=leaf.sharding)
+    return leaf
+
+
 def restore_checkpoint_orbax(path, state_template: TrainState) -> TrainState:
     """Restore a TrainState saved by :func:`save_checkpoint_orbax`.
 
     ``state_template`` (a freshly created state for the same model+optimizer)
-    provides the tree structure and dtypes.
+    provides the tree structure, dtypes, AND device placement: leaves that
+    are device arrays restore straight onto their template sharding (see
+    :func:`_abstract_leaf`), so a mesh-sharded training state round-trips
+    without resharding.
     """
     import os
 
     ocp = _require_orbax()
-    template = {
-        "params": jax.device_get(state_template.params),
-        "batch_stats": jax.device_get(state_template.batch_stats),
-        "extra_vars": jax.device_get(state_template.extra_vars),
-        "opt_state": jax.device_get(state_template.opt_state),
-        "step": jax.device_get(state_template.step),
-    }
+    template = jax.tree_util.tree_map(_abstract_leaf, {
+        "params": state_template.params,
+        "batch_stats": state_template.batch_stats,
+        "extra_vars": state_template.extra_vars,
+        "opt_state": state_template.opt_state,
+    })
+    template["step"] = jax.device_get(state_template.step)
     with ocp.StandardCheckpointer() as ckptr:
         payload = ckptr.restore(os.path.abspath(str(path)), template)
     return state_template.replace(
