@@ -98,7 +98,13 @@ def _read_count_frame_cached(count_file: str, cfile_delim: str,
     if cfile_delim == "\t":
         from gridnext_tpu import native
 
-        frame = native.read_tsv_dataframe(count_file)
+        # Migrate-on-first-read: a foreign (pandas-fallback-written) gzip
+        # cache is value-exactly rewritten in the native multi-member
+        # format, so every later epoch's read inflates across the thread
+        # pool instead of serially (GNX_CACHE_MIGRATE=0 opts out). Own
+        # cache artifact by contract -- user inputs never pass through here.
+        migrate = os.environ.get("GNX_CACHE_MIGRATE", "1") != "0"
+        frame = native.read_tsv_dataframe(count_file, migrate=migrate)
         if frame is not None:
             return frame
     return pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)

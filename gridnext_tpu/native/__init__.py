@@ -130,9 +130,43 @@ def write_tsv_matrix(path, index, columns, values: np.ndarray,
     return True
 
 
-def read_tsv_matrix(path) -> Optional[Tuple[list, list, np.ndarray]]:
+def gzip_member_format(path) -> Optional[str]:
+    """Classify a file's gzip framing: 'native' (multi-member chain whose
+    headers carry the writer's 'GX' size subfield -- parallel-inflatable),
+    'foreign' (valid gzip without it -- e.g. pandas-written; inflates
+    serially), or None (not gzip at all, e.g. a plain .tsv)."""
+    with open(str(path), "rb") as fh:
+        head = fh.read(4096)
+    if len(head) < 18 or head[:2] != b"\x1f\x8b" or head[2] != 8:
+        return None
+    if not head[3] & 0x04:                        # no FEXTRA
+        return "foreign"
+    xlen = int.from_bytes(head[10:12], "little")
+    extra = head[12:12 + xlen]
+    i = 0
+    while i + 4 <= len(extra):
+        sid, slen = extra[i:i + 2], int.from_bytes(extra[i + 2:i + 4],
+                                                   "little")
+        if sid == b"GX" and slen == 4:
+            return "native"
+        i += 4 + slen
+    return "foreign"
+
+
+def read_tsv_matrix(path, migrate: bool = False
+                    ) -> Optional[Tuple[list, list, np.ndarray]]:
     """Read a numeric TSV(.gz) -> (row_names, col_names, float64 matrix);
-    None if native unavailable."""
+    None if native unavailable.
+
+    ``migrate=True``: after reading a FOREIGN .gz (single-member, e.g.
+    written by the pandas fallback when no toolchain was available at
+    prepare time), atomically rewrite it in the native multi-member format
+    so every subsequent read inflates across the thread pool. Value-exact:
+    the writer emits integers verbatim and non-integral doubles as %.17g
+    (lossless float64 round-trip). Only for OWN cache artifacts
+    (.unified.tsv.gz contract) -- never pass user-authored inputs.
+    Best-effort: a failed rewrite leaves the original untouched.
+    """
     lib = get_lib()
     if lib is None:
         return None
@@ -149,14 +183,24 @@ def read_tsv_matrix(path) -> Optional[Tuple[list, list, np.ndarray]]:
             ctypes.POINTER(ctypes.c_double)))
         rows = [lib.tsv_row_name(h, i).decode() for i in range(n_rows)]
         cols = [lib.tsv_col_name(h, i).decode() for i in range(n_cols)]
+        index_name = lib.tsv_index_name(h).decode()
     finally:
         lib.tsv_free(h)
+    if migrate and str(path).endswith(".gz"):
+        try:
+            if (gzip_member_format(path) == "foreign"
+                    and os.access(str(path), os.W_OK)):
+                write_tsv_matrix(path, rows, cols, values,
+                                 index_name=index_name or "Gene")
+        except Exception:
+            pass                                  # reads must never fail here
     return rows, cols, values
 
 
-def read_tsv_dataframe(path):
-    """Native TSV read as a pandas DataFrame; None if unavailable."""
-    out = read_tsv_matrix(path)
+def read_tsv_dataframe(path, migrate: bool = False):
+    """Native TSV read as a pandas DataFrame; None if unavailable.
+    ``migrate``: see :func:`read_tsv_matrix`."""
+    out = read_tsv_matrix(path, migrate=migrate)
     if out is None:
         return None
     import pandas as pd

@@ -108,6 +108,87 @@ def test_reader_handles_pandas_written_file(lib_ok, tmp_path):
     np.testing.assert_array_equal(values, df.values)
 
 
+def test_gzip_member_format_classification(lib_ok, tmp_path):
+    df = pd.DataFrame(np.ones((4, 3)), index=list("abcd"),
+                      columns=["0_0", "1_1", "2_2"])
+    df.index.name = "Gene"
+    foreign = tmp_path / "foreign.tsv.gz"
+    df.to_csv(foreign, sep="\t")
+    assert native.gzip_member_format(foreign) == "foreign"
+
+    nat = tmp_path / "native.tsv.gz"
+    assert native.write_tsv_matrix(nat, df.index, df.columns, df.values)
+    assert native.gzip_member_format(nat) == "native"
+
+    plain = tmp_path / "plain.tsv"
+    df.to_csv(plain, sep="\t")
+    assert native.gzip_member_format(plain) is None
+
+
+def test_migrate_on_read_rewrites_foreign_gz_value_exact(lib_ok, tmp_path):
+    """migrate=True converts a pandas-written cache to the parallel-
+    inflatable multi-member format IN PLACE, value-exactly -- including
+    non-integral float64s (%.17g round-trip) and the index name."""
+    rng = np.random.default_rng(5)
+    vals = rng.poisson(2, size=(20, 10)).astype(np.float64)
+    vals[3, 4] = 1.0 / 3.0                     # full-precision float
+    vals[7, 1] = 1e-17
+    df = pd.DataFrame(vals, index=[f"G{i}" for i in range(20)],
+                      columns=[f"{i}_{i}" for i in range(10)])
+    df.index.name = "Symbol"
+    path = tmp_path / "arr.unified.tsv.gz"
+    df.to_csv(path, sep="\t")
+    assert native.gzip_member_format(path) == "foreign"
+
+    rows, cols, values = native.read_tsv_matrix(path, migrate=True)
+    assert rows == list(df.index) and cols == list(df.columns)
+    np.testing.assert_array_equal(values, vals)
+
+    # the file is now native-framed, and BOTH readers see identical content
+    assert native.gzip_member_format(path) == "native"
+    df2 = pd.read_csv(path, header=0, index_col=0, sep="\t")
+    assert df2.index.name == "Symbol"
+    np.testing.assert_array_equal(df2.values, vals)
+    assert list(df2.index) == list(df.index)
+    r3, c3, v3 = native.read_tsv_matrix(path)
+    assert r3 == rows and c3 == cols
+    np.testing.assert_array_equal(v3, vals)
+
+    # migrate on an already-native file is a no-op (same bytes)
+    before = path.read_bytes()
+    native.read_tsv_matrix(path, migrate=True)
+    assert path.read_bytes() == before
+
+
+def test_count_frame_cache_migrates_foreign_cache(lib_ok, tmp_path,
+                                                  monkeypatch):
+    """The streaming count reader migrates foreign caches once (epoch 2+
+    reads inflate in parallel on multi-core hosts); GNX_CACHE_MIGRATE=0
+    opts out."""
+    from gridnext_tpu.data.datasets import _read_count_frame
+
+    df = pd.DataFrame(np.arange(12, dtype=np.float64).reshape(4, 3),
+                      index=list("abcd"), columns=["0_0", "1_1", "2_2"])
+    df.index.name = "Gene"
+
+    off = tmp_path / "off.unified.tsv.gz"
+    df.to_csv(off, sep="\t")
+    monkeypatch.setenv("GNX_CACHE_MIGRATE", "0")
+    got = _read_count_frame(str(off))
+    np.testing.assert_array_equal(got.values, df.values)
+    assert native.gzip_member_format(off) == "foreign"   # untouched
+
+    on = tmp_path / "on.unified.tsv.gz"
+    df.to_csv(on, sep="\t")
+    monkeypatch.delenv("GNX_CACHE_MIGRATE", raising=False)
+    got = _read_count_frame(str(on))
+    np.testing.assert_array_equal(got.values, df.values)
+    assert native.gzip_member_format(on) == "native"
+    # post-migration read still serves the same frame
+    got2 = _read_count_frame(str(on))
+    np.testing.assert_array_equal(got2.values, df.values)
+
+
 def test_unify_pipeline_uses_native(lib_ok, tmp_path):
     # end-to-end: prepare_count_files writes via native; datasets read it back
     from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
