@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import itertools
 import os
 import subprocess
 from pathlib import Path
@@ -30,6 +31,7 @@ import numpy as np
 
 _SRC = Path(__file__).with_name("fastio.cpp")
 _BUILD_DIR = Path(__file__).with_name("_build")
+_tmp_serial = itertools.count()
 
 _lib = None
 _lib_failed = False
@@ -114,8 +116,11 @@ def write_tsv_matrix(path, index, columns, values: np.ndarray,
         level = -1
     # write to a sibling tmp file and rename: a failed/interrupted write must
     # never leave a truncated cache at the final path (create_visium_dataset
-    # trusts existing caches)
-    tmp = str(path) + ".tmp"
+    # trusts existing caches). The tmp name is per-call unique so concurrent
+    # writers of the same path (e.g. two loader threads migrating one cache)
+    # can't interleave into each other's buffer; last replace wins, and both
+    # replacements carry identical content.
+    tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_serial)}"
     rc = lib.tsv_write_matrix(
         tmp.encode(), index_name.encode(), rows, cols,
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
