@@ -174,6 +174,11 @@ def main(argv=None):
 
         return jax.jit(run)
 
+    results = {"export_s": t_export, "blob_mb": len(blob) / 1e6,
+               "deserialize_s": t_load, "live_compile_s": t_live_compile,
+               "artifact_compile_s": t_art_compile,
+               "live_call_ms": float(np.median(live_times)) * 1e3,
+               "artifact_call_ms": float(np.median(art_times)) * 1e3}
     live_fn = chained(lambda w, a, b, c, d: reg._register(w, a, b, c, d))
     art_fn = chained(art)
     for name, fn in (("live", live_fn), ("artifact", art_fn)):
@@ -184,12 +189,13 @@ def main(argv=None):
             int(fn(wsi, jax.random.key(4 + i)))
             ts.append(time.perf_counter() - t0)
         per = min(ts) / args.repeats
+        results[f"chained_{name}_ms_slide"] = per * 1e3
         print(f"scan-chained {name}: {per * 1e3:.1f} ms/slide "
               f"({n_spots / per:,.0f} spots/s)", flush=True)
 
     # --- portable dual-platform export, served on CPU ----------------------
     if args.skip_portable:
-        return
+        return results
     # Pallas kernels lower for the current backend only; the portable unit
     # uses the pure-XLA extractor + corrector. Small shapes: the CPU side
     # must run in seconds.
@@ -241,6 +247,7 @@ def main(argv=None):
         print(r.stdout, end="", flush=True)
         if r.returncode:
             raise SystemExit(f"cpu subprocess failed ({r.returncode})")
+    return results
 
 
 if __name__ == "__main__":

@@ -335,6 +335,32 @@ def test_visium_hd_fullscale_smoke():
     assert r["train_ms_per_array"] > 0
 
 
+@pytest.mark.slow
+def test_scbert_pretrain_fullscale_smoke():
+    """The full-scale MLM pretraining machinery at reduced dims (full
+    16,906-token scale runs on the real TPU; ms/step in docs/roadmap.md)."""
+    import scbert_pretrain_fullscale
+
+    best = scbert_pretrain_fullscale.main(["--vocab", "256", "--depth", "2",
+                                           "--batch", "2",
+                                           "--timed-steps", "1"])
+    assert best > 0
+
+
+@pytest.mark.slow
+def test_artifact_timing_smoke():
+    """The deployment-artifact measurement machinery at reduced dims: the
+    export/reload path must reproduce the live labels exactly (asserted
+    inside) and report coherent timings (TPU numbers in docs/roadmap.md)."""
+    import artifact_timing
+
+    r = artifact_timing.main(["--small", "--skip-portable", "--calls", "1",
+                              "--repeats", "2"])
+    assert r["blob_mb"] > 0 and r["deserialize_s"] > 0
+    assert r["chained_live_ms_slide"] > 0
+    assert r["chained_artifact_ms_slide"] > 0
+
+
 def test_register_cv_floor():
     import register_cv
 
