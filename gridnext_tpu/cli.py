@@ -1229,6 +1229,11 @@ def _add_hd_args(s, corrector: str):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="gridnext_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--profile-dir", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the whole command "
+                         "into DIR (view with TensorBoard/xprof); goes "
+                         "BEFORE the subcommand: gridnext_tpu --profile-dir "
+                         "/tmp/tb train-count ...")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("simulate", help="fabricate pseudo-Visium data")
@@ -1389,7 +1394,15 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_serve_artifact)
 
     args = ap.parse_args(argv)
-    args.fn(args)
+    if args.profile_dir:
+        from gridnext_tpu.observability import profile_trace
+
+        with profile_trace(args.profile_dir):
+            args.fn(args)
+        print(f"profiler trace written to {args.profile_dir} "
+              "(tensorboard --logdir it, Profile tab)")
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

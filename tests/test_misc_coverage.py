@@ -166,6 +166,41 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode != 0 and "prepare" in (r.stderr + r.stdout)
 
 
+def test_cli_profile_dir(tmp_path):
+    """`--profile-dir` (global flag, before the subcommand) wraps the whole
+    command in a jax.profiler trace capture: the xplane protobuf must land
+    under DIR/plugins/profile/ for TensorBoard's Profile tab."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(*cli_args):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from gridnext_tpu.cli import main; import sys;"
+                "main(sys.argv[1:])")
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "2", "--classes", "3",
+            "--genes", "10")
+    assert r.returncode == 0, r.stderr
+    tb = tmp_path / "tb"
+    r = run("--profile-dir", str(tb), "train-count",
+            "--spaceranger", str(out / "a0"), str(out / "a1"),
+            "--annots", str(out / "a0" / "a0_annotations.csv"),
+            str(out / "a1" / "a1_annotations.csv"),
+            "--out", str(out / "model"), "--epochs", "1")
+    assert r.returncode == 0, r.stderr
+    traces = list(tb.glob("plugins/profile/*/*.xplane.pb"))
+    assert traces, f"no xplane trace under {tb}: {list(tb.rglob('*'))[:10]}"
+    assert "profiler trace written" in r.stdout
+
+
 def test_load_gene2vec_names_vendored():
     """The vendored vocabulary asset loads with no arguments (VERDICT #3)."""
     from gridnext_tpu.models.scbert import SCBERT_N_GENES, load_gene2vec_names
