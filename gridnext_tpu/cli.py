@@ -10,6 +10,11 @@ this thin layer scripts the common flows end to end:
   train-mm     train multimodal GridNetHexMM (count-f + image-f, concat;
                --count-f scbert swaps in a gene2vec-space scBERT count-f)
   register     load a trained checkpoint and write Loupe CSVs per array
+  evaluate     metrics for a trained model over annotated arrays (JSON:
+               acc / per-class + macro AUROC/AUPRC / confusion; --plots
+               renders the ROC/PR grid and confusion heatmap)
+  export       serialize a model's registration pipeline to StableHLO
+  serve-artifact  register slides from an exported artifact, model-free
 
 Example:
   python -m gridnext_tpu simulate --out /tmp/demo --arrays 4
@@ -1001,20 +1006,54 @@ def _cmd_serve_artifact(args):
     import numpy as np
 
     from gridnext_tpu.ingest import SlideSource
-    from gridnext_tpu.serving import (artifact_spot_inputs,
-                                      load_exported_registration)
+    from gridnext_tpu.serving import artifact_spot_inputs
 
+    if not os.path.exists(args.artifact):
+        sys.exit(f"error: artifact {args.artifact} not found")
     with open(args.artifact, "rb") as fh:
         blob = fh.read()
-    with open(args.artifact + ".json") as fh:
-        side = json.load(fh)
+    sidecar_path = args.artifact + ".json"
+    if not os.path.exists(sidecar_path):
+        sys.exit(f"error: {sidecar_path} not found -- the JSON sidecar "
+                 "written by `export` must travel with the artifact (it "
+                 "carries the spot-input geometry and class names)")
+    try:
+        with open(sidecar_path) as fh:
+            side = json.load(fh)
+    except json.JSONDecodeError as e:
+        sys.exit(f"error: {sidecar_path} is not valid JSON ({e})")
     dense = side.get("kind") == "dense"
+    required = {"classes", "h_st", "w_st", "wsi_shape", "window_px"}
+    required |= {"extent"} if dense else set()
+    missing = sorted(required - side.keys())
+    if missing:
+        sys.exit(f"error: {sidecar_path} is missing required fields "
+                 f"{missing} -- re-export the artifact (`export --model "
+                 "... --wsi-shape H W`)")
     if "n_spots" not in side and not dense:
         sys.exit("error: serve-artifact drives image-registration artifacts "
                  "(wsi -> labels); this sidecar has no n_spots -- count/MM "
                  "grid artifacts are plain functions of in-memory grids")
     _require_one_image_per_dir(args.images, args.spaceranger)
-    fn = load_exported_registration(blob)
+    try:
+        from jax import export as jexport
+
+        exported = jexport.deserialize(bytearray(blob))
+    except Exception as e:
+        sys.exit(f"error: {args.artifact} is not a jax.export StableHLO "
+                 f"artifact ({type(e).__name__}: {e})")
+    import jax
+
+    here = jax.default_backend()
+    platforms = [str(p).lower()
+                 for p in (getattr(exported, "platforms", None)
+                           or getattr(exported, "lowering_platforms", ()))]
+    if platforms and here not in platforms:
+        sys.exit(f"error: this artifact was exported for platforms "
+                 f"{platforms} but the current backend is {here!r} -- "
+                 "re-export with --platforms including it (pure-XLA "
+                 "artifacts only; Pallas paths are backend-specific)")
+    fn = exported.call
     hexc = side.get("hex_coords", True)
     source = SlideSource(args.images, args.spaceranger,
                          hd_binning=side.get("hd_binning"))
@@ -1171,6 +1210,319 @@ def _cmd_register(args):
         _write_loupe(label_grid, srd, args, classes,
                      hd_binning=meta.get("hd_binning"),
                      hex_coords=grid_dims is None)
+
+
+def _grid_model_from_meta(meta, classes):
+    """Grid (g) module for ANY trained model dir: count, image, or MM --
+    the shared construction behind `evaluate` (register's branches inline
+    the same choices; model.json is the single source of truth)."""
+    model_name = meta.get("model", "")
+    if model_name in ("GridNetHexMM", "GridNetMM"):
+        return _mm_model_from_meta(meta, classes)
+    from gridnext_tpu.models import CountMLP, GridNet, GridNetHex
+
+    square = meta.get("grid_dims") is not None
+    if model_name.endswith("TpuPatchClassifier"):
+        from gridnext_tpu.models import TpuPatchClassifier
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
+
+        f = TpuPatchClassifier(n_classes=len(classes),
+                               **tpu_f_arch_kwargs(meta.get("tpu_f")))
+        kw = {"patch_chunk": meta.get("patch_chunk", 624)}
+    elif model_name.endswith("DenseNet121"):
+        from gridnext_tpu.models import densenet121
+
+        f = densenet121(num_classes=len(classes))
+        kw = {"patch_chunk": meta.get("patch_chunk", 624)}
+    else:
+        f = CountMLP(n_classes=len(classes))
+        kw = {}
+    cls = GridNet if square else GridNetHex
+    return cls(patch_classifier=f, n_classes=len(classes), **kw)
+
+
+def _evaluate_one(model_dir, args):
+    """Foreground predictions of one trained model dir over the annotated
+    arrays: (model_name, classes, n_arrays, y_true, y_pred, smax)."""
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.evaluate import flatten_foreground
+
+    meta, classes, variables = _load_model_dir(model_dir)
+    model_name = meta.get("model", "")
+    hd_binning = meta.get("hd_binning")
+    grid_dims = meta.get("grid_dims")
+    mm = model_name in ("GridNetHexMM", "GridNetMM")
+    if mm and args.f_only:
+        # MM patch_predictions concat BOTH modalities' f outputs (2C
+        # channels, gridnet_models.py:235) -- not a per-class softmax
+        sys.exit("error: --f-only is ambiguous for multimodal models "
+                 "(patch predictions concatenate both modalities); "
+                 "evaluate the single-modality models instead")
+    use_image = mm or model_name.endswith(("DenseNet121",
+                                           "TpuPatchClassifier"))
+    use_count = mm or not use_image
+    if len(args.annots) != len(args.spaceranger):
+        sys.exit("error: need one --annots file per --spaceranger dir")
+    if use_image:
+        _require_one_image_per_dir(args.images, args.spaceranger)
+    if use_count:
+        for srd in args.spaceranger:
+            _validated_count_cache(srd, meta)
+
+    transform = None
+    if use_count:
+        if meta.get("count_f") == "scbert":
+            transform, _ = _scbert_count_transform(
+                args.spaceranger, hd_binning, meta["scbert_vocab"])
+        elif meta.get("log1p"):
+            transform = np.log1p
+
+    if meta.get("dense_ingest") and use_image and grid_dims:
+        # dense-ingest HD model: tile patch grids off the slides directly
+        # (no per-bin cache), labels ride the image grids
+        from gridnext_tpu.data import DenseWSIGridDataset
+        from gridnext_tpu.data.datasets import MMStackDataset
+
+        ds = DenseWSIGridDataset(args.images, args.spaceranger, args.annots,
+                                 patch_size=meta.get("patch_px", 128),
+                                 hd_binning=hd_binning,
+                                 grid_dims=tuple(grid_dims))
+        if mm:
+            cnt = create_visium_dataset(
+                args.spaceranger, spatial=True, use_count=True,
+                use_image=False, annot_files=args.annots,
+                hd_binning=hd_binning, grid_dims=tuple(grid_dims),
+                minimum_detection_rate=None)
+            ds = MMStackDataset(ds, cnt)
+    else:
+        kw = dict(annot_files=args.annots, hd_binning=hd_binning,
+                  grid_dims=tuple(grid_dims) if grid_dims else None,
+                  minimum_detection_rate=None)
+        if use_image:
+            kw.update(fullres_image_files=args.images,
+                      patch_size_px=meta.get("patch_px", 128),
+                      window_size_px=meta.get("window_px"))
+        ds = create_visium_dataset(args.spaceranger, spatial=True,
+                                   use_count=use_count, use_image=use_image,
+                                   **kw)
+
+    # the eval cohort's label encoding (alphanumeric over ITS annotation
+    # union) must be remapped onto the model's training classes
+    ds_classes = [] if ds.classes is None else [str(c) for c in ds.classes]
+    unseen = [c for c in ds_classes if c not in classes]
+    if unseen:
+        sys.exit(f"error: annotations contain classes the model never "
+                 f"trained on: {unseen} (model classes: {classes})")
+    lut = np.zeros(len(ds_classes) + 1, np.int64)
+    for i, name in enumerate(ds_classes):
+        lut[i + 1] = classes.index(name) + 1
+
+    g = _grid_model_from_meta(meta, classes)
+    method = "patch_predictions" if args.f_only else None
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(x):
+        if method:
+            return g.apply(variables, x, train=False, method=method)
+        return g.apply(variables, x, train=False)
+
+    trues, preds, smaxes, grids = [], [], [], []
+    for i in range(len(ds)):
+        x, y = ds[i]
+        y = lut[np.asarray(y).astype(np.int64)]
+        if mm:
+            xi, xc = x
+            if transform is not None:
+                xc = transform(np.asarray(xc))
+            x = (np.asarray(xi)[None], np.asarray(xc)[None])
+        else:
+            x = np.asarray(x)
+            if transform is not None:
+                x = transform(x)
+            x = x[None]
+        logits = np.asarray(forward(x))[0]                  # (H, W, C)
+        smax_grid = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        flat, y_fg = flatten_foreground(smax_grid, y)
+        trues.append(y_fg)
+        preds.append(np.argmax(flat, axis=1))
+        smaxes.append(flat)
+        if getattr(args, "maps", None):
+            grids.append((y, smax_grid))
+    y_true = np.concatenate(trues)
+    y_pred = np.concatenate(preds)
+    smax = np.concatenate(smaxes)
+    if not len(y_true):
+        sys.exit("error: no annotated foreground spots to evaluate")
+    names = [os.path.basename(s.rstrip("/")) for s in args.spaceranger]
+    return (model_name, classes, len(ds), y_true, y_pred, smax,
+            {"grids": grids, "names": names, "hex": grid_dims is None})
+
+
+def _fgd_metrics(model_name, classes, n_arrays, y_true, y_pred, smax,
+                 f_only=False):
+    """Foreground-prediction metrics dict: accuracy, per-class + macro
+    AUROC/AUPRC, sklearn report, confusion counts."""
+    import numpy as np
+    from sklearn.metrics import (average_precision_score,
+                                 classification_report, confusion_matrix,
+                                 roc_auc_score)
+
+    n_c = len(classes)
+    auroc, auprc = {}, {}
+    for c in range(n_c):
+        pos = y_true == c
+        if pos.any() and not pos.all():
+            auroc[classes[c]] = float(roc_auc_score(pos, smax[:, c]))
+            auprc[classes[c]] = float(average_precision_score(pos,
+                                                              smax[:, c]))
+        else:                                   # class absent (or alone)
+            auroc[classes[c]] = auprc[classes[c]] = None
+    present_roc = [v for v in auroc.values() if v is not None]
+    present_pr = [v for v in auprc.values() if v is not None]
+    return {
+        "model": model_name, "classes": list(classes), "f_only": bool(f_only),
+        "n_arrays": n_arrays, "n_foreground_spots": int(len(y_true)),
+        "accuracy": float((y_true == y_pred).mean()),
+        "macro_auroc": (float(np.mean(present_roc)) if present_roc
+                        else None),
+        "macro_auprc": (float(np.mean(present_pr)) if present_pr else None),
+        "auroc_per_class": auroc, "auprc_per_class": auprc,
+        "report": classification_report(
+            y_true, y_pred, labels=list(range(n_c)), target_names=classes,
+            output_dict=True, zero_division=0),
+        "confusion": confusion_matrix(
+            y_true, y_pred, labels=list(range(n_c))).tolist(),
+    }
+
+
+def _save_eval_maps(maps_dir, names, grids, classes, hex_coords):
+    """Per-array figures: true/predicted label maps (hex-aware scatter)
+    and the misclassification-density heatmap (plotting.misclass_density,
+    the reference's plotting.py:138-149 view)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+    from matplotlib import pyplot as plt
+
+    from gridnext_tpu.plotting import misclass_density, plot_label_tensor
+
+    os.makedirs(maps_dir, exist_ok=True)
+    for name, (true_grid, smax_grid) in zip(names, grids):
+        pred_grid = (np.argmax(smax_grid, -1) + 1) * (true_grid > 0)
+        for tag, grid in (("true", true_grid), ("pred", pred_grid)):
+            fig, ax = plt.subplots(figsize=(10, 8))
+            plot_label_tensor(grid, class_names=classes, Visium=hex_coords,
+                              ax=ax)
+            fig.savefig(os.path.join(maps_dir, f"{name}_{tag}.png"),
+                        dpi=120, bbox_inches="tight")
+            plt.close(fig)
+        fig, ax = plt.subplots(figsize=(10, 8))
+        im = ax.imshow(misclass_density(smax_grid, true_grid),
+                       cmap="magma", vmin=0.0, vmax=1.0)
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, shrink=0.8, label="1 - p(true class)")
+        fig.savefig(os.path.join(maps_dir, f"{name}_misclass.png"),
+                    dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    print(f"label/misclass maps -> {maps_dir} ({len(names)} arrays x 3)")
+
+
+def _save_eval_plots(plots_dir, y_true, y_pred, smax, classes, prefix=""):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from gridnext_tpu.plotting import performance_curves, plot_confusion
+
+    os.makedirs(plots_dir, exist_ok=True)
+    fig, _, _, _ = performance_curves(y_true, smax, class_names=classes)
+    fig.savefig(os.path.join(plots_dir, f"{prefix}curves.png"), dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+    fig, _ = plot_confusion(y_true, y_pred, class_names=classes)
+    fig.savefig(os.path.join(plots_dir, f"{prefix}confusion.png"), dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+    print(f"figures -> {plots_dir}/{prefix}curves.png, {prefix}confusion.png")
+
+
+def _cmd_evaluate(args):
+    """Metrics for trained model(s) over ANNOTATED arrays: foreground
+    accuracy, per-class + macro AUROC/AUPRC, precision/recall report, and
+    confusion matrix -> JSON (optionally ROC/PR + confusion figures).
+
+    One command for the notebooks' post-hoc evaluation flow
+    (all_fgd_predictions -> plotting.py:14-134); works for every model
+    family register serves (count / image / MM, hex or square-HD lattices,
+    dense-ingest HD models included). With MULTIPLE --model dirs it also
+    scores their cross-modality consensus (mean softmax -> argmax), the
+    register_pca.ipynb 'consensus(g_pca+g_img)' workflow
+    (evaluate.consensus_softmax)."""
+    import numpy as np
+
+    per_model = [_evaluate_one(m, args) for m in args.model]
+    if len(per_model) == 1:
+        model_name, classes, n_arrays, y_true, y_pred, smax, extra \
+            = per_model[0]
+        metrics = _fgd_metrics(model_name, classes, n_arrays, y_true,
+                               y_pred, smax, f_only=args.f_only)
+        if args.plots:
+            _save_eval_plots(args.plots, y_true, y_pred, smax, classes)
+        if args.maps:
+            _save_eval_maps(args.maps, extra["names"], extra["grids"],
+                            classes, extra["hex"])
+    else:
+        base = per_model[0]
+        for other in per_model[1:]:
+            if list(other[1]) != list(base[1]):
+                sys.exit(f"error: models disagree on classes: {other[1]} "
+                         f"vs {base[1]} -- consensus needs a shared label "
+                         "space")
+            if not np.array_equal(other[3], base[3]):
+                sys.exit("error: models disagree on the foreground truth "
+                         "vector; evaluate them over the same arrays and "
+                         "annotations")
+        classes, y_true = base[1], base[3]
+        from gridnext_tpu.evaluate import consensus_softmax
+
+        smax_c = consensus_softmax([pm[5] for pm in per_model])
+        pred_c = np.argmax(smax_c, axis=1)
+        metrics = {
+            "models": {m: _fgd_metrics(pm[0], classes, pm[2], pm[3], pm[4],
+                                       pm[5], f_only=args.f_only)
+                       for m, pm in zip(args.model, per_model)},
+            "consensus": _fgd_metrics(
+                "consensus(" + "+".join(pm[0] for pm in per_model) + ")",
+                classes, base[2], y_true, pred_c, smax_c,
+                f_only=args.f_only),
+        }
+        if args.plots:
+            _save_eval_plots(args.plots, y_true, pred_c, smax_c, classes,
+                             prefix="consensus_")
+        if args.maps:
+            # consensus maps: same true grids, mean softmax across models
+            extras = [pm[6] for pm in per_model]
+            grids = [(t, np.mean([e["grids"][i][1] for e in extras], axis=0))
+                     for i, (t, _) in enumerate(extras[0]["grids"])]
+            _save_eval_maps(args.maps, extras[0]["names"], grids, classes,
+                            extras[0]["hex"])
+
+    with open(args.out, "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    for label, m in ([("", metrics)] if len(per_model) == 1 else
+                     [(f"[{k}] ", v) for k, v in metrics["models"].items()]
+                     + [("[consensus] ", metrics["consensus"])]):
+        print(f"{label}{m['n_foreground_spots']} foreground spots over "
+              f"{m['n_arrays']} arrays: acc {m['accuracy']:.4f}, "
+              f"mAUROC {m['macro_auroc']}, mAUPRC {m['macro_auprc']}")
+    print(f"metrics -> {args.out}")
 
 
 def _add_image_train_args(s):
@@ -1349,6 +1701,35 @@ def main(argv=None):
                         "shards over every mesh axis, features all-gather "
                         "over ICI, labels identical to single-device")
     s.set_defaults(fn=_cmd_register)
+
+    s = sub.add_parser(
+        "evaluate",
+        help="metrics (acc / AUROC / AUPRC / confusion) for a trained "
+             "model over annotated arrays")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True,
+                   help="Loupe annotation CSVs, one per array (the ground "
+                        "truth)")
+    s.add_argument("--model", nargs="+", required=True,
+                   help="trained model dir(s); several dirs also score "
+                        "their cross-modality consensus (mean softmax, the "
+                        "register_pca.ipynb workflow)")
+    s.add_argument("--out", required=True, help="metrics JSON path")
+    s.add_argument("--images", nargs="*", default=None,
+                   help="fullres slide images (required for image/MM "
+                        "models)")
+    s.add_argument("--plots", default=None, metavar="DIR",
+                   help="also render ROC/PR curve grid + confusion heatmap "
+                        "PNGs into DIR")
+    s.add_argument("--maps", default=None, metavar="DIR",
+                   help="also render per-array true/predicted label maps "
+                        "and misclassification-density heatmaps into DIR "
+                        "(consensus maps when several models are given)")
+    s.add_argument("--f-only", action="store_true",
+                   help="evaluate the spot classifier f alone "
+                        "(patch_predictions) instead of the corrected grid "
+                        "-- the reference's f_only flag (utils.py:33-36)")
+    s.set_defaults(fn=_cmd_evaluate)
 
     s = sub.add_parser(
         "export",

@@ -134,6 +134,21 @@ def test_cli_dense_ingest_train_register(tmp_path):
     df = pd.read_csv(tmp_path / "loupe.csv")
     assert len(df) == int((sims[0]["label_grid"] > 0).sum())
 
+    # evaluate on the dense-ingest model: the metrics command must route
+    # the image grids through the same cache-free tiling path
+    try:
+        sys.argv = (["x", "evaluate", "--model", str(tmp_path / "model"),
+                     "--spaceranger"] + dirs +
+                    ["--annots"] + [s["annot_file"] for s in sims] +
+                    ["--images"] + [s["image_file"] for s in sims] +
+                    ["--out", str(tmp_path / "metrics.json")])
+        cli.main()
+    finally:
+        sys.argv = argv_bak
+    m = json.loads((tmp_path / "metrics.json").read_text())
+    assert 0.0 <= m["accuracy"] <= 1.0 and m["n_arrays"] == 2
+    assert sum(sum(r) for r in m["confusion"]) == m["n_foreground_spots"]
+
     # dense deployment artifact: export --dense fits the lattice from the
     # sample array; serve-artifact re-fits per slide and must reproduce the
     # register CSV exactly (same dense algorithm end to end)

@@ -454,6 +454,36 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     assert len(df2) == int((np.asarray(want) > 0).sum())
     assert set(df2["AARs"]) <= set(sidecar["classes"])
 
+    # hardening: broken deployment inputs exit with ACTIONABLE messages
+    # before any slide decodes (not tracebacks mid-loop)
+    import pytest
+
+    def serve(artifact):
+        sys.argv = ["x", "serve-artifact", "--artifact", str(artifact),
+                    "--spaceranger", dirs[0], "--images", imgs[0],
+                    "--out", str(tmp_path / "x.csv")]
+        try:
+            cli.main()
+        finally:
+            sys.argv = argv_bak
+
+    orphan = tmp_path / "orphan.stablehlo"
+    orphan.write_bytes(art.read_bytes())
+    with pytest.raises(SystemExit, match="sidecar"):
+        serve(orphan)                                   # sidecar missing
+    (tmp_path / "orphan.stablehlo.json").write_text("{not json")
+    with pytest.raises(SystemExit, match="not valid JSON"):
+        serve(orphan)                                   # sidecar corrupt
+    (tmp_path / "orphan.stablehlo.json").write_text('{"classes": []}')
+    with pytest.raises(SystemExit, match="missing required fields"):
+        serve(orphan)                                   # schema incomplete
+    bogus = tmp_path / "bogus.stablehlo"
+    bogus.write_bytes(b"not an artifact")
+    (tmp_path / "bogus.stablehlo.json").write_text(
+        _json.dumps(sidecar))                           # valid sidecar...
+    with pytest.raises(SystemExit, match="jax.export"):
+        serve(bogus)                                    # ...garbage blob
+
 
 def test_hd_square_binning_rejected_for_grids(tmp_path):
     """Square-binned HD positions must fail loudly at the factory, not

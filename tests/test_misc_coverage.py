@@ -166,6 +166,76 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode != 0 and "prepare" in (r.stderr + r.stdout)
 
 
+def test_cli_evaluate_count(tmp_path):
+    """`evaluate`: metrics JSON + figures for a trained count model, and
+    the --f-only flag (the reference's utils.py:33-36 switch)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(*cli_args):
+        code = ("import jax; jax.config.update('jax_platforms','cpu');"
+                "from gridnext_tpu.cli import main; import sys;"
+                "main(sys.argv[1:])")
+        return subprocess.run([sys.executable, "-c", code, *cli_args],
+                              capture_output=True, text=True, env=env)
+
+    out = tmp_path / "demo"
+    r = run("simulate", "--out", str(out), "--arrays", "2", "--classes", "3",
+            "--genes", "15")
+    assert r.returncode == 0, r.stderr
+    annots = [str(out / a / f"{a}_annotations.csv") for a in ("a0", "a1")]
+    dirs = [str(out / a) for a in ("a0", "a1")]
+    r = run("train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(out / "model"), "--epochs", "2")
+    assert r.returncode == 0, r.stderr
+
+    r = run("evaluate", "--spaceranger", *dirs, "--annots", *annots,
+            "--model", str(out / "model"), "--out", str(out / "m.json"),
+            "--plots", str(out / "plots"), "--maps", str(out / "maps"))
+    assert r.returncode == 0, r.stderr
+    m = json.loads((out / "m.json").read_text())
+    assert 0.0 <= m["accuracy"] <= 1.0 and m["n_arrays"] == 2
+    assert set(m["auroc_per_class"]) == set(m["classes"])
+    assert sum(sum(r_) for r_ in m["confusion"]) == m["n_foreground_spots"]
+    assert (out / "plots" / "curves.png").exists()
+    assert (out / "plots" / "confusion.png").exists()
+    for a in ("a0", "a1"):                      # per-array label/density maps
+        for tag in ("true", "pred", "misclass"):
+            assert (out / "maps" / f"{a}_{tag}.png").exists()
+
+    # f-only: the spot classifier without spatial correction -- a DIFFERENT
+    # (typically worse) score from the same checkpoint
+    r = run("evaluate", "--spaceranger", *dirs, "--annots", *annots,
+            "--model", str(out / "model"), "--out", str(out / "mf.json"),
+            "--f-only")
+    assert r.returncode == 0, r.stderr
+    mf = json.loads((out / "mf.json").read_text())
+    assert mf["f_only"] is True
+    assert mf["n_foreground_spots"] == m["n_foreground_spots"]
+
+    # multi-model consensus (register_pca.ipynb's consensus_softmax flow):
+    # mean softmax of N models -> per-model + consensus metric blocks
+    r = run("train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(out / "model2"), "--epochs", "1",
+            "--split-seed", "1")
+    assert r.returncode == 0, r.stderr
+    r = run("evaluate", "--spaceranger", *dirs, "--annots", *annots,
+            "--model", str(out / "model"), str(out / "model2"),
+            "--out", str(out / "mc.json"))
+    assert r.returncode == 0, r.stderr
+    mc = json.loads((out / "mc.json").read_text())
+    assert set(mc) == {"models", "consensus"} and len(mc["models"]) == 2
+    assert mc["consensus"]["model"].startswith("consensus(")
+    assert (mc["consensus"]["n_foreground_spots"]
+            == m["n_foreground_spots"])
+
+
 def test_cli_profile_dir(tmp_path):
     """`--profile-dir` (global flag, before the subcommand) wraps the whole
     command in a jax.profiler trace capture: the xplane protobuf must land
