@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--bin-num", type=int, default=5)
     ap.add_argument("--mask-prob", type=float, default=0.15)
     ap.add_argument("--timed-steps", type=int, default=3)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute (params stay f32)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,14 +48,15 @@ def main(argv=None):
     mask_id = args.bin_num + 1
     print(f"PerformerLM(num_tokens={args.bin_num + 2}, "
           f"seq_len={args.vocab}, dim=200, depth={args.depth}, heads=10, "
-          f"remat, generalized features), batch={args.batch}, "
-          f"mask_prob={args.mask_prob} on {jax.devices()[0].device_kind}",
-          flush=True)
+          f"remat, generalized features{', bf16' if args.bf16 else ''}), "
+          f"batch={args.batch}, mask_prob={args.mask_prob} on "
+          f"{jax.devices()[0].device_kind}", flush=True)
 
     lm = PerformerLM(num_tokens=args.bin_num + 2,
                      max_seq_len=args.vocab + 1,   # scBERT appends 1 token
                      dim=200, depth=args.depth, heads=10, remat=True,
-                     generalized_attention=True)
+                     generalized_attention=True,
+                     dtype=jnp.bfloat16 if args.bf16 else None)
 
     def make_batch(key):
         kt, km = jax.random.split(key)

@@ -1023,6 +1023,13 @@ def _cmd_serve_artifact(args):
     except json.JSONDecodeError as e:
         sys.exit(f"error: {sidecar_path} is not valid JSON ({e})")
     dense = side.get("kind") == "dense"
+    if "n_spots" not in side and not dense:
+        # check FIRST: count/MM grid sidecars legitimately lack the image
+        # fields below, and "re-export with --wsi-shape" would be wrong
+        # advice for them
+        sys.exit("error: serve-artifact drives image-registration artifacts "
+                 "(wsi -> labels); this sidecar has no n_spots -- count/MM "
+                 "grid artifacts are plain functions of in-memory grids")
     required = {"classes", "h_st", "w_st", "wsi_shape", "window_px"}
     required |= {"extent"} if dense else set()
     missing = sorted(required - side.keys())
@@ -1030,10 +1037,6 @@ def _cmd_serve_artifact(args):
         sys.exit(f"error: {sidecar_path} is missing required fields "
                  f"{missing} -- re-export the artifact (`export --model "
                  "... --wsi-shape H W`)")
-    if "n_spots" not in side and not dense:
-        sys.exit("error: serve-artifact drives image-registration artifacts "
-                 "(wsi -> labels); this sidecar has no n_spots -- count/MM "
-                 "grid artifacts are plain functions of in-memory grids")
     _require_one_image_per_dir(args.images, args.spaceranger)
     try:
         from jax import export as jexport
@@ -1045,10 +1048,13 @@ def _cmd_serve_artifact(args):
     import jax
 
     here = jax.default_backend()
+    # jax.export records lowering platforms ('cuda'/'rocm'), while
+    # default_backend() says 'gpu' -- accept either spelling
+    accept = {here} | ({"cuda", "rocm"} if here == "gpu" else set())
     platforms = [str(p).lower()
                  for p in (getattr(exported, "platforms", None)
                            or getattr(exported, "lowering_platforms", ()))]
-    if platforms and here not in platforms:
+    if platforms and not accept & set(platforms):
         sys.exit(f"error: this artifact was exported for platforms "
                  f"{platforms} but the current backend is {here!r} -- "
                  "re-export with --platforms including it (pure-XLA "
@@ -1247,7 +1253,7 @@ def _evaluate_one(model_dir, args):
     import numpy as np
 
     from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.evaluate import flatten_foreground
+    from gridnext_tpu.evaluate import all_fgd_predictions
 
     meta, classes, variables = _load_model_dir(model_dir)
     model_name = meta.get("model", "")
@@ -1320,17 +1326,6 @@ def _evaluate_one(model_dir, args):
         lut[i + 1] = classes.index(name) + 1
 
     g = _grid_model_from_meta(meta, classes)
-    method = "patch_predictions" if args.f_only else None
-
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def forward(x):
-        if method:
-            return g.apply(variables, x, train=False, method=method)
-        return g.apply(variables, x, train=False)
-
     trues, preds, smaxes, grids = [], [], [], []
     for i in range(len(ds)):
         x, y = ds[i]
@@ -1345,20 +1340,24 @@ def _evaluate_one(model_dir, args):
             if transform is not None:
                 x = transform(x)
             x = x[None]
-        logits = np.asarray(forward(x))[0]                  # (H, W, C)
-        smax_grid = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
-        flat, y_fg = flatten_foreground(smax_grid, y)
-        trues.append(y_fg)
-        preds.append(np.argmax(flat, axis=1))
-        smaxes.append(flat)
+        t, p, s, gr = all_fgd_predictions((x, y[None]), g, variables,
+                                          f_only=args.f_only,
+                                          return_grids=True)
+        trues.append(t)
+        preds.append(p)
+        smaxes.append(s)
         if getattr(args, "maps", None):
-            grids.append((y, smax_grid))
+            grids.extend(gr)
     y_true = np.concatenate(trues)
     y_pred = np.concatenate(preds)
     smax = np.concatenate(smaxes)
     if not len(y_true):
         sys.exit("error: no annotated foreground spots to evaluate")
     names = [os.path.basename(s.rstrip("/")) for s in args.spaceranger]
+    if len(set(names)) < len(names):
+        # standard Spaceranger layouts often name every dir 'outs' --
+        # index-prefix so per-array map files can't overwrite each other
+        names = [f"{i:02d}_{n}" for i, n in enumerate(names)]
     return (model_name, classes, len(ds), y_true, y_pred, smax,
             {"grids": grids, "names": names, "hex": grid_dims is None})
 

@@ -84,7 +84,22 @@ def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
     The mtime/size key makes in-process regeneration of a unified file
     (e.g. prepare with a different detection-rate filter) invalidate the
     cached frame instead of serving stale data.
+
+    Migrate-on-first-read: a foreign (pandas-fallback-written) gzip cache
+    is value-exactly rewritten in the native multi-member format BEFORE
+    the stat, so the cached parse reads (and keys on) the migrated file
+    and every later epoch's read inflates across the thread pool
+    (GNX_CACHE_MIGRATE=0 opts out). Gated to OUR ``.unified*.tsv.gz``
+    cache artifacts by name -- user-authored count files (arbitrary TSVs
+    through CountGridDataset/workflows) are never rewritten.
     """
+    if (cfile_delim == "\t"
+            and ".unified" in os.path.basename(count_file)
+            and str(count_file).endswith(".tsv.gz")
+            and os.environ.get("GNX_CACHE_MIGRATE", "1") != "0"):
+        from gridnext_tpu import native
+
+        native.migrate_tsv_gz(count_file)
     st = os.stat(count_file)
     return _read_count_frame_cached(count_file, cfile_delim,
                                     st.st_mtime_ns, st.st_size)
@@ -98,13 +113,7 @@ def _read_count_frame_cached(count_file: str, cfile_delim: str,
     if cfile_delim == "\t":
         from gridnext_tpu import native
 
-        # Migrate-on-first-read: a foreign (pandas-fallback-written) gzip
-        # cache is value-exactly rewritten in the native multi-member
-        # format, so every later epoch's read inflates across the thread
-        # pool instead of serially (GNX_CACHE_MIGRATE=0 opts out). Own
-        # cache artifact by contract -- user inputs never pass through here.
-        migrate = os.environ.get("GNX_CACHE_MIGRATE", "1") != "0"
-        frame = native.read_tsv_dataframe(count_file, migrate=migrate)
+        frame = native.read_tsv_dataframe(count_file)
         if frame is not None:
             return frame
     return pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)

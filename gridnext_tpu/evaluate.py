@@ -15,7 +15,7 @@ import numpy as np
 
 
 def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
-                        batch_size: int = 1):
+                        batch_size: int = 1, return_grids: bool = False):
     """Run a grid model over a dataset and collect foreground predictions.
 
     Args:
@@ -25,10 +25,14 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
       variables: flax variables for ``model``.
       f_only: use ``patch_predictions`` (f outputs) instead of the corrected
         grid, like the reference's flag (utils.py:33-36).
+      return_grids: also return the per-array ``(label_grid, softmax_grid)``
+        pairs (unflattened, (H, W) / (H, W, C)) -- the inputs of the label-map
+        and misclass-density figures (CLI ``evaluate --maps``).
 
     Returns:
       (y_true, y_pred, y_smax): int labels in [0, N), argmax predictions and
-      softmax matrices, flattened over all foreground spots of all arrays.
+      softmax matrices, flattened over all foreground spots of all arrays;
+      plus the grid list when ``return_grids``.
     """
     inputs, labels = data
     multi = isinstance(inputs, (tuple, list))
@@ -54,7 +58,7 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
         pad = np.repeat(a[-1:], batch_size - b, axis=0)
         return jnp.asarray(np.concatenate([a, pad], axis=0))
 
-    true_vals, pred_vals, pred_smax = [], [], []
+    true_vals, pred_vals, pred_smax, grids = [], [], [], []
     for i in range(0, n, batch_size):
         b = min(batch_size, n - i)
         if multi:
@@ -64,6 +68,9 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
         y = np.asarray(labels)[i:i + b]
 
         logits = np.asarray(forward(x))[:b]             # (b, H, W, C)
+        if return_grids:
+            smax_b = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+            grids.extend((y[j], smax_b[j]) for j in range(b))
         logits = logits.reshape(-1, logits.shape[-1])
         y = y.reshape(-1)
         fg = y > 0
@@ -74,8 +81,9 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
         pred_vals.append(np.argmax(logits, axis=1))
         pred_smax.append(np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1)))
 
-    return (np.concatenate(true_vals), np.concatenate(pred_vals),
-            np.concatenate(pred_smax))
+    out = (np.concatenate(true_vals), np.concatenate(pred_vals),
+           np.concatenate(pred_smax))
+    return out + (grids,) if return_grids else out
 
 
 def consensus_softmax(smax_list: Sequence[np.ndarray]) -> np.ndarray:

@@ -93,6 +93,26 @@ def _char_array(strings: Sequence[str]):
     return arr, enc  # keep enc alive
 
 
+_STALE_TMP_S = 600
+
+
+def _sweep_stale_tmps(path):
+    """Unlink abandoned ``X.tmp.<pid>.<n>`` siblings of ``path`` older than
+    ten minutes: hard-killed writers leak their uniquely-named tmp, and
+    nothing else ever removes it. The age bound keeps a CONCURRENT writer's
+    live tmp safe (its write completes in seconds, not minutes)."""
+    import glob
+    import time
+
+    now = time.time()
+    for p in glob.glob(f"{path}.tmp.*"):
+        try:
+            if now - os.path.getmtime(p) > _STALE_TMP_S:
+                os.remove(p)
+        except OSError:
+            pass
+
+
 def write_tsv_matrix(path, index, columns, values: np.ndarray,
                      index_name: str = "Gene", gzip_level: Optional[int] = 1,
                      force_int: bool = False) -> bool:
@@ -121,6 +141,7 @@ def write_tsv_matrix(path, index, columns, values: np.ndarray,
     # can't interleave into each other's buffer; last replace wins, and both
     # replacements carry identical content.
     tmp = f"{path}.tmp.{os.getpid()}.{next(_tmp_serial)}"
+    _sweep_stale_tmps(path)
     rc = lib.tsv_write_matrix(
         tmp.encode(), index_name.encode(), rows, cols,
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -156,6 +177,23 @@ def gzip_member_format(path) -> Optional[str]:
             return "native"
         i += 4 + slen
     return "foreign"
+
+
+def migrate_tsv_gz(path) -> bool:
+    """Rewrite a FOREIGN (single-member) .tsv.gz in the native multi-member
+    format, value-exactly (see :func:`read_tsv_matrix`'s ``migrate``). A
+    no-op (False) when the file is already native-framed, not gzip, or the
+    native codec / write permission is unavailable. Call this BEFORE any
+    mtime-keyed caching of the parse, so the cache keys on the migrated
+    file. Only for OWN cache artifacts -- never user-authored inputs."""
+    try:
+        if (not str(path).endswith(".gz") or not available()
+                or gzip_member_format(path) != "foreign"
+                or not os.access(str(path), os.W_OK)):
+            return False
+        return read_tsv_matrix(path, migrate=True) is not None
+    except Exception:
+        return False                              # best-effort, never raise
 
 
 def read_tsv_matrix(path, migrate: bool = False

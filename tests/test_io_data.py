@@ -475,6 +475,10 @@ def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     with pytest.raises(SystemExit, match="not valid JSON"):
         serve(orphan)                                   # sidecar corrupt
     (tmp_path / "orphan.stablehlo.json").write_text('{"classes": []}')
+    with pytest.raises(SystemExit, match="no n_spots"):
+        serve(orphan)              # count/MM-grid sidecar: dedicated message
+    (tmp_path / "orphan.stablehlo.json").write_text(
+        '{"classes": [], "n_spots": 256}')
     with pytest.raises(SystemExit, match="missing required fields"):
         serve(orphan)                                   # schema incomplete
     bogus = tmp_path / "bogus.stablehlo"

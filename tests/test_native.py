@@ -188,6 +188,34 @@ def test_count_frame_cache_migrates_foreign_cache(lib_ok, tmp_path,
     got2 = _read_count_frame(str(on))
     np.testing.assert_array_equal(got2.values, df.values)
 
+    # USER-authored count files (no .unified in the name) are never
+    # rewritten -- migration is gated to our own cache artifacts
+    user = tmp_path / "my_counts.tsv.gz"
+    df.to_csv(user, sep="\t")
+    got = _read_count_frame(str(user))
+    np.testing.assert_array_equal(got.values, df.values)
+    assert native.gzip_member_format(user) == "foreign"
+
+
+def test_stale_tmp_sweep(lib_ok, tmp_path):
+    """Hard-killed writers leak uniquely-named tmps; the next write sweeps
+    siblings older than the stale bound but spares fresh (possibly live)
+    ones."""
+    import os
+    import time
+
+    df = pd.DataFrame(np.ones((3, 2)), index=list("abc"),
+                      columns=["0_0", "1_1"])
+    path = tmp_path / "arr.unified.tsv.gz"
+    stale = tmp_path / "arr.unified.tsv.gz.tmp.123.0"
+    fresh = tmp_path / "arr.unified.tsv.gz.tmp.456.0"
+    stale.write_bytes(b"dead")
+    fresh.write_bytes(b"live")
+    old = time.time() - native._STALE_TMP_S - 60
+    os.utime(stale, (old, old))
+    assert native.write_tsv_matrix(path, df.index, df.columns, df.values)
+    assert not stale.exists() and fresh.exists() and path.exists()
+
 
 def test_unify_pipeline_uses_native(lib_ok, tmp_path):
     # end-to-end: prepare_count_files writes via native; datasets read it back

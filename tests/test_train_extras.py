@@ -349,6 +349,21 @@ def test_all_fgd_predictions_remainder_batch():
     for a, b in zip(ref, out):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
+    # return_grids: unflattened per-array (label, softmax) pairs whose
+    # foreground flattening reproduces the flat outputs exactly -- and the
+    # remainder-batch PAD rows must not leak extra grids
+    *out2, grids = all_fgd_predictions((X, Y), g, variables, batch_size=2,
+                                       return_grids=True)
+    for a, b in zip(out, out2):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert len(grids) == 3
+    from gridnext_tpu.evaluate import flatten_foreground
+
+    flat_s, flat_t = zip(*(flatten_foreground(s, y) for y, s in grids))
+    np.testing.assert_allclose(np.concatenate(flat_s), out2[2],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.concatenate(flat_t), out2[0])
+
 
 def test_count_frame_cache_invalidates_on_rewrite(tmp_path):
     import gzip

@@ -112,6 +112,23 @@ def test_cli_train_mm_register_end_to_end(tmp_path):
     assert len(got) == len(df)
     assert Counter(got) == Counter(df["AARs"])
 
+    # evaluate on the MM model: metrics JSON over both modalities; --f-only
+    # must refuse (MM patch predictions concat both modalities' outputs)
+    try:
+        sys.argv = (["x", "evaluate", "--model", str(tmp_path / "model"),
+                     "--spaceranger"] + dirs + ["--annots"] + annots +
+                    ["--images"] + imgs +
+                    ["--out", str(tmp_path / "mm_metrics.json")])
+        cli.main()
+        sys.argv = sys.argv + ["--f-only"]
+        with pytest.raises(SystemExit, match="multimodal"):
+            cli.main()
+    finally:
+        sys.argv = argv_bak
+    m = json.loads((tmp_path / "mm_metrics.json").read_text())
+    assert m["model"] == "GridNetHexMM" and m["n_arrays"] == 2
+    assert 0.0 <= m["accuracy"] <= 1.0
+
 
 @pytest.mark.slow
 def test_cli_train_mm_scbert_count_f(tmp_path):
