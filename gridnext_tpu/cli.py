@@ -457,6 +457,17 @@ def _cmd_train_image(args):
     else:
         f = densenet121(num_classes=len(grids.classes), dtype=dtype)
         model_name = f"{g_name}+DenseNet121"
+        if args.dense_ingest:
+            # f always runs eval-mode inside GridNet (training.py:126
+            # semantics), and dense ingest has no spotwise stage to learn
+            # BN running stats -- a from-scratch DenseNet would normalize
+            # with its (0, 1) init stats for the whole run.
+            print("warning: --dense-ingest trains f jointly with g (no "
+                  "spotwise stage), but DenseNet's BatchNorm runs in eval "
+                  "mode inside GridNet, so from-scratch running stats stay "
+                  "at their (mean 0, var 1) init. Prefer '--f tpu' "
+                  "(LayerNorm, immune) or start from a pretrained f.",
+                  file=sys.stderr)
     _train_fg(args, f, grids, spots,
               {"patch_px": args.patch_px, "window_px": args.window_px,
                "model": model_name, "tpu_f": tpu_f_meta,

@@ -257,7 +257,7 @@ class CountSpotDataset:
                         self.annotations.append(int(adict[cstr]))
             else:
                 for cstr in frame.columns:
-                    if rxp.match(cstr):
+                    if rxp.fullmatch(cstr):
                         self._index.append((cf, cstr))
 
     def __len__(self):
@@ -288,11 +288,12 @@ _PATCH_RXP_TMPL = r".*_(\d+)_(\d+)\.%s"
 def _matched_patch_files(imdir: str, img_ext: str):
     """(names, coords) of the patch-cache files in ``imdir`` -- the single
     definition of the ``*_{col}_{row}.{ext}`` filename contract's discovery
-    (sorted listing, coordinate parse)."""
-    rxp = re.compile(_PATCH_RXP_TMPL % img_ext)
+    (sorted listing, coordinate parse). fullmatch + escaped extension so
+    stray ``...jpg.bak``/``...jpg.tmp`` files are never listed as patches."""
+    rxp = re.compile(_PATCH_RXP_TMPL % re.escape(img_ext))
     names, coords = [], []
     for f in sorted(os.listdir(imdir)):
-        m = rxp.match(f)
+        m = rxp.fullmatch(f)
         if m is not None:
             names.append(f)
             coords.append((int(m.group(1)), int(m.group(2))))

@@ -13,6 +13,7 @@ int grid (bg=0, labels 1..N) for Splotch.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -37,7 +38,12 @@ def read_annotfile(afile, position_file=None, afile_delim: str = ",",
         # blank cells parse as NaN; numeric cluster IDs coerce to strings so
         # class encoding is uniform
         adat = adat[first.notna() & (first.astype(str) != "")]
-        adat = adat.join(pdat, how="left").dropna()
+        # keep only the label column before the join: a second, partially
+        # filled Loupe column (e.g. free-text notes) must not drop annotated
+        # spots via dropna; dropna then only removes barcodes with no
+        # position row
+        adat = adat.iloc[:, [0]].join(pdat, how="left")
+        adat = adat.dropna(subset=["array_col", "array_row"])
         coord_strs = [f"{int(x)}_{int(y)}" for x, y in
                       zip(adat["array_col"], adat["array_row"])]
         return coord_strs, adat.iloc[:, 0].astype(str).values
@@ -54,13 +60,38 @@ def union_classes(annot_files: Sequence, position_files: Sequence,
     This IS the label encoding of the reference: sklearn LabelEncoder fit on
     np.union1d over arrays (count_datasets.py:117-125) assigns codes in
     sorted order, which np.union1d already returns.
+
+    Memoized per (files, mtimes): the CLI constructs several dataset views
+    of one cohort (mm grids + image spots + count spots), each of which
+    computes the same union -- without the cache every construction re-reads
+    every annotation CSV *and* positions file (HD parquet positions are
+    ~147k rows/array).
     """
+    key = tuple(
+        (str(a), str(p), _mtime_or_none(a), _mtime_or_none(p))
+        for a, p in zip(annot_files, position_files)) + (afile_delim,)
+    hit = _UNION_CACHE.get(key)
+    if hit is not None:
+        return hit.copy()
     all_annots = np.array([])
     for afile, pfile in zip(annot_files, position_files):
         _, annot_strs = read_annotfile(afile, position_file=pfile,
                                        afile_delim=afile_delim, Visium=True)
         all_annots = np.union1d(all_annots, annot_strs)
-    return all_annots
+    if len(_UNION_CACHE) >= 16:
+        _UNION_CACHE.pop(next(iter(_UNION_CACHE)))
+    _UNION_CACHE[key] = all_annots
+    return all_annots.copy()
+
+
+_UNION_CACHE: dict = {}
+
+
+def _mtime_or_none(path):
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
 
 
 def encode_labels(values, classes: np.ndarray) -> np.ndarray:

@@ -126,13 +126,19 @@ def plot_confusion(y_true, y_pred, class_names=None, figsize=None):
     from matplotlib import pyplot as plt
     from sklearn.metrics import confusion_matrix
 
-    counts = confusion_matrix(y_true, y_pred)
-    # normalize per true-class row (one confusion_matrix call, not two)
-    row_sums = counts.sum(axis=1, keepdims=True)
-    fractions = counts / np.maximum(row_sums, 1)
     if class_names is None:
         class_names = np.unique(np.concatenate([np.asarray(y_true).ravel(),
                                                 np.asarray(y_pred).ravel()]))
+        labels = class_names
+    else:
+        # pin the matrix to ALL trained classes: without labels= sklearn
+        # drops classes absent from this cohort and the heatmap rows would
+        # silently misalign with class_names
+        labels = np.arange(len(class_names))
+    counts = confusion_matrix(y_true, y_pred, labels=labels)
+    # normalize per true-class row (one confusion_matrix call, not two)
+    row_sums = counts.sum(axis=1, keepdims=True)
+    fractions = counts / np.maximum(row_sums, 1)
 
     fig, ax = plt.subplots(1, figsize=figsize)
     sns.heatmap(fractions, annot=counts, fmt="d", ax=ax,

@@ -385,6 +385,7 @@ def _num_items(data) -> int:
 def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
                   redraw_every: Optional[int] = None, redraw_rng=None,
+                  redraw_scaling: int = 0,
                   metrics_logger=None, mesh=None, resume=None):
     train_step, eval_step = make_steps(model, tx, loss_kind)
     rng = np.random.default_rng(shuffle_seed)
@@ -491,7 +492,8 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
 
                             redraw_rng, sub = jax.random.split(redraw_rng)
                             new_vars = redraw_projections(
-                                {"favor": state.extra_vars["favor"]}, sub)
+                                {"favor": state.extra_vars["favor"]}, sub,
+                                scaling=redraw_scaling)
                             extra = dict(state.extra_vars)
                             extra["favor"] = new_vars["favor"]
                             if mesh is not None:
@@ -581,7 +583,8 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    num_epochs: int = 10, batch_size: int = 128, outfile=None,
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
-                   redraw_every: Optional[int] = None, loss: str = "ce",
+                   redraw_every: Optional[int] = None,
+                   redraw_scaling: int = 0, loss: str = "ce",
                    metrics_logger=None, mesh=None, mesh_shape=None,
                    resume=None):
     """Train a spot classifier f.
@@ -589,7 +592,9 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
     with integer labels already in [0, n_classes) -- or float targets when
     ``loss='mse'`` (self-supervised regression heads). ``redraw_every``
-    enables periodic FAVOR+ projection redraw for Performer-based f (scBERT).
+    enables periodic FAVOR+ projection redraw for Performer-based f (scBERT);
+    pass ``redraw_scaling=1`` iff the model was built with ``ortho_scaling=1``
+    so redrawn projections match the init distribution.
 
     Multi-chip: pass ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape`` (e.g.
     {'data': 8}, or 'auto'). Params replicate; each batch's item axis shards
@@ -620,6 +625,7 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     return _run_training(model, state, tx, dataloaders, kind, num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
                          redraw_every=redraw_every,
+                         redraw_scaling=redraw_scaling,
                          metrics_logger=metrics_logger, mesh=mesh,
                          resume=resume)
 

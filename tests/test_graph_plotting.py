@@ -144,6 +144,15 @@ def test_plot_confusion_and_label_tensor():
     fig, ax = plotting.plot_confusion(y, p, class_names=["a", "b", "c"])
     assert fig is not None
 
+    # classes absent from the cohort must NOT collapse the matrix: with
+    # observed classes {0, 1, 3} of a 4-class model the heatmap must stay
+    # 4x4 so rows align with class_names (labels= pinning)
+    y = np.array([0, 1, 3, 3])
+    p = np.array([0, 1, 1, 3])
+    fig, ax = plotting.plot_confusion(y, p, class_names=list("abcd"))
+    mesh = ax.collections[0]
+    assert mesh.get_array().size == 16
+
     grid = np.zeros((6, 5), dtype=int)
     grid[1, 1] = 1
     grid[2, 3] = 2

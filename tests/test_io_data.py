@@ -685,3 +685,64 @@ def test_mm_ann_spot_dataset(tmp_path):
     ds_pcs = MMAnnSpotDataset(adata, obs_label="annotation", use_pcs=4)
     (_, cnt_pcs), _ = ds_pcs[5]
     np.testing.assert_array_equal(cnt_pcs, adata.obsm["X_pca"][5, :4])
+
+
+def test_annotfile_second_column_nans_kept(sim_dirs, tmp_path):
+    """A second, partially filled Loupe column (free-text notes) must not
+    drop annotated spots: dropna only applies to the position join."""
+    import pandas as pd
+
+    from gridnext_tpu.io.annotations import read_annotfile
+
+    sim = sim_dirs[0]
+    coords0, annots0 = read_annotfile(sim["annot_file"],
+                                      position_file=sim["position_file"])
+    df = pd.read_csv(sim["annot_file"], header=0, index_col=0)
+    df["Notes"] = pd.Series([None] * len(df), index=df.index, dtype=object)
+    df.iloc[0, df.columns.get_loc("Notes")] = "checked"
+    two_col = tmp_path / "two_col.csv"
+    df.to_csv(two_col)
+    coords1, annots1 = read_annotfile(str(two_col),
+                                      position_file=sim["position_file"])
+    assert list(coords1) == list(coords0)
+    np.testing.assert_array_equal(annots1, annots0)
+
+
+def test_union_classes_memoized(sim_dirs, monkeypatch):
+    from gridnext_tpu.io import annotations as A
+
+    afiles = [s["annot_file"] for s in sim_dirs]
+    pfiles = [s["position_file"] for s in sim_dirs]
+    A._UNION_CACHE.clear()
+    first = A.union_classes(afiles, pfiles)
+
+    calls = {"n": 0}
+    real = A.read_annotfile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "read_annotfile", counting)
+    again = A.union_classes(afiles, pfiles)  # cache hit: no re-reads
+    np.testing.assert_array_equal(again, first)
+    assert calls["n"] == 0
+    # mutating the returned array must not poison the cache
+    again[0] = "ZZZ"
+    np.testing.assert_array_equal(A.union_classes(afiles, pfiles), first)
+    # touching an annotation file invalidates
+    os.utime(afiles[0])
+    A.union_classes(afiles, pfiles)
+    assert calls["n"] == len(afiles)
+
+
+def test_patch_file_discovery_ignores_stray_suffixes(tmp_path):
+    from gridnext_tpu.data.datasets import _matched_patch_files
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    (d / "slide_10_12.jpg").write_bytes(b"x")
+    (d / "slide_10_12.jpg.bak").write_bytes(b"x")
+    (d / "slide_10_13.jpgX").write_bytes(b"x")
+    names, coords = _matched_patch_files(str(d), "jpg")
+    assert names == ["slide_10_12.jpg"] and coords == [(10, 12)]
