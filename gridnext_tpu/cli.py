@@ -36,8 +36,17 @@ def _cmd_simulate(args):
     from gridnext_tpu.data import simulate_spaceranger_dir
 
     kw = {}
+    if args.gene2vec_names:
+        # draw gene symbols from the vendored gene2vec vocabulary so the
+        # cohort flows into the scBERT commands (pretrain-scbert /
+        # train-mm --count-f scbert), whose input space is gene2vec
+        from gridnext_tpu.models.scbert import load_gene2vec_names
+
+        # the FIRST n symbols, so any --scbert-vocab >= --genes (which
+        # truncates the vocabulary from the front) maps every gene
+        kw["gene_names"] = list(load_gene2vec_names()[:args.genes])
     if args.hd_grid is not None:
-        kw = dict(spaceranger_version="hd", hd_grid=tuple(args.hd_grid),
+        kw.update(spaceranger_version="hd", hd_grid=tuple(args.hd_grid),
                   hd_binning=args.hd_binning)
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.arrays):
@@ -551,6 +560,16 @@ def _load_scbert_ckpt(path, depth: int):
     for k in ("favor",):  # raw variables-dict form
         if k in payload:
             variables[k] = payload[k]
+    params = variables.get("params") or {}
+    if "performer_lm" not in params and (
+            "token_emb" in params or "performer" in params):
+        # raw-PerformerLM tree (a `train_mlm` / pretrain-scbert pretraining
+        # checkpoint): nest every collection under scBERT's 'performer_lm'
+        # scope so the merge lands; the LM's own to_out/tie-embed output
+        # head has no scBERT analog and drops away while the fresh
+        # AttentionClassifier head initializes -- the reference's head-swap
+        # protocol (llm/scbert.py:110-122)
+        variables = {k: {"performer_lm": v} for k, v in variables.items()}
     return variables
 
 
@@ -897,6 +916,78 @@ def _load_model_dir(model_dir):
     # extra collections (e.g. a scBERT count-f's FAVOR+ 'favor' projections)
     variables.update(payload.get("extra_vars") or {})
     return meta, meta["classes"], variables
+
+
+def _cmd_pretrain_scbert(args):
+    """Masked-expression pretraining of an scBERT-scale PerformerLM on a
+    Visium cohort -- the upstream recipe the reference's scBERT checkpoint
+    assumes (TencentAILab scBERT; the reference ships no pretraining code,
+    llm/scbert.py:79 only consumes the checkpoint). No annotations needed.
+
+    The output checkpoint feeds the fine-tuning flow directly:
+    ``train-mm --count-f scbert --scbert-ckpt <out>/scbert_lm.msgpack``
+    (matching --scbert-vocab/dim/depth/heads) loads every LM weight and
+    re-initializes only the classifier head."""
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import PerformerLM
+    from gridnext_tpu.train import save_checkpoint, train_mlm
+
+    # spot-level count dataset (labels unused; cohorts need no annotations)
+    spots = create_visium_dataset(args.spaceranger, spatial=False,
+                                  use_count=True, use_image=False,
+                                  minimum_detection_rate=args.min_detection,
+                                  hd_binning=args.hd_binning)
+    transform, vocab = _scbert_count_transform(args.spaceranger,
+                                               args.hd_binning,
+                                               args.scbert_vocab)
+    mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size)
+    dls = _split_dls(spots, 5, stream=False, seed=args.split_seed,
+                     val_arrays=args.val_arrays)
+
+    def tokens_of(pair):
+        """(N, vocab+1) clean int tokens: gene2vec reindex + depth-norm +
+        log2(1+x) (preprocess_scbert), clip-bin to [0, bin_num], and append
+        the zero token scBERT appends at fine-tune time
+        (llm/scbert.py:117-120)."""
+        if pair is None:
+            return None
+        binned = np.minimum(transform(pair[0]),
+                            args.bin_num).astype(np.int32)
+        return np.concatenate(
+            [binned, np.zeros((len(binned), 1), np.int32)], axis=1)
+
+    token_dls = {k: tokens_of(v) for k, v in dls.items()}
+    n_val = 0 if token_dls.get("val") is None else len(token_dls["val"])
+    print(f"MLM corpus: {len(token_dls['train'])} train / {n_val} val spots "
+          f"x {vocab} gene2vec tokens, bins 0..{args.bin_num}"
+          + (f" [mesh {mesh_shape}]" if mesh_shape else ""))
+
+    # params are seq-len independent (pos_emb 'none'), so this LM loads into
+    # scBERT at any n_genes; generalized (ReLU) FAVOR features halve the
+    # transcendental cost on TPU (docs/roadmap.md) and are parameterless, so
+    # the checkpoint serves either kernel at fine-tune time
+    lm = PerformerLM(num_tokens=args.bin_num + 2, max_seq_len=vocab + 1,
+                     dim=args.scbert_dim, depth=args.scbert_depth,
+                     heads=args.scbert_heads, remat=args.remat,
+                     generalized_attention=not args.softmax_features)
+    os.makedirs(args.out, exist_ok=True)
+    outfile = os.path.join(args.out, "scbert_lm.msgpack")
+    state, val_hist, train_hist = train_mlm(
+        lm, token_dls, mask_id=args.bin_num + 1, mask_prob=args.mask_prob,
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch_size, outfile=outfile,
+        shuffle_seed=args.split_seed, redraw_every=args.redraw_every or None,
+        mesh_shape=mesh_shape, resume=_resume_path(args, outfile))
+    save_checkpoint(outfile, state, include_opt_state=False)
+    with open(os.path.join(args.out, "pretrain.json"), "w") as fh:
+        json.dump({"model": "PerformerLM-MLM", "vocab": vocab,
+                   "dim": args.scbert_dim, "depth": args.scbert_depth,
+                   "heads": args.scbert_heads, "bin_num": args.bin_num,
+                   "mask_prob": args.mask_prob,
+                   "val_loss": (val_hist[-1] if val_hist else None)}, fh)
+    print(f"saved pretrained LM to {outfile}")
 
 
 def _cmd_export(args):
@@ -1605,6 +1696,10 @@ def main(argv=None):
     s.add_argument("--classes", type=int, default=4)
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--image", action="store_true")
+    s.add_argument("--gene2vec-names", action="store_true",
+                   help="name the simulated genes from the vendored "
+                        "gene2vec vocabulary (so the cohort feeds the "
+                        "scBERT commands)")
     s.add_argument("--hd-grid", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="emit square-lattice Visium HD binned outputs on an "
@@ -1694,6 +1789,58 @@ def main(argv=None):
     _add_hd_args(s, "GridNetMM")
     _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_mm)
+
+    s = sub.add_parser(
+        "pretrain-scbert",
+        help="masked-expression (MLM) pretraining of an scBERT-scale "
+             "PerformerLM on a Visium cohort (no annotations needed); "
+             "feed the checkpoint to train-mm --count-f scbert "
+             "--scbert-ckpt")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--epochs", type=int, default=10)
+    s.add_argument("--batch-size", type=int, default=4,
+                   help="sequences per step (full-scale scBERT is "
+                        "compute-bound: batch 4-8 is the measured sweet "
+                        "spot on v5e, docs/roadmap.md)")
+    s.add_argument("--lr", type=float, default=1e-4)
+    s.add_argument("--mask-prob", type=float, default=0.15)
+    s.add_argument("--bin-num", type=int, default=5,
+                   help="expression bins (tokens 0..bin_num; mask id "
+                        "bin_num+1; vocabulary bin_num+2)")
+    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--hd-binning", default=None,
+                   help="Visium HD binned output to read (e.g. square_008um)")
+    s.add_argument("--scbert-vocab", type=int, default=16906,
+                   help="gene2vec tokens (full vocabulary = 16,906; "
+                        "truncate for small runs)")
+    s.add_argument("--scbert-dim", type=int, default=200)
+    s.add_argument("--scbert-depth", type=int, default=6)
+    s.add_argument("--scbert-heads", type=int, default=10)
+    s.add_argument("--remat", action="store_true",
+                   help="rematerialize performer layers (required for "
+                        "full-scale pretraining in 16 GB HBM)")
+    s.add_argument("--softmax-features", action="store_true",
+                   help="exact-softmax FAVOR features instead of the "
+                        "default generalized (ReLU) features (~2x slower "
+                        "at full scale; parameterless either way, so the "
+                        "checkpoint is kernel-agnostic)")
+    s.add_argument("--redraw-every", type=int, default=1000,
+                   help="FAVOR+ projection redraw interval in steps "
+                        "(0 disables; llm/performer_pytorch.py:532-546)")
+    s.add_argument("--mesh", default=None,
+                   help="multi-chip device mesh: 'auto' or axis sizes like "
+                        "'data=8'; params replicate, the sequence batch "
+                        "shards, XLA inserts the gradient all-reduces")
+    s.add_argument("--split-seed", type=int, default=0,
+                   help="seed for the random train/val split")
+    s.add_argument("--val-arrays", nargs="+", default=None,
+                   help="hold out these whole arrays (dir basenames) for "
+                        "validation instead of a random split")
+    s.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from the '.latest' "
+                        "checkpoint in --out (--epochs is the TOTAL count)")
+    s.set_defaults(fn=_cmd_pretrain_scbert)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")
     s.add_argument("--spaceranger", nargs="+", required=True)

@@ -5,10 +5,12 @@ from gridnext_tpu.train.loops import (  # noqa: F401
     load_checkpoint,
     load_f_params,
     make_gridwise_optimizer,
+    make_mlm_steps,
     make_steps,
     masked_cross_entropy,
     restore_train_state,
     save_checkpoint,
     train_gridwise,
+    train_mlm,
     train_spotwise,
 )

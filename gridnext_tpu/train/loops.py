@@ -200,6 +200,87 @@ def make_steps(model: nn.Module, tx, loss_kind: str):
 _make_steps = make_steps
 
 
+def make_mlm_steps(model: nn.Module, tx, *, mask_id: int,
+                   mask_prob: float = 0.15):
+    """Jitted (train_step, eval_step) for masked-LM pretraining.
+
+    The objective the reference's scBERT checkpoint was trained with
+    upstream (TencentAILab scBERT; the reference repo ships no pretraining
+    code -- llm/scbert.py only consumes the checkpoint): corrupt a random
+    ``mask_prob`` subset of each row's integer tokens to ``mask_id`` and
+    train the LM to predict the clean token at the corrupted positions.
+
+    Batches are (x, y) like every other step in this module, but only ``y``
+    carries data: the clean (B, n) int tokens, with -1 marking batch-padding
+    rows (``_pad_batch`` 'spot' semantics). Corruption happens ON DEVICE
+    inside the step, keyed on ``state.step`` -- one traced program serves
+    every batch, the host stays out of the loop, and the mesh path needs no
+    host-side RNG coordination (the folded key is replicated; every shard
+    computes the same mask for its rows). Eval corrupts with a FIXED key so
+    validation losses are comparable across epochs.
+
+    Sharding-transparent like ``make_steps``: replicated state +
+    ``shard_spot_batch``-placed batches turn these closures into DP
+    pretraining (the public path behind ``train_mlm(mesh=...)``).
+    """
+    _mlm_base = jax.random.key(13)
+    _mlm_eval_key = jax.random.key(17)
+    _dropout_base = jax.random.key(11)
+
+    def forward(params, batch_stats, extra, tokens, train, rngs=None):
+        variables = {"params": params, **(extra or {})}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, tokens, train=train, rngs=rngs)
+
+    def mlm_loss(logits, y, mask):
+        valid = mask & (y >= 0)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.maximum(y, 0))
+        n = jnp.sum(valid)
+        loss = jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(n, 1)
+        n_correct = jnp.sum(
+            jnp.where(valid, jnp.argmax(logits, -1) == y, False))
+        return loss, n_correct, n
+
+    def corrupt(key, y):
+        mask = jax.random.bernoulli(key, mask_prob, y.shape)
+        # pad rows (y == -1) would index the embedding out of range; clamp
+        # (their logits are discarded -- `valid` is False there)
+        return jnp.where(mask, mask_id, jnp.maximum(y, 0)), mask
+
+    @jax.jit
+    def train_step(state: TrainState, x, y):
+        del x  # tokens travel in y (clean targets); see docstring
+        tokens, mask = corrupt(jax.random.fold_in(_mlm_base, state.step), y)
+        rngs = {"dropout": jax.random.fold_in(_dropout_base, state.step)}
+
+        def compute(params):
+            logits = forward(params, state.batch_stats, state.extra_vars,
+                             tokens, True, rngs=rngs)
+            loss, n_corr, n = mlm_loss(logits, y, mask)
+            return loss, (n_corr, n)
+
+        (loss, (n_corr, n)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, {"loss": loss, "n_correct": n_corr, "n": n}
+
+    @jax.jit
+    def eval_step(state: TrainState, x, y):
+        del x
+        tokens, mask = corrupt(_mlm_eval_key, y)
+        logits = forward(state.params, state.batch_stats, state.extra_vars,
+                         tokens, False)
+        loss, n_corr, n = mlm_loss(logits, y, mask)
+        return {"loss": loss, "n_correct": n_corr, "n": n}
+
+    return train_step, eval_step
+
+
 def _is_dataset(data) -> bool:
     """Map-style dataset (yields (x, y) per index) vs (inputs, labels) pair."""
     return hasattr(data, "__getitem__") and not isinstance(
@@ -386,8 +467,11 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
                   redraw_every: Optional[int] = None, redraw_rng=None,
                   redraw_scaling: int = 0,
-                  metrics_logger=None, mesh=None, resume=None):
-    train_step, eval_step = make_steps(model, tx, loss_kind)
+                  metrics_logger=None, mesh=None, resume=None, mlm=None):
+    if loss_kind == "mlm":
+        train_step, eval_step = make_mlm_steps(model, tx, **(mlm or {}))
+    else:
+        train_step, eval_step = make_steps(model, tx, loss_kind)
     rng = np.random.default_rng(shuffle_seed)
     if redraw_every:
         redraw_rng = redraw_rng if redraw_rng is not None else jax.random.key(7)
@@ -671,6 +755,69 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                          batch_size, outfile, shuffle_seed, verbose,
                          metrics_logger=metrics_logger, mesh=mesh,
                          resume=resume)
+
+
+def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
+              mask_prob: float = 0.15, learning_rate: float = 1e-4,
+              num_epochs: int = 10, batch_size: int = 4, outfile=None,
+              state: Optional[TrainState] = None, tx=None, rng=None,
+              shuffle_seed: int = 0, verbose: bool = True,
+              redraw_every: Optional[int] = None, redraw_scaling: int = 0,
+              metrics_logger=None, mesh=None, mesh_shape=None, resume=None):
+    """Masked-LM pretraining of a token LM (PerformerLM / headless scBERT).
+
+    The upstream recipe the reference's scBERT checkpoint assumes
+    (TencentAILab scBERT masked-expression modeling; the reference ships no
+    pretraining code -- llm/scbert.py:79 only consumes the checkpoint).
+
+    ``dataloaders`` maps 'train'/'val' to clean integer token arrays (N, n)
+    -- binned expression in [0, bin_num], e.g.
+    ``np.minimum(preprocess_scbert(...)[0], bin_num)`` -- with
+    ``mask_id = bin_num + 1`` (PerformerLM num_tokens = bin_num + 2,
+    llm/scbert.py:98). Each step corrupts a fresh random ``mask_prob``
+    subset ON DEVICE (keyed on the step counter) and minimizes CE of the
+    clean token at masked positions; accuracy is masked-bin accuracy.
+
+    The resulting checkpoint (``outfile``/``save_checkpoint``) loads
+    straight into the fine-tuning flow: the CLI's
+    ``train-mm --count-f scbert --scbert-ckpt`` nests a raw-PerformerLM
+    tree under scBERT's ``performer_lm`` scope and re-initializes only the
+    classifier head (the reference's head-swap protocol,
+    llm/scbert.py:110-122).
+
+    Multi-chip: ``mesh``/``mesh_shape`` as in ``train_spotwise`` -- params
+    replicate, each batch's row axis shards over every mesh axis, partial
+    batches pad with rows the masked loss ignores; numerics match
+    single-device execution (tests/test_parallel.py). ``redraw_every``
+    periodically redraws FAVOR+ projections (llm/performer_pytorch.py:
+    532-546). Resume semantics as in the other trainers.
+    """
+    mesh = _resolve_mesh(mesh, mesh_shape)
+    if tx is None:
+        tx = optax.adam(learning_rate)
+
+    def as_pair(tokens):
+        if tokens is None:
+            return None
+        if isinstance(tokens, tuple):  # already (x, y) -- passthrough
+            return tokens
+        tokens = np.asarray(tokens)
+        # x is a per-row dummy: the tokens travel ONCE as y (the clean
+        # targets); the step corrupts on device (make_mlm_steps)
+        return np.zeros((len(tokens), 1), np.int8), tokens
+
+    pairs = {k: as_pair(v) for k, v in dataloaders.items()}
+    if state is None:
+        rng = rng if rng is not None else jax.random.key(0)
+        sample = jnp.asarray(pairs["train"][1][:1])
+        state = create_train_state(model, rng, sample, tx, train_init=False)
+    return _run_training(model, state, tx, pairs, "mlm", num_epochs,
+                         batch_size, outfile, shuffle_seed, verbose,
+                         redraw_every=redraw_every,
+                         redraw_scaling=redraw_scaling,
+                         metrics_logger=metrics_logger, mesh=mesh,
+                         resume=resume,
+                         mlm={"mask_id": mask_id, "mask_prob": mask_prob})
 
 
 def load_f_params(state: TrainState, f_variables: Mapping,
