@@ -953,10 +953,12 @@ def _cmd_pretrain_scbert(args):
         (llm/scbert.py:117-120)."""
         if pair is None:
             return None
+        # int16: full-scale corpora are (N_spots, 16907) resident in RAM --
+        # half the int32 footprint; bins are tiny and -1 pad rows still fit
         binned = np.minimum(transform(pair[0]),
-                            args.bin_num).astype(np.int32)
+                            args.bin_num).astype(np.int16)
         return np.concatenate(
-            [binned, np.zeros((len(binned), 1), np.int32)], axis=1)
+            [binned, np.zeros((len(binned), 1), np.int16)], axis=1)
 
     token_dls = {k: tokens_of(v) for k, v in dls.items()}
     n_val = 0 if token_dls.get("val") is None else len(token_dls["val"])
