@@ -1934,6 +1934,25 @@ def main(argv=None):
     s.set_defaults(fn=_cmd_serve_artifact)
 
     args = ap.parse_args(argv)
+    if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):
+        # SIGTERM (spot/queued TPU preemption) -> batch-boundary '.latest'
+        # checkpoint -> exit 75 (EX_TEMPFAIL: "transient, retry me"); rerun
+        # the same command with --resume to continue bit-identically
+        from gridnext_tpu.train import TrainingPreempted, install_preemption_handler
+
+        install_preemption_handler()
+        try:
+            _dispatch(args)
+        except TrainingPreempted as e:
+            print(f"preempted: {e}", file=sys.stderr)
+            if e.checkpoint is not None:
+                print("resume by rerunning with --resume", file=sys.stderr)
+            raise SystemExit(75)
+    else:
+        _dispatch(args)
+
+
+def _dispatch(args):
     if args.profile_dir:
         from gridnext_tpu.observability import profile_trace
 

@@ -1,4 +1,8 @@
 from gridnext_tpu.train.async_ckpt import AsyncCheckpointWriter  # noqa: F401
+from gridnext_tpu.train.preempt import (  # noqa: F401
+    TrainingPreempted,
+    install_preemption_handler,
+)
 from gridnext_tpu.train.loops import (  # noqa: F401
     TrainState,
     create_train_state,

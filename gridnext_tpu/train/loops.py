@@ -36,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gridnext_tpu.train import preempt
+
 
 class TrainState(flax.struct.PyTreeNode):
     params: Any
@@ -334,7 +336,7 @@ def _pad_batch(x, y, batch_size: int, loss_kind: str):
 
 
 def _iter_batches(data, batch_size, rng: Optional[np.random.Generator],
-                  pad_kind: Optional[str] = None):
+                  pad_kind: Optional[str] = None, skip: int = 0):
     """Yield (x, y, n_real) numpy minibatches.
 
     ``data`` is either an (inputs, labels) array pair -- ``inputs`` a single
@@ -346,7 +348,11 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator],
     ``pad_kind`` (a loss kind) pads partial batches to a fixed
     ``batch_size`` with loss-ignorable items -- required under a mesh (the
     batch axis must keep a shardable static shape) and avoids the
-    remainder-batch recompile anywhere."""
+    remainder-batch recompile anywhere.
+
+    ``skip`` drops the first ``skip`` batches AFTER drawing the epoch's
+    permutation (the RNG stream advances identically), so a mid-epoch
+    preemption resume replays exactly the remaining batches."""
 
     def finish(x, y):
         n_real = len(y)
@@ -357,7 +363,7 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator],
     if _is_dataset(data):
         n = len(data)
         order = rng.permutation(n) if rng is not None else np.arange(n)
-        for i in range(0, n, batch_size):
+        for i in range(skip * batch_size, n, batch_size):
             items = [data[int(j)] for j in order[i:i + batch_size]]
             xs = [it[0] for it in items]
             ys = np.stack([np.asarray(it[1]) for it in items])
@@ -370,7 +376,7 @@ def _iter_batches(data, batch_size, rng: Optional[np.random.Generator],
     multi = isinstance(inputs, (tuple, list))
     n = len(labels)
     order = rng.permutation(n) if rng is not None else np.arange(n)
-    for i in range(0, n, batch_size):
+    for i in range(skip * batch_size, n, batch_size):
         idx = order[i:i + batch_size]
         if multi:
             yield finish(tuple(np.asarray(a)[idx] for a in inputs),
@@ -477,17 +483,21 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         redraw_rng = redraw_rng if redraw_rng is not None else jax.random.key(7)
 
     # Resume from a '.latest' checkpoint (written at every epoch end when
-    # ``outfile`` is set): restores params/opt-state/step, the completed
-    # epoch count, and the best-val loss, then fast-forwards the shuffle and
-    # FAVOR-redraw RNG streams over the completed work -- so resume-and-
-    # continue reproduces an uninterrupted run bit-for-bit (training.py has
-    # no resume at all; this is the rebuild's improvement, VERDICT r2 #5).
+    # ``outfile`` is set, and at the interrupted batch on preemption):
+    # restores params/opt-state/step, the completed epoch count, the
+    # mid-epoch batch position, and the best-val loss, then fast-forwards
+    # the shuffle and FAVOR-redraw RNG streams over the completed work --
+    # so resume-and-continue reproduces an uninterrupted run's parameter
+    # trajectory bit-for-bit (training.py has no resume at all; this is
+    # the rebuild's improvement, VERDICT r2 #5 + SURVEY §5.3).
     start_epoch = 0
+    start_batch = 0
     resumed_best = None
     if resume is not None:
         payload = load_checkpoint(resume)
         state = _state_from_payload(payload, state)
         start_epoch = int(payload.get("epochs_done", 0))
+        start_batch = int(payload.get("batches_done", 0))
         rb = payload.get("best_val_loss")
         if rb is not None and np.isfinite(rb):
             resumed_best = float(rb)
@@ -540,8 +550,32 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     train_history, val_history = [], []
     since = time.time()
 
+    # Preemption (SIGTERM on spot/queued TPU capacity): poll the
+    # process-global guard at every batch boundary; on trigger, write the
+    # '.latest' resume checkpoint with the mid-epoch batch position and
+    # raise. See train/preempt.py for the full protocol.
+    guard = preempt.active()
+    n_train_total = -(-_num_items(dataloaders.get("train")) // batch_size)
+
+    def preempt_checkpoint(epoch, batches_done):
+        ckpt = None
+        if ckpt_writer is not None:
+            ckpt = str(outfile) + ".latest"
+            ckpt_writer.save(
+                ckpt, state,
+                extra_meta={"epochs_done": epoch,
+                            "batches_done": batches_done,
+                            "best_val_loss": (float(best_loss)
+                                              if np.isfinite(best_loss)
+                                              else None)})
+        raise preempt.TrainingPreempted(ckpt)
+
     try:
         for epoch in range(start_epoch, num_epochs):
+            # mid-epoch resume: skip the batches the preempted run already
+            # trained (the shuffle permutation is drawn first either way,
+            # keeping the RNG stream aligned with an uninterrupted run)
+            epoch_skip = start_batch if epoch == start_epoch else 0
             if verbose:
                 print(f"Epoch {epoch}/{num_epochs - 1}", flush=True)
                 print("-" * 10, flush=True)
@@ -559,7 +593,8 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 batches = _prefetch_to_device(
                     _iter_batches(dataloaders[phase], batch_size,
                                   rng if phase == "train" else None,
-                                  pad_kind=pad_kind),
+                                  pad_kind=pad_kind,
+                                  skip=epoch_skip if phase == "train" else 0),
                     place=place)
                 for x, y, n_real in batches:
                     if phase == "train":
@@ -596,11 +631,22 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                         losses[lag] = float(losses[lag])  # sync point: step `lag` done
                         corrs[lag] = int(corrs[lag])
                         ns[lag] = int(ns[lag])
+                    if guard is not None and guard.triggered:
+                        # train: this epoch's dispatched batches (incl. the
+                        # resumed-past prefix); val: the train phase is done
+                        preempt_checkpoint(
+                            epoch,
+                            epoch_skip + len(losses) if phase == "train"
+                            else n_train_total)
                 losses = np.asarray(jax.device_get(losses), dtype=float)
                 corrs = np.asarray(jax.device_get(corrs))
                 ns = np.asarray(jax.device_get(ns))
                 bszs = np.asarray(bszs)
                 n_batches_items = int(bszs.sum())
+                if phase == "train" and epoch_skip and not len(losses):
+                    # mid-epoch resume past the whole train phase (preempted
+                    # during val): nothing trained here, no metric to log
+                    continue
                 epoch_loss = float((losses * bszs).sum()) / max(n_batches_items, 1)
                 epoch_acc = int(corrs.sum()) / max(int(ns.sum()), 1)
                 if verbose:

@@ -1,0 +1,161 @@
+"""Preemption-safe training: SIGTERM -> batch-boundary checkpoint -> resume.
+
+The reference has no elastic-recovery story (SURVEY §5.3 "absent"; its
+training.py cannot resume at all). Ours: train/preempt.py + the trainers'
+batch-boundary guard polls + ``batches_done`` mid-epoch resume. The
+contract pinned here: a preempted-then-resumed run's PARAMETER TRAJECTORY
+is bit-identical to an uninterrupted run (the interrupted epoch's logged
+train metrics cover only the post-resume batches, by design)."""
+
+import signal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gridnext_tpu.models import CountMLP, GridNetHex
+from gridnext_tpu.train import (
+    TrainingPreempted,
+    create_train_state,
+    load_checkpoint,
+    train_gridwise,
+)
+from gridnext_tpu.train.preempt import (
+    active,
+    install_preemption_handler,
+    uninstall_preemption_handler,
+)
+
+
+class _TriggerDataset:
+    """Map-style (x, y) dataset that trips the guard at the Nth item access
+    (0 disables) -- a deterministic stand-in for SIGTERM arriving mid-epoch."""
+
+    def __init__(self, x, y, trigger_at=0):
+        self.x, self.y = x, y
+        self.trigger_at = trigger_at
+        self.accesses = 0
+
+    def __len__(self):
+        return len(self.y)
+
+    def __getitem__(self, i):
+        self.accesses += 1
+        if self.trigger_at and self.accesses == self.trigger_at:
+            active().trigger()
+        return self.x[i], self.y[i]
+
+
+@pytest.fixture
+def guard():
+    g = install_preemption_handler()
+    g.reset()
+    yield g
+    uninstall_preemption_handler()
+
+
+def _data(classes=4):
+    rng = np.random.default_rng(11)
+    b, h, w, genes = 10, 12, 8, 16
+    x = rng.normal(size=(b, h, w, genes)).astype(np.float32)
+    y = rng.integers(0, classes + 1, size=(b, h, w)).astype(np.int64)
+    return x, y
+
+
+def _fresh(x, classes=4):
+    g = GridNetHex(patch_classifier=CountMLP(n_classes=classes),
+                   n_classes=classes)
+    tx = optax.adam(1e-3)
+    state = create_train_state(g, jax.random.key(0), jnp.asarray(x[:1]), tx)
+    return g, tx, state
+
+
+def _run(x, y, outfile, *, trigger_at=0, val_trigger_at=0, resume=None,
+         num_epochs=3):
+    train = _TriggerDataset(x[:8], y[:8], trigger_at)
+    val = _TriggerDataset(x[8:], y[8:], val_trigger_at)
+    g, tx, state = _fresh(x)
+    return train_gridwise(g, {"train": train, "val": val}, state=state,
+                          tx=tx, num_epochs=num_epochs, batch_size=2,
+                          outfile=str(outfile), resume=resume, verbose=False)
+
+
+def test_midepoch_preempt_resume_matches_uninterrupted(tmp_path, guard):
+    x, y = _data()
+    s3, vh3, th3 = _run(x, y, tmp_path / "a.msgpack")
+
+    # preempt mid-epoch-1 (trigger during the epoch's 2nd/3rd batch staging)
+    out = tmp_path / "b.msgpack"
+    with pytest.raises(TrainingPreempted) as ei:
+        _run(x, y, out, trigger_at=8 + 3)
+    ckpt = ei.value.checkpoint
+    assert ckpt == str(out) + ".latest"
+    meta = load_checkpoint(ckpt)
+    assert meta["epochs_done"] == 1
+    assert 0 < meta["batches_done"] < 4      # genuinely mid-epoch
+
+    guard.reset()
+    sr, vhr, thr = _run(x, y, out, resume=ckpt)
+    # parameter trajectory bit-identical to the uninterrupted run
+    for a, b in zip(jax.tree_util.tree_leaves(s3.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # epoch 1's resumed train metric covers only the remaining batches (by
+    # design, not asserted); everything downstream matches exactly
+    assert thr[1:] == th3[2:]
+    assert vhr == vh3[1:]
+
+
+def test_val_phase_preempt_skips_whole_train_on_resume(tmp_path, guard):
+    x, y = _data()
+    s3, vh3, th3 = _run(x, y, tmp_path / "a.msgpack")
+
+    out = tmp_path / "b.msgpack"
+    with pytest.raises(TrainingPreempted):
+        # first val access of epoch 1 (epoch 0 val reads 2 items)
+        _run(x, y, out, val_trigger_at=2 + 1)
+    meta = load_checkpoint(str(out) + ".latest")
+    assert meta["epochs_done"] == 1
+    assert meta["batches_done"] == 4         # the full train phase
+
+    guard.reset()
+    sr, vhr, thr = _run(x, y, out, resume=str(out) + ".latest")
+    for a, b in zip(jax.tree_util.tree_leaves(s3.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # epoch 1 trained fully pre-preemption; resume re-runs only its val
+    assert th3 == (np.asarray(th3[:2]).tolist() + thr)
+    assert vhr == vh3[1:]
+
+
+def test_real_sigterm_sets_the_guard(guard):
+    assert not guard.triggered
+    signal.raise_signal(signal.SIGTERM)
+    assert guard.triggered
+    guard.reset()
+
+
+def test_cli_train_count_preempts_with_exit_75_and_resumes(tmp_path, guard):
+    """Pre-triggered guard -> train-count exits 75 with a '.latest' on disk;
+    guard reset + --resume completes and saves the model."""
+    from gridnext_tpu.cli import main
+
+    sim = tmp_path / "sim"
+    main(["simulate", "--out", str(sim), "--arrays", "2", "--genes", "12",
+          "--classes", "3"])
+    dirs = [str(sim / a) for a in ("a0", "a1")]
+    annots = [str(sim / a / f"{a}_annotations.csv") for a in ("a0", "a1")]
+    argv = ["train-count", "--spaceranger", *dirs, "--annots", *annots,
+            "--out", str(tmp_path / "model"), "--epochs", "2"]
+
+    guard.trigger()                      # SIGTERM already pending at start
+    with pytest.raises(SystemExit) as ei:
+        main(argv)
+    assert ei.value.code == 75
+    assert (tmp_path / "model" / "f_state.msgpack.latest").exists()
+
+    guard.reset()
+    main(argv + ["--resume"])
+    assert (tmp_path / "model" / "model.json").exists()
