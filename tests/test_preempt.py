@@ -73,13 +73,14 @@ def _fresh(x, classes=4):
 
 
 def _run(x, y, outfile, *, trigger_at=0, val_trigger_at=0, resume=None,
-         num_epochs=3):
+         num_epochs=3, mesh_shape=None):
     train = _TriggerDataset(x[:8], y[:8], trigger_at)
     val = _TriggerDataset(x[8:], y[8:], val_trigger_at)
     g, tx, state = _fresh(x)
     return train_gridwise(g, {"train": train, "val": val}, state=state,
                           tx=tx, num_epochs=num_epochs, batch_size=2,
-                          outfile=str(outfile), resume=resume, verbose=False)
+                          outfile=str(outfile), resume=resume, verbose=False,
+                          mesh_shape=mesh_shape)
 
 
 def test_midepoch_preempt_resume_matches_uninterrupted(tmp_path, guard):
@@ -128,6 +129,32 @@ def test_val_phase_preempt_skips_whole_train_on_resume(tmp_path, guard):
     # epoch 1 trained fully pre-preemption; resume re-runs only its val
     assert th3 == (np.asarray(th3[:2]).tolist() + thr)
     assert vhr == vh3[1:]
+
+
+def test_midepoch_preempt_resume_on_mesh(tmp_path, guard):
+    """Preempt + resume under the public mesh path: the replicated state
+    checkpoints and restores onto the mesh, and the resumed trajectory is
+    bit-identical to an UNINTERRUPTED mesh run (the mesh is the oracle:
+    mesh-vs-single-device agreement is only approximate after many adam
+    steps -- reduction-order noise amplifies chaotically -- and is
+    certified separately in tests/test_parallel.py)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, y = _data()
+    shape = {"data": 2, "spot": 2}
+    s3, _, _ = _run(x, y, tmp_path / "a.msgpack", mesh_shape=shape)
+
+    out = tmp_path / "b.msgpack"
+    with pytest.raises(TrainingPreempted):
+        _run(x, y, out, trigger_at=8 + 3, mesh_shape=shape)
+    meta = load_checkpoint(str(out) + ".latest")
+    assert meta["epochs_done"] == 1 and 0 < meta["batches_done"] < 4
+
+    guard.reset()
+    sr, _, _ = _run(x, y, out, resume=str(out) + ".latest", mesh_shape=shape)
+    for a, b in zip(jax.tree_util.tree_leaves(s3.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_real_sigterm_sets_the_guard(guard):
