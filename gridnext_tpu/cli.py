@@ -961,6 +961,7 @@ def _cmd_pretrain_scbert(args):
             [binned, np.zeros((len(binned), 1), np.int16)], axis=1)
 
     token_dls = {k: tokens_of(v) for k, v in dls.items()}
+    del dls, spots   # the raw float cohort dwarfs the int16 corpus; free it
     n_val = 0 if token_dls.get("val") is None else len(token_dls["val"])
     print(f"MLM corpus: {len(token_dls['train'])} train / {n_val} val spots "
           f"x {vocab} gene2vec tokens, bins 0..{args.bin_num}"
@@ -988,7 +989,9 @@ def _cmd_pretrain_scbert(args):
                    "dim": args.scbert_dim, "depth": args.scbert_depth,
                    "heads": args.scbert_heads, "bin_num": args.bin_num,
                    "mask_prob": args.mask_prob,
-                   "val_loss": (val_hist[-1] if val_hist else None)}, fh)
+                   # the checkpoint holds the BEST-val params; describe those
+                   "val_loss": (float(min(val_hist)) if val_hist else None)},
+                  fh)
     print(f"saved pretrained LM to {outfile}")
 
 
@@ -1939,6 +1942,7 @@ def main(argv=None):
         # checkpoint -> exit 75 (EX_TEMPFAIL: "transient, retry me"); rerun
         # the same command with --resume to continue bit-identically
         from gridnext_tpu.train import TrainingPreempted, install_preemption_handler
+        from gridnext_tpu.train.preempt import uninstall_preemption_handler
 
         install_preemption_handler()
         try:
@@ -1948,6 +1952,11 @@ def main(argv=None):
             if e.checkpoint is not None:
                 print("resume by rerunning with --resume", file=sys.stderr)
             raise SystemExit(75)
+        finally:
+            # restore signal dispositions for in-process callers (pytest,
+            # notebooks): a leftover flag-setting handler that nobody polls
+            # would swallow real SIGTERMs after the command returns
+            uninstall_preemption_handler()
     else:
         _dispatch(args)
 

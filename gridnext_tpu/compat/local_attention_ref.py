@@ -94,10 +94,10 @@ def local_attention_ref(q: np.ndarray, k: np.ndarray, v: np.ndarray,
         allowed &= pos[None, :] <= pos[:, None]
     allowed = np.broadcast_to(allowed, (b, npad, npad)).copy()
     if mask is not None:
-        keep = np.zeros(npad, bool)
-        keep[:n] = True
-        keym = np.asarray(mask, bool) & keep[None, :n]
-        allowed &= np.pad(keym, ((0, 0), (0, pad)))[:, None, :]
+        # pad columns get False; real-position masking comes from `mask`
+        # itself (the padded tail is already excluded by `pos < n` above)
+        keym = np.pad(np.asarray(mask, bool), ((0, 0), (0, pad)))
+        allowed &= keym[:, None, :]
 
     scores = np.einsum("bhnd,bhmd->bhnm", q, k) / np.sqrt(d)
     scores = np.where(allowed[:, None], scores, -np.inf)

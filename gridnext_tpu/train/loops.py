@@ -498,6 +498,19 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         state = _state_from_payload(payload, state)
         start_epoch = int(payload.get("epochs_done", 0))
         start_batch = int(payload.get("batches_done", 0))
+        if start_batch:
+            # batches_done is in BATCH units of the preempted run; resuming
+            # with a different batch size or shuffle seed would silently
+            # skip the wrong samples -- corrupt, not just different
+            for key, cur in (("batch_size", batch_size),
+                             ("shuffle_seed", shuffle_seed)):
+                saved = payload.get(key)
+                if saved is not None and saved != cur:
+                    raise ValueError(
+                        f"mid-epoch resume: the checkpoint was written with "
+                        f"{key}={saved} but this run uses {cur}; rerun with "
+                        f"the original {key} (batches_done counts batches "
+                        "of the preempted run's size)")
         rb = payload.get("best_val_loss")
         if rb is not None and np.isfinite(rb):
             resumed_best = float(rb)
@@ -565,6 +578,8 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 ckpt, state,
                 extra_meta={"epochs_done": epoch,
                             "batches_done": batches_done,
+                            "batch_size": batch_size,
+                            "shuffle_seed": shuffle_seed,
                             "best_val_loss": (float(best_loss)
                                               if np.isfinite(best_loss)
                                               else None)})

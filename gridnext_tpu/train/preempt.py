@@ -69,7 +69,7 @@ class PreemptionGuard:
 
 _active_lock = threading.Lock()
 _active_guard: PreemptionGuard | None = None
-_prev_handler = None
+_prev_handlers: dict = {}       # signal number -> previous disposition
 
 
 def install_preemption_handler(signals=(signal.SIGTERM,)) -> PreemptionGuard:
@@ -78,26 +78,28 @@ def install_preemption_handler(signals=(signal.SIGTERM,)) -> PreemptionGuard:
     Must run on the main thread (CPython signal rule). Returns the
     process-global guard; repeated calls return the same one.
     """
-    global _active_guard, _prev_handler
+    global _active_guard
     with _active_lock:
         if _active_guard is None:
             _active_guard = PreemptionGuard()
             for sig in signals:
-                _prev_handler = signal.signal(sig, _active_guard.trigger)
+                _prev_handlers[sig] = signal.signal(sig,
+                                                    _active_guard.trigger)
         return _active_guard
 
 
 def uninstall_preemption_handler():
-    """Remove the guard and restore the previous SIGTERM disposition
-    (test hygiene; production processes keep the guard for life)."""
-    global _active_guard, _prev_handler
+    """Remove the guard and restore every signal's previous disposition
+    (in-process callers -- tests, notebooks -- must not leave a flag-setting
+    handler that nobody polls swallowing real termination requests)."""
+    global _active_guard
     with _active_lock:
         if _active_guard is not None:
-            signal.signal(signal.SIGTERM,
-                          _prev_handler if _prev_handler is not None
-                          else signal.SIG_DFL)
+            for sig, prev in _prev_handlers.items():
+                signal.signal(sig, prev if prev is not None
+                              else signal.SIG_DFL)
+            _prev_handlers.clear()
             _active_guard = None
-            _prev_handler = None
 
 
 def active() -> PreemptionGuard | None:

@@ -157,6 +157,27 @@ def test_midepoch_preempt_resume_on_mesh(tmp_path, guard):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_midepoch_resume_rejects_changed_batch_size(tmp_path, guard):
+    """batches_done is in batch units: resuming with a different batch size
+    (or shuffle seed) would silently train the wrong samples -- hard error."""
+    x, y = _data()
+    out = tmp_path / "b.msgpack"
+    with pytest.raises(TrainingPreempted):
+        _run(x, y, out, trigger_at=8 + 3)
+    guard.reset()
+
+    train = _TriggerDataset(x[:8], y[:8])
+    g, tx, state = _fresh(x)
+    with pytest.raises(ValueError, match="batch_size"):
+        train_gridwise(g, {"train": train}, state=state, tx=tx,
+                       num_epochs=3, batch_size=4, verbose=False,
+                       resume=str(out) + ".latest")
+    with pytest.raises(ValueError, match="shuffle_seed"):
+        train_gridwise(g, {"train": train}, state=state, tx=tx,
+                       num_epochs=3, batch_size=2, shuffle_seed=9,
+                       verbose=False, resume=str(out) + ".latest")
+
+
 def test_real_sigterm_sets_the_guard(guard):
     assert not guard.triggered
     signal.raise_signal(signal.SIGTERM)
