@@ -860,7 +860,8 @@ def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
     def as_pair(tokens):
         if tokens is None:
             return None
-        if isinstance(tokens, tuple):  # already (x, y) -- passthrough
+        # (x, y) pair or a map-style dataset yielding (x, y) -- passthrough
+        if isinstance(tokens, tuple) or _is_dataset(tokens):
             return tokens
         tokens = np.asarray(tokens)
         # x is a per-row dummy: the tokens travel ONCE as y (the clean
@@ -870,7 +871,10 @@ def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
     pairs = {k: as_pair(v) for k, v in dataloaders.items()}
     if state is None:
         rng = rng if rng is not None else jax.random.key(0)
-        sample = jnp.asarray(pairs["train"][1][:1])
+        train = pairs["train"]
+        # model input is the TOKEN row (y); x is the per-row dummy
+        sample = (jnp.asarray(np.asarray(train[0][1]))[None]
+                  if _is_dataset(train) else jnp.asarray(train[1][:1]))
         state = create_train_state(model, rng, sample, tx, train_init=False)
     return _run_training(model, state, tx, pairs, "mlm", num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,

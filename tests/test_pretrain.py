@@ -105,6 +105,61 @@ def test_train_mlm_mesh_matches_single_device():
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_train_mlm_preempt_resume_matches_uninterrupted(tmp_path):
+    """Mid-epoch preemption during MLM pretraining resumes bit-identically:
+    the on-device corruption is keyed on state.step, so the restored step
+    counter reproduces the exact mask sequence for the remaining batches."""
+    from gridnext_tpu.train import TrainingPreempted
+    from gridnext_tpu.train.preempt import (
+        install_preemption_handler,
+        uninstall_preemption_handler,
+    )
+
+    tokens = _corpus(n=96)
+
+    def run(out, resume=None):
+        return train_mlm(_tiny_lm(tokens.shape[1]),
+                         {"train": tokens, "val": tokens[:16]},
+                         mask_id=MASK_ID, learning_rate=5e-3, num_epochs=3,
+                         batch_size=16, outfile=str(out), resume=resume,
+                         redraw_every=2, verbose=False)
+
+    s3, vh3, _ = run(tmp_path / "a.msgpack")
+
+    guard = install_preemption_handler()
+    try:
+        out = tmp_path / "b.msgpack"
+
+        class Trip:  # trip the guard partway through epoch 1's train phase
+            def __init__(self):
+                self.n = 0
+
+            def __len__(self):
+                return len(tokens)
+
+            def __getitem__(self, i):
+                self.n += 1
+                if self.n == 96 + 40:
+                    guard.trigger()
+                return np.zeros((1,), np.int8), tokens[i]
+
+        with pytest.raises(TrainingPreempted):
+            train_mlm(_tiny_lm(tokens.shape[1]),
+                      {"train": Trip(), "val": tokens[:16]},
+                      mask_id=MASK_ID, learning_rate=5e-3, num_epochs=3,
+                      batch_size=16, outfile=str(out), redraw_every=2,
+                      verbose=False)
+        guard.reset()
+        sr, vhr, _ = run(out, resume=str(out) + ".latest")
+    finally:
+        uninstall_preemption_handler()
+
+    for a, b in zip(jax.tree_util.tree_leaves(s3.params),
+                    jax.tree_util.tree_leaves(sr.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert vhr == vh3[1:]
+
+
 def test_pretrain_cli_transfers_into_scbert(tmp_path):
     """simulate --gene2vec-names -> pretrain-scbert -> every LM weight lands
     under scBERT's performer_lm scope; only the classifier head re-inits
