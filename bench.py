@@ -172,15 +172,17 @@ def bench_tpu_image_alt():
     TpuPatchClassifier is the recommended f for NEW training (DenseNet-121
     is architecture-bound on the MXU; models/tpu_f.py). Same patch
     extraction + corrector; only f differs. Measured round 3 (v5e, the
-    wide16+rms default): 127,448 spots/s single-slide, 141,207 batched.
+    wide16+rms default): 127,448 spots/s single-slide, 141,207 at batch=4;
+    late-round sweep: 184,197 batch=4 / 192,728 batch=8 (batch=12 exceeds
+    the remote-compile limits), so batch=8 is the served configuration.
     """
     import jax.numpy as jnp
 
     from gridnext_tpu.models import TpuPatchClassifier
 
     f = TpuPatchClassifier(n_classes=N_CLASSES, dtype=jnp.bfloat16)
-    return bench_tpu_image(f=f, slide_batch=4,
-                           label="tpu image pipeline [TpuPatchClassifier f, batch=4]")
+    return bench_tpu_image(f=f, slide_batch=8,
+                           label="tpu image pipeline [TpuPatchClassifier f, batch=8]")
 
 
 def bench_tpu_image_hd(h_hd: int = 384, patch: int = 32, chunk: int = 1536,

@@ -157,6 +157,37 @@ def test_midepoch_preempt_resume_on_mesh(tmp_path, guard):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_preempt_checkpoint_is_mesh_portable(tmp_path, guard):
+    """Elastic recovery across device counts: a job preempted on one mesh
+    resumes on a DIFFERENT mesh (or a single device) -- params are
+    replicated in the checkpoint and batches_done counts batches, so the
+    resume position is device-layout-agnostic. (Exact numerics across
+    layouts are NOT expected -- reduction order differs -- only that the
+    right remaining work runs.)"""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    x, y = _data()
+    out = tmp_path / "b.msgpack"
+    with pytest.raises(TrainingPreempted):
+        _run(x, y, out, trigger_at=8 + 3, mesh_shape={"data": 2, "spot": 2})
+    import shutil
+
+    preempted = tmp_path / "preempted.ckpt"   # resumes overwrite '.latest'
+    shutil.copy(str(out) + ".latest", preempted)
+    meta = load_checkpoint(str(preempted))
+    assert 0 < meta["batches_done"] < 4
+
+    # resume layouts: single device, and a different mesh factorization
+    # (the data axis must still divide batch_size=2)
+    for i, shape in enumerate((None, {"data": 2, "spot": 4})):
+        guard.reset()
+        sr, vhr, thr = _run(x, y, tmp_path / f"r{i}.msgpack",
+                            resume=str(preempted), mesh_shape=shape)
+        assert int(sr.step) == 3 * 4         # full run's step count
+        assert len(vhr) == 2 and len(thr) == 2
+        assert all(np.isfinite(v) for v in vhr + thr)
+
+
 def test_midepoch_resume_rejects_changed_batch_size(tmp_path, guard):
     """batches_done is in batch units: resuming with a different batch size
     (or shuffle seed) would silently train the wrong samples -- hard error."""
