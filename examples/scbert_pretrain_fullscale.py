@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--bin-num", type=int, default=5)
+    ap.add_argument("--dim", type=int, default=200,
+                    help="width; 200 = reference checkpoint shape. Width is "
+                         "nearly FREE on TPU (measured flat 200..384, "
+                         "docs/roadmap.md): new pretrains should prefer "
+                         "256 with --heads 8")
+    ap.add_argument("--heads", type=int, default=10)
     ap.add_argument("--mask-prob", type=float, default=0.15)
     ap.add_argument("--timed-steps", type=int, default=3)
     ap.add_argument("--bf16", action="store_true",
@@ -47,14 +53,15 @@ def main(argv=None):
 
     mask_id = args.bin_num + 1
     print(f"PerformerLM(num_tokens={args.bin_num + 2}, "
-          f"seq_len={args.vocab}, dim=200, depth={args.depth}, heads=10, "
+          f"seq_len={args.vocab}, dim={args.dim}, depth={args.depth}, heads={args.heads}, "
           f"remat, generalized features{', bf16' if args.bf16 else ''}), "
           f"batch={args.batch}, mask_prob={args.mask_prob} on "
           f"{jax.devices()[0].device_kind}", flush=True)
 
     lm = PerformerLM(num_tokens=args.bin_num + 2,
                      max_seq_len=args.vocab + 1,   # scBERT appends 1 token
-                     dim=200, depth=args.depth, heads=10, remat=True,
+                     dim=args.dim, depth=args.depth, heads=args.heads,
+                     remat=True,
                      generalized_attention=True,
                      dtype=jnp.bfloat16 if args.bf16 else None)
 

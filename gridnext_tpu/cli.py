@@ -1819,7 +1819,11 @@ def main(argv=None):
     s.add_argument("--scbert-vocab", type=int, default=16906,
                    help="gene2vec tokens (full vocabulary = 16,906; "
                         "truncate for small runs)")
-    s.add_argument("--scbert-dim", type=int, default=200)
+    s.add_argument("--scbert-dim", type=int, default=200,
+                   help="model width. 200 matches the reference checkpoint "
+                        "shape; for NEW pretraining width is nearly free on "
+                        "TPU (step time measured flat 200..384, "
+                        "docs/roadmap.md) -- prefer 256 with --scbert-heads 8")
     s.add_argument("--scbert-depth", type=int, default=6)
     s.add_argument("--scbert-heads", type=int, default=10)
     s.add_argument("--remat", action="store_true",
