@@ -693,6 +693,8 @@ def _cmd_train_mm(args):
             args.spaceranger, hd_binning, args.scbert_vocab)
         f_count = scBERT(n_genes=vocab, dim=args.scbert_dim,
                          depth=args.scbert_depth, heads=args.scbert_heads,
+                         dim_head=args.scbert_dim_head,
+                         nb_features=args.scbert_features,
                          n_classes=n_classes, generalized_attention=True)
         # transformer activations dwarf the image-f's per spot; chunk small
         count_chunk = 8 if args.count_chunk is None else args.count_chunk
@@ -806,6 +808,8 @@ def _cmd_train_mm(args):
                    "scbert_vocab": vocab, "scbert_dim": args.scbert_dim,
                    "scbert_depth": args.scbert_depth,
                    "scbert_heads": args.scbert_heads,
+                   "scbert_dim_head": args.scbert_dim_head,
+                   "scbert_features": args.scbert_features,
                    "hd_binning": hd_binning,
                    "grid_dims": ([mm_grids.image_dataset.h_st,
                                   mm_grids.image_dataset.w_st] if square
@@ -883,6 +887,8 @@ def _mm_model_from_meta(meta, classes):
                          dim=meta["scbert_dim"],
                          depth=meta["scbert_depth"],
                          heads=meta["scbert_heads"],
+                         dim_head=meta.get("scbert_dim_head", 64),
+                         nb_features=meta.get("scbert_features"),
                          n_classes=len(classes),
                          generalized_attention=True)
     else:
@@ -973,7 +979,9 @@ def _cmd_pretrain_scbert(args):
     # the checkpoint serves either kernel at fine-tune time
     lm = PerformerLM(num_tokens=args.bin_num + 2, max_seq_len=vocab + 1,
                      dim=args.scbert_dim, depth=args.scbert_depth,
-                     heads=args.scbert_heads, remat=args.remat,
+                     heads=args.scbert_heads,
+                     dim_head=args.scbert_dim_head,
+                     nb_features=args.scbert_features, remat=args.remat,
                      generalized_attention=not args.softmax_features)
     os.makedirs(args.out, exist_ok=True)
     outfile = os.path.join(args.out, "scbert_lm.msgpack")
@@ -987,7 +995,10 @@ def _cmd_pretrain_scbert(args):
     with open(os.path.join(args.out, "pretrain.json"), "w") as fh:
         json.dump({"model": "PerformerLM-MLM", "vocab": vocab,
                    "dim": args.scbert_dim, "depth": args.scbert_depth,
-                   "heads": args.scbert_heads, "bin_num": args.bin_num,
+                   "heads": args.scbert_heads,
+                   "dim_head": args.scbert_dim_head,
+                   "nb_features": args.scbert_features,
+                   "bin_num": args.bin_num,
                    "mask_prob": args.mask_prob,
                    # the checkpoint holds the BEST-val params; describe those
                    "val_loss": (float(min(val_hist)) if val_hist else None)},
@@ -1655,6 +1666,22 @@ def _add_image_train_args(s):
     s.add_argument("--bf16", action="store_true")
 
 
+def _add_scbert_geometry_args(s):
+    s.add_argument("--scbert-dim-head", type=int, default=64,
+                   help="per-head attention width (64 = the reference "
+                        "checkpoint shape)")
+    s.add_argument("--scbert-features", type=int, default=None,
+                   help="FAVOR random features m per head (default: "
+                        "dim_head*ln(dim_head) = 266 at dim_head 64, the "
+                        "reference checkpoint shape). For NEW models m=64 "
+                        "measured +49%% full-scale pretraining throughput "
+                        "on v5e -- with generalized (ReLU) features m is a "
+                        "capacity knob, not an approximation bound "
+                        "(docs/roadmap.md). Must match between "
+                        "pretrain-scbert and train-mm for checkpoint "
+                        "transfer (the FAVOR projection shape depends on it)")
+
+
 def _add_mesh_args(s):
     s.add_argument("--mesh", default=None,
                    help="multi-chip device mesh: 'auto' (data x spot over "
@@ -1771,6 +1798,7 @@ def main(argv=None):
     s.add_argument("--scbert-dim", type=int, default=200)
     s.add_argument("--scbert-depth", type=int, default=6)
     s.add_argument("--scbert-heads", type=int, default=10)
+    _add_scbert_geometry_args(s)
     s.add_argument("--scbert-ckpt", default=None,
                    help="start the scBERT count-f from a pretrained "
                         "checkpoint: a torch .pth (converted on the fly) or "
@@ -1826,6 +1854,7 @@ def main(argv=None):
                         "docs/roadmap.md) -- prefer 256 with --scbert-heads 8")
     s.add_argument("--scbert-depth", type=int, default=6)
     s.add_argument("--scbert-heads", type=int, default=10)
+    _add_scbert_geometry_args(s)
     s.add_argument("--remat", action="store_true",
                    help="rematerialize performer layers (required for "
                         "full-scale pretraining in 16 GB HBM)")

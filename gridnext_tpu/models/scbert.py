@@ -64,6 +64,15 @@ class scBERT(nn.Module):
     dim: int = 200
     depth: int = 6
     heads: int = 10
+    # Attention geometry. The reference-checkpoint shape is dim_head=64 with
+    # nb_features=None -> dim_head*ln(dim_head)=266 random features. For NEW
+    # training, fewer features are a measured throughput lever on TPU (the
+    # (B, heads, n_genes, m) feature tensors dominate the layer cost):
+    # nb_features=64 is +49% pretraining step rate at full scale and with
+    # generalized (ReLU) features m is a capacity knob, not a softmax
+    # approximation bound (docs/roadmap.md width/features sweeps).
+    dim_head: int = 64
+    nb_features: Optional[int] = None
     local_attn_heads: int = 0
     n_classes: Optional[int] = None
     g2v_weights: Optional[np.ndarray] = None
@@ -85,6 +94,7 @@ class scBERT(nn.Module):
         self.lm = PerformerLM(
             num_tokens=self.bin_num + 2, max_seq_len=self.n_genes + 1,
             dim=self.dim, depth=self.depth, heads=self.heads,
+            dim_head=self.dim_head, nb_features=self.nb_features,
             local_attn_heads=self.local_attn_heads,
             pos_emb_kind="gene2vec" if self.g2v_weights is not None else "none",
             g2v_weights=self.g2v_weights, remat=self.remat,

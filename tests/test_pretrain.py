@@ -8,6 +8,7 @@ pretrain-scbert -> train-mm --scbert-ckpt transfer contract.
 """
 
 import glob
+import json
 import os
 
 import jax
@@ -178,6 +179,7 @@ def test_pretrain_cli_transfers_into_scbert(tmp_path):
           "--out", out, "--epochs", "1", "--batch-size", "64",
           "--scbert-vocab", "32", "--scbert-dim", "16",
           "--scbert-depth", "2", "--scbert-heads", "2",
+          "--scbert-dim-head", "8", "--scbert-features", "16",
           "--redraw-every", "0"])
     ckpt = os.path.join(out, "scbert_lm.msgpack")
     assert os.path.exists(ckpt)
@@ -188,7 +190,12 @@ def test_pretrain_cli_transfers_into_scbert(tmp_path):
     assert set(loaded["params"]) == {"performer_lm"}  # auto-nested raw LM
     assert "performer_lm" in loaded["favor"]
 
+    # matching attention geometry (the FAVOR projection shape depends on
+    # dim_head/nb_features; pretrain.json records what was used)
+    pj = json.load(open(os.path.join(out, "pretrain.json")))
+    assert pj["dim_head"] == 8 and pj["nb_features"] == 16
     model = scBERT(n_genes=32, bin_num=BIN_NUM, dim=16, depth=2, heads=2,
+                   dim_head=8, nb_features=16,
                    n_classes=3, generalized_attention=True)
     st = create_train_state(model, jax.random.key(0),
                             jnp.zeros((1, 32), jnp.float32), optax.adam(1e-4))
