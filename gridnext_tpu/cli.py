@@ -733,7 +733,8 @@ def _cmd_train_mm(args):
                 print("scBERT checkpoint: "
                       + ("all parameters loaded" if not skipped else
                          f"{len(skipped)} entries re-initialized "
-                         f"(head swap / vocab mismatch): {skipped[:3]}"))
+                         "(head swap / vocab or attention-geometry "
+                         f"mismatch): {skipped[:3]}"))
             f_count_kw = dict(state=f_count_state0, tx=tx_f)
         else:
             f_count_kw = {}
