@@ -249,10 +249,9 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
 def _validated_count_cache(srd, meta):
     """Path of ``srd``'s unified count cache, verified to exist and (when
     the model recorded its training genes) to carry that exact gene axis."""
-    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io import unified_cache_path
 
-    suffix = unified_count_suffix(meta.get("hd_binning"))
-    cfile = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+    cfile = unified_cache_path(srd, meta.get("hd_binning"))
     if not os.path.exists(cfile):
         sys.exit(f"error: {cfile} not found -- run "
                  f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
@@ -375,13 +374,11 @@ def _cmd_train_count(args):
     import numpy as np
 
     from gridnext_tpu.data import create_visium_dataset
-    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io import unified_cache_path
     from gridnext_tpu.models import CountMLP
 
     hd_binning, grid_dims = _parse_hd_args(args, require_dims=False)
-    suffix = unified_count_suffix(hd_binning)
-    caches = [os.path.join(s, os.path.basename(s.rstrip("/")) + suffix)
-              for s in args.spaceranger]
+    caches = [unified_cache_path(s, hd_binning) for s in args.spaceranger]
     _warn_existing_caches(args, caches)
     kw = dict(annot_files=args.annots, use_count=True, use_image=False,
               minimum_detection_rate=args.min_detection,
@@ -500,14 +497,13 @@ def _scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
     """
     import numpy as np
 
-    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io import unified_cache_path
     from gridnext_tpu.io.spaceranger import read_feature_names
     from gridnext_tpu.io.unify import read_unified_genes
     from gridnext_tpu.models.scbert import (load_gene2vec_names,
                                             preprocess_scbert)
 
-    suffix = unified_count_suffix(hd_binning)
-    caches = [os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+    caches = [unified_cache_path(srd, hd_binning)
               for srd in spaceranger_dirs]
     # First cache only: cross-file gene-axis consistency is enforced by the
     # dataset constructors (train) / _validated_count_cache (register), and
@@ -791,13 +787,11 @@ def _cmd_train_mm(args):
                                outfile=g_out, resume=_resume_path(args, g_out))
 
     save_checkpoint(g_out, state)
-    from gridnext_tpu.io import unified_count_suffix
+    from gridnext_tpu.io import unified_cache_path
     from gridnext_tpu.io.unify import read_unified_genes
 
-    suffix = unified_count_suffix(hd_binning)
-    cache0 = os.path.join(args.spaceranger[0],
-                          os.path.basename(args.spaceranger[0].rstrip("/")) + suffix)
-    genes = read_unified_genes(cache0)
+    genes = read_unified_genes(unified_cache_path(args.spaceranger[0],
+                                                  hd_binning))
     with open(os.path.join(args.out, "model.json"), "w") as fh:
         json.dump({"classes": classes, "patch_px": args.patch_px,
                    "window_px": args.window_px,
@@ -867,11 +861,13 @@ def _image_registrar_from_meta(meta, classes, variables, mesh=None):
         return SlideRegistrar.from_gridnet(
             g, variables, patch_size=meta.get("patch_px", 128),
             window_size=meta.get("window_px"), mesh=mesh,
+            patch_chunk=meta.get("patch_chunk", 624),
             normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
     g = GridNetHex(patch_classifier=f, n_classes=len(classes))
     return SlideRegistrar.from_gridnet(
         g, variables, patch_size=meta.get("patch_px", 128),
-        window_size=meta.get("window_px"), mesh=mesh, normalize=None)
+        window_size=meta.get("window_px"), mesh=mesh,
+        patch_chunk=meta.get("patch_chunk", 624), normalize=None)
 
 
 def _mm_model_from_meta(meta, classes):

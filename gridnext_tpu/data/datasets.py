@@ -21,10 +21,12 @@ patches.
 
 from __future__ import annotations
 
+import collections
 import functools
 import glob
 import os
 import re
+import threading
 from pathlib import Path
 from typing import Callable, Optional, Sequence
 
@@ -78,6 +80,11 @@ class _GridDatasetBase:
         return np.stack(xs), np.stack(ys)
 
 
+_FRAME_CACHE_MAX = 4
+_FRAME_CACHE = collections.OrderedDict()  # (path, delim, mtime_ns, size) -> frame
+_FRAME_CACHE_LOCK = threading.Lock()
+
+
 def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
     """LRU-cached unified-count read, keyed on (path, mtime, size).
 
@@ -86,37 +93,45 @@ def _read_count_frame(count_file: str, cfile_delim: str = "\t"):
     cached frame instead of serving stale data.
 
     Migrate-on-first-read: a foreign (pandas-fallback-written) gzip cache
-    is value-exactly rewritten in the native multi-member format BEFORE
-    the stat, so the cached parse reads (and keys on) the migrated file
-    and every later epoch's read inflates across the thread pool
-    (GNX_CACHE_MIGRATE=0 opts out). Gated to OUR ``.unified*.tsv.gz``
-    cache artifacts by name -- user-authored count files (arbitrary TSVs
-    through CountGridDataset/workflows) are never rewritten.
+    is value-exactly rewritten in the native multi-member format as part
+    of the SAME parse that serves this read (``read_tsv_dataframe(...,
+    migrate=True)`` -- one inflate, no second pass), and the cache is
+    keyed on the migrated file's stat, so every later epoch's read
+    inflates across the thread pool (GNX_CACHE_MIGRATE=0 opts out).
+    Gated to OUR ``.unified*.tsv.gz`` cache artifacts by name --
+    user-authored count files (arbitrary TSVs through
+    CountGridDataset/workflows) are never rewritten.
     """
-    if (cfile_delim == "\t"
-            and ".unified" in os.path.basename(count_file)
-            and str(count_file).endswith(".tsv.gz")
-            and os.environ.get("GNX_CACHE_MIGRATE", "1") != "0"):
-        from gridnext_tpu import native
-
-        native.migrate_tsv_gz(count_file)
+    count_file = str(count_file)
     st = os.stat(count_file)
-    return _read_count_frame_cached(count_file, cfile_delim,
-                                    st.st_mtime_ns, st.st_size)
+    key = (count_file, cfile_delim, st.st_mtime_ns, st.st_size)
+    with _FRAME_CACHE_LOCK:
+        if key in _FRAME_CACHE:
+            _FRAME_CACHE.move_to_end(key)
+            return _FRAME_CACHE[key]
 
-
-@functools.lru_cache(maxsize=4)
-def _read_count_frame_cached(count_file: str, cfile_delim: str,
-                             _mtime_ns: int, _size: int):
-    import pandas as pd
-
+    frame = None
     if cfile_delim == "\t":
         from gridnext_tpu import native
 
-        frame = native.read_tsv_dataframe(count_file)
-        if frame is not None:
-            return frame
-    return pd.read_csv(count_file, header=0, index_col=0, sep=cfile_delim)
+        migrate = (".unified" in os.path.basename(count_file)
+                   and count_file.endswith(".tsv.gz")
+                   and os.environ.get("GNX_CACHE_MIGRATE", "1") != "0")
+        frame = native.read_tsv_dataframe(count_file, migrate=migrate)
+        if frame is not None and migrate:
+            st = os.stat(count_file)  # re-key on the migrated bytes
+            key = (count_file, cfile_delim, st.st_mtime_ns, st.st_size)
+    if frame is None:
+        import pandas as pd
+
+        frame = pd.read_csv(count_file, header=0, index_col=0,
+                            sep=cfile_delim)
+    with _FRAME_CACHE_LOCK:
+        _FRAME_CACHE[key] = frame
+        _FRAME_CACHE.move_to_end(key)
+        while len(_FRAME_CACHE) > _FRAME_CACHE_MAX:
+            _FRAME_CACHE.popitem(last=False)
+    return frame
 
 
 class CountGridDataset(_GridDatasetBase):

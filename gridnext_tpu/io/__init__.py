@@ -12,5 +12,6 @@ from gridnext_tpu.io.annotations import (  # noqa: F401
 )
 from gridnext_tpu.io.unify import (  # noqa: F401
     prepare_count_files,
+    unified_cache_path,
     unified_count_suffix,
 )

@@ -32,6 +32,19 @@ def unified_count_suffix(hd_binning=None,
     return f".{hd_binning}{base}" if hd_binning else base
 
 
+def unified_cache_path(srd, hd_binning=None,
+                       base: str = ".unified.tsv.gz") -> str:
+    """Canonical path of ``srd``'s unified count cache:
+    ``<srd>/<dirname><suffix>`` (the ``.unified.tsv.gz`` contract,
+    visium_datasets.py:69). The ONE place the naming scheme lives --
+    every reader/writer (prepare, the dataset factory, the CLI's train/
+    register/scBERT paths) must build the path here so the contract can
+    never drift between them."""
+    srd = str(srd)
+    name = os.path.basename(srd.rstrip("/"))
+    return os.path.join(srd, name + unified_count_suffix(hd_binning, base))
+
+
 def assert_gene_axis_match(genes, genes0, cf, cf0):
     """Raise the shared misaligned-gene-axis error when ``genes != genes0``.
 

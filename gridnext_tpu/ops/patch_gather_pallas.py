@@ -185,6 +185,11 @@ def gather_patches(imgs32: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
                          f"superblock {blk_r}x{blk_c}")
     h, w = orig_hw if orig_hw is not None else (hp, wp)
     n = y0.shape[0]
+    if n == 0:
+        # all-background slide (no in-tissue spots): the kernel's warm-up
+        # DMA loop can't index 0-length SMEM refs; match the XLA
+        # extractor's empty-batch behavior instead of a trace error
+        return jnp.zeros((0, window, window, 3), jnp.uint8)
     y0 = jnp.clip(y0, 0, h - window).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, w - window).astype(jnp.int32)
     slide = (jnp.zeros((n,), jnp.int32) if slide is None

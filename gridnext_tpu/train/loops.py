@@ -492,6 +492,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     # the rebuild's improvement, VERDICT r2 #5 + SURVEY §5.3).
     start_epoch = 0
     start_batch = 0
+    redraws_done = 0
     resumed_best = None
     if resume is not None:
         payload = load_checkpoint(resume)
@@ -518,7 +519,15 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         for _ in range(start_epoch):
             rng.permutation(max(n_train, 1))  # replay per-epoch shuffles
         if redraw_every:
-            for _ in range(int(state.step) // redraw_every):
+            # redraws_done is recorded in the checkpoint because the step
+            # count alone can't recover it for warm-started states (a run
+            # entered at step>0 fires its first redraw at the next
+            # redraw_every boundary, not step//redraw_every times in)
+            resumed_redraws = payload.get("redraws_done")
+            if resumed_redraws is None:  # pre-redraws_done checkpoint
+                resumed_redraws = int(state.step) // redraw_every
+            redraws_done = int(resumed_redraws)
+            for _ in range(redraws_done):
                 redraw_rng, _ = jax.random.split(redraw_rng)
 
     # Partial batches ALWAYS pad to a fixed batch_size with loss-masked
@@ -580,6 +589,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                             "batches_done": batches_done,
                             "batch_size": batch_size,
                             "shuffle_seed": shuffle_seed,
+                            "redraws_done": redraws_done,
                             "best_val_loss": (float(best_loss)
                                               if np.isfinite(best_loss)
                                               else None)})
@@ -625,6 +635,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                             from gridnext_tpu.models.performer import redraw_projections
 
                             redraw_rng, sub = jax.random.split(redraw_rng)
+                            redraws_done += 1
                             new_vars = redraw_projections(
                                 {"favor": state.extra_vars["favor"]}, sub,
                                 scaling=redraw_scaling)
@@ -686,6 +697,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 # above is a serving artifact, not a continuation point)
                 ckpt_writer.save(str(outfile) + ".latest", state,
                                  extra_meta={"epochs_done": epoch + 1,
+                                             "redraws_done": redraws_done,
                                              "best_val_loss":
                                                  float(best_loss)
                                                  if np.isfinite(best_loss) else None})

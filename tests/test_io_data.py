@@ -746,3 +746,50 @@ def test_patch_file_discovery_ignores_stray_suffixes(tmp_path):
     (d / "slide_10_13.jpgX").write_bytes(b"x")
     names, coords = _matched_patch_files(str(d), "jpg")
     assert names == ["slide_10_12.jpg"] and coords == [(10, 12)]
+
+
+def test_unified_cache_path_matches_prepare_contract(tmp_path):
+    """unified_cache_path is the one source of the `.unified.tsv.gz`
+    naming scheme (visium_datasets.py:69): it must name exactly the file
+    prepare_count_files writes, for plain Visium and per-binning HD."""
+    from gridnext_tpu.io import unified_cache_path, unified_count_suffix
+
+    srd = str(tmp_path / "arrayA")
+    assert unified_cache_path(srd) == os.path.join(
+        srd, "arrayA.unified.tsv.gz")
+    # trailing slash and Path inputs normalize identically
+    assert unified_cache_path(srd + "/") == unified_cache_path(srd)
+    from pathlib import Path as _P
+    assert unified_cache_path(_P(srd)) == unified_cache_path(srd)
+    # HD binning threads through the suffix helper
+    assert unified_cache_path(srd, "016um") == os.path.join(
+        srd, "arrayA" + unified_count_suffix("016um"))
+
+
+def test_image_registrar_from_meta_forwards_patch_chunk():
+    """register/export must serve with the TRAINING-time patch_chunk
+    (meta['patch_chunk']) -- a model trained with a small chunk so f
+    activations fit HBM would otherwise OOM at serving with the 624
+    default."""
+    import jax
+    import jax.numpy as jnp
+
+    from gridnext_tpu import cli
+    from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+
+    classes = ["a", "b", "c"]
+    f = TpuPatchClassifier(n_classes=len(classes), stages=((128, 1),),
+                           stem_patch=8, norm="rms")
+    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
+    variables = g.init(jax.random.key(0),
+                       jnp.zeros((1, 4, 4, 16, 16, 3), jnp.float32))
+    from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+
+    meta = {"model": "GridNetHex+TpuPatchClassifier",
+            "tpu_f": tpu_f_arch_meta(f), "patch_px": 16, "patch_chunk": 48}
+    reg = cli._image_registrar_from_meta(meta, classes, variables)
+    assert reg.patch_chunk == 48
+    # absent key keeps the serving default
+    meta.pop("patch_chunk")
+    assert cli._image_registrar_from_meta(meta, classes,
+                                          variables).patch_chunk == 624

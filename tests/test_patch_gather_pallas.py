@@ -92,3 +92,14 @@ def test_gather_fewer_spots_than_depth(img):
     got = np.asarray(gather_patches(packed, jnp.asarray(y0), jnp.asarray(x0),
                                     WIN, orig_hw=(h, w), depth=8))
     np.testing.assert_array_equal(got, _ref_crop(img, y0, x0))
+
+
+def test_gather_zero_spots(img):
+    """An all-background slide (no in-tissue spots) yields an empty patch
+    batch, matching the XLA extractor, instead of a kernel trace error."""
+    h, w = img.shape[:2]
+    packed = pack_wsi(jnp.asarray(img))
+    got = np.asarray(gather_patches(packed, jnp.zeros((0,), jnp.int32),
+                                    jnp.zeros((0,), jnp.int32),
+                                    WIN, orig_hw=(h, w)))
+    assert got.shape == (0, WIN, WIN, 3) and got.dtype == np.uint8

@@ -211,3 +211,61 @@ def test_pretrain_cli_transfers_into_scbert(tmp_path):
     y = model.apply({"params": merged, "favor": st.extra_vars["favor"]},
                     jnp.zeros((2, 32), jnp.float32))
     assert y.shape == (2, 3)
+
+
+def test_warm_started_preempt_resume_matches_uninterrupted(tmp_path):
+    """Resume must replay the FAVOR redraw stream of a WARM-STARTED run
+    (state entered at step > 0): the checkpoint records redraws_done, so
+    fast-forwarding doesn't assume the run began at step 0 (which would
+    replay step//redraw_every splits and silently diverge)."""
+    from gridnext_tpu.train import TrainingPreempted
+    from gridnext_tpu.train.preempt import (
+        install_preemption_handler,
+        uninstall_preemption_handler,
+    )
+
+    tokens = _corpus(n=96)
+    model = _tiny_lm(tokens.shape[1])
+
+    # Warm start: 2 epochs leave state.step = 12 with redraw_every unset,
+    # so the continuation's first redraw happens at its OWN first boundary
+    warm, _, _ = train_mlm(model, {"train": tokens}, mask_id=MASK_ID,
+                           learning_rate=5e-3, num_epochs=2, batch_size=16,
+                           verbose=False)
+    assert int(warm.step) == 12
+
+    def cont(out, data, resume=None):
+        return train_mlm(model, {"train": data, "val": tokens[:16]},
+                         mask_id=MASK_ID, learning_rate=5e-3, num_epochs=3,
+                         batch_size=16, outfile=str(out), state=warm,
+                         resume=resume, redraw_every=5, verbose=False)
+
+    s_full, _, _ = cont(tmp_path / "a.msgpack", tokens)
+
+    guard = install_preemption_handler()
+    try:
+        out = tmp_path / "b.msgpack"
+
+        class Trip:  # preempt partway through epoch 1's train phase
+            def __init__(self):
+                self.n = 0
+
+            def __len__(self):
+                return len(tokens)
+
+            def __getitem__(self, i):
+                self.n += 1
+                if self.n == 96 + 40:
+                    guard.trigger()
+                return np.zeros((1,), np.int8), tokens[i]
+
+        with pytest.raises(TrainingPreempted):
+            cont(out, Trip())
+        guard.reset()
+        s_r, _, _ = cont(out, tokens, resume=str(out) + ".latest")
+    finally:
+        uninstall_preemption_handler()
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
