@@ -248,23 +248,15 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
 
 def _validated_count_cache(srd, meta):
     """Path of ``srd``'s unified count cache, verified to exist and (when
-    the model recorded its training genes) to carry that exact gene axis."""
-    from gridnext_tpu.io import unified_cache_path
+    the model recorded its training genes) to carry that exact gene axis
+    (io.unify.validated_unified_cache, mapped to a CLI exit)."""
+    from gridnext_tpu.io.unify import validated_unified_cache
 
-    cfile = unified_cache_path(srd, meta.get("hd_binning"))
-    if not os.path.exists(cfile):
-        sys.exit(f"error: {cfile} not found -- run "
-                 f"`python -m gridnext_tpu prepare --spaceranger {srd}` first")
-    if meta.get("genes") is not None:
-        from gridnext_tpu.io.unify import read_unified_genes
-
-        genes = read_unified_genes(cfile)
-        if genes != meta["genes"]:
-            sys.exit(
-                f"error: {cfile} has a different gene set/order than the "
-                "model was trained on -- regenerate the unified counts "
-                "with the training cohort's settings")
-    return cfile
+    try:
+        return validated_unified_cache(srd, meta.get("hd_binning"),
+                                       genes=meta.get("genes"))
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(f"error: {e}")
 
 
 def _warn_existing_caches(args, suffix_paths):
@@ -1211,6 +1203,63 @@ def _cmd_serve_artifact(args):
                      hd_binning=side.get("hd_binning"), hex_coords=hexc)
 
 
+def _cmd_serve(args):
+    """Resident registration server: load the model (or artifact) once,
+    compile once, then register slides per HTTP request (server.py --
+    the third serving shape next to batch `register` and the
+    `export`/`serve-artifact` deployment units)."""
+    from gridnext_tpu.server import RegistrationService, make_server
+
+    try:
+        if args.artifact:
+            service = RegistrationService.from_artifact(args.artifact)
+        else:
+            mesh = None
+            if getattr(args, "mesh", None):
+                from gridnext_tpu.train.loops import _resolve_mesh
+
+                mesh = _resolve_mesh(None, _parse_mesh(args))
+                print(f"serving over mesh "
+                      f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+            service = RegistrationService.from_model_dir(args.model,
+                                                         mesh=mesh)
+    except (ValueError, FileNotFoundError) as e:
+        sys.exit(f"error: {e}")
+
+    if args.warmup:
+        # absorb the first-request XLA compile before listening
+        if service.needs_image and len(args.warmup) != 2:
+            sys.exit("error: --warmup needs IMAGE SPACERANGER for this "
+                     "model (it registers slides)")
+        if not service.needs_image and len(args.warmup) != 1:
+            sys.exit("error: --warmup needs just SPACERANGER for a count "
+                     "model")
+        image, srd = ((args.warmup[0], args.warmup[1])
+                      if service.needs_image else (None, args.warmup[0]))
+        import time as _time
+
+        t0 = _time.perf_counter()
+        try:
+            service.register(srd, image=image)
+        except (ValueError, FileNotFoundError) as e:
+            sys.exit(f"error: warmup failed: {e}")
+        print(f"warmup register: {_time.perf_counter() - t0:.1f}s "
+              "(includes compile); subsequent requests skip it")
+
+    httpd = make_server(service, args.host, args.port, verbose=args.verbose)
+    host, port = httpd.server_address[:2]
+    info = service.info()
+    print(f"serving {info['model']} ({len(service.classes)} classes, "
+          f"backend {info['backend']}) on http://{host}:{port} -- "
+          "GET /healthz | /metrics, POST /register", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        httpd.server_close()
+
+
 def _cmd_register(args):
     import jax
     import numpy as np
@@ -1965,6 +2014,31 @@ def main(argv=None):
     s.add_argument("--images", nargs="+", required=True)
     s.add_argument("--out", required=True)
     s.set_defaults(fn=_cmd_serve_artifact)
+
+    s = sub.add_parser(
+        "serve",
+        help="resident HTTP registration server: model loaded + compiled "
+             "once, slides registered per request (JSON; see server.py)")
+    src = s.add_mutually_exclusive_group(required=True)
+    src.add_argument("--model", help="trained model directory (image, "
+                                     "count, or multimodal)")
+    src.add_argument("--artifact",
+                     help="exported StableHLO artifact (+ .json sidecar); "
+                          "serves with no model code constructed")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000,
+                   help="0 picks a free port (printed at startup)")
+    s.add_argument("--mesh", default=None,
+                   help="image models: serve over a device mesh ('auto' or "
+                        "axis sizes like 'data=4,spot=2')")
+    s.add_argument("--warmup", nargs="+", default=None,
+                   metavar="PATH",
+                   help="register one sample before listening, absorbing "
+                        "the XLA compile: IMAGE SPACERANGER for image/MM "
+                        "models, SPACERANGER for count models")
+    s.add_argument("--verbose", action="store_true",
+                   help="log every HTTP request")
+    s.set_defaults(fn=_cmd_serve)
 
     args = ap.parse_args(argv)
     if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):

@@ -73,6 +73,30 @@ def read_unified_genes(count_file) -> list:
                             usecols=[0]).index)
 
 
+def validated_unified_cache(srd, hd_binning=None,
+                            genes: Optional[list] = None) -> str:
+    """Path of ``srd``'s unified count cache, verified to exist and (when
+    ``genes`` is given -- a trained model's recorded gene axis) to carry
+    exactly that gene set and order.
+
+    Raises ``FileNotFoundError`` / ``ValueError`` with actionable messages;
+    the CLI's register/evaluate paths wrap these into ``sys.exit`` while
+    the resident server maps them to HTTP 400s -- one validation, two
+    error surfaces.
+    """
+    cfile = unified_cache_path(srd, hd_binning)
+    if not os.path.exists(cfile):
+        raise FileNotFoundError(
+            f"{cfile} not found -- run `python -m gridnext_tpu prepare "
+            f"--spaceranger {srd}` first")
+    if genes is not None and read_unified_genes(cfile) != list(genes):
+        raise ValueError(
+            f"{cfile} has a different gene set/order than the model was "
+            "trained on -- regenerate the unified counts with the training "
+            "cohort's settings")
+    return cfile
+
+
 def check_unified_gene_axis(count_files: Sequence) -> list:
     """Assert pre-existing unified caches share one gene axis; return it.
 
