@@ -1221,8 +1221,8 @@ def _cmd_serve(args):
                 mesh = _resolve_mesh(None, _parse_mesh(args))
                 print(f"serving over mesh "
                       f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
-            service = RegistrationService.from_model_dir(args.model,
-                                                         mesh=mesh)
+            service = RegistrationService.from_model_dir(
+                args.model, mesh=mesh, max_batch=args.max_batch)
     except (ValueError, FileNotFoundError) as e:
         sys.exit(f"error: {e}")
 
@@ -2036,6 +2036,11 @@ def main(argv=None):
                    help="register one sample before listening, absorbing "
                         "the XLA compile: IMAGE SPACERANGER for image/MM "
                         "models, SPACERANGER for count models")
+    s.add_argument("--max-batch", type=int, default=8,
+                   help="image models: concurrent requests that queue while "
+                        "a dispatch runs micro-batch into ONE device "
+                        "dispatch of up to this many same-shape slides "
+                        "(continuous batching; 1 disables)")
     s.add_argument("--verbose", action="store_true",
                    help="log every HTTP request")
     s.set_defaults(fn=_cmd_serve)

@@ -303,3 +303,81 @@ def test_load_artifact_validation(tmp_path):
         {"classes": ["a"], "grid_shapes": [[78, 64, 10]]}))
     with pytest.raises(ValueError, match="n_spots"):
         load_artifact(str(blob))
+
+
+def test_micro_batcher_groups_concurrent_requests():
+    """Requests that queue while a dispatch runs batch into ONE
+    register_batch call; results route back to the right waiters and a
+    dispatch error reaches every member of its group."""
+    import jax.numpy as jnp
+
+    from gridnext_tpu.server import _MicroBatcher
+
+    calls = []
+    gate = threading.Event()
+    entered = threading.Event()       # dispatcher is inside __call__
+
+    class FakeRegistrar:
+        hex_coords = True
+
+        def __call__(self, wsi, pos):
+            entered.set()
+            gate.wait()               # hold the dispatcher: others queue up
+            calls.append(("single", 1))
+            return np.full((2, 2), pos)
+
+        def register_batch(self, wsis, poss):
+            if any(p < 0 for p in poss):
+                raise RuntimeError("boom")
+            calls.append(("batch", len(poss)))
+            return np.stack([np.full((2, 2), p) for p in poss])
+
+    b = _MicroBatcher(FakeRegistrar(), max_batch=8)
+    results, errors = {}, {}
+
+    def worker(i):
+        try:
+            results[i] = b.submit(jnp.zeros((4, 4, 3)), i)
+        except Exception as e:
+            errors[i] = e
+
+    import time
+
+    def wait_for(cond, what):
+        deadline = time.time() + 60
+        while not cond():
+            if time.time() > deadline:
+                raise AssertionError(f"timed out waiting for {what}")
+            time.sleep(0.01)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    threads[0].start()
+    wait_for(entered.is_set, "dispatcher to pick request #0")
+    for t in threads[1:]:
+        t.start()
+    wait_for(lambda: b._q.qsize() == 4, "4 requests to queue")
+    gate.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert calls == [("single", 1), ("batch", 4)]
+    for i in range(5):
+        np.testing.assert_array_equal(results[i], np.full((2, 2), i))
+
+    # error delivery: a failing group raises in EVERY member, and the
+    # dispatcher survives to serve the next request
+    t_err = [threading.Thread(target=worker, args=(i,)) for i in (-1, -2)]
+    gate.clear()
+    entered.clear()
+    threads[0] = threading.Thread(target=worker, args=(10,))
+    threads[0].start()                                # occupies dispatcher
+    wait_for(entered.is_set, "dispatcher to pick request #10")
+    for t in t_err:
+        t.start()
+    wait_for(lambda: b._q.qsize() == 2, "error pair to queue")
+    gate.set()
+    for t in [threads[0]] + t_err:
+        t.join(timeout=30)
+    assert isinstance(errors[-1], RuntimeError)
+    assert isinstance(errors[-2], RuntimeError)
+    np.testing.assert_array_equal(results[10], np.full((2, 2), 10))
+    assert b.submit(jnp.zeros((4, 4, 3)), 7)[0, 0] == 7   # still alive
