@@ -86,11 +86,14 @@ class DenseNetConfig:
 
 
 def save_config(cfg, path):
+    """Write a config dataclass as JSON."""
     with open(path, "w") as fh:
         json.dump(dataclasses.asdict(cfg), fh, indent=2)
 
 
 def load_config(cls, path):
+    """Read a config dataclass from JSON, ignoring unknown fields (configs
+    written by newer versions still load)."""
     with open(path) as fh:
         raw = json.load(fh)
     fields = {f.name for f in dataclasses.fields(cls)}

@@ -60,6 +60,7 @@ def read_positions_file(position_file) -> pd.DataFrame:
 
 
 def read_positions(spaceranger_dir, hd_binning: Optional[str] = None) -> pd.DataFrame:
+    """Positions DataFrame for an array: find + read in one call."""
     return read_positions_file(find_position_file(spaceranger_dir, hd_binning))
 
 

@@ -32,6 +32,9 @@ from gridnext_tpu.ops import favor
 
 
 def default_nb_features(dim_head: int) -> int:
+    """FAVOR+ random-feature count m = d*ln(d) (performer_pytorch.py:217);
+    the checkpoint-parity value -- see docs/roadmap.md for the measured
+    speed/capacity trade at smaller m with generalized features."""
     return int(dim_head * math.log(dim_head))
 
 

@@ -74,6 +74,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
+    """The compiled TSV-codec library, building it on first use; None when
+    the toolchain/zlib is missing (callers fall back to pure Python)."""
     global _lib, _lib_failed
     if _lib is None and not _lib_failed:
         try:
@@ -84,6 +86,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    """True when the native TSV codec compiled and loaded."""
     return get_lib() is not None
 
 
@@ -280,6 +283,8 @@ def _build_patch_lib() -> Optional[ctypes.CDLL]:
 
 
 def get_patch_lib() -> Optional[ctypes.CDLL]:
+    """The compiled JPEG patch-decode library, building it on first use;
+    None when the toolchain/libjpeg is missing (callers fall back to PIL)."""
     global _patch_lib, _patch_lib_failed
     if _patch_lib is None and not _patch_lib_failed:
         try:

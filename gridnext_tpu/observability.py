@@ -114,5 +114,6 @@ class MetricsLogger:
 
 
 def read_metrics(path) -> list:
+    """Read a MetricsLogger JSONL stream back as a list of dicts."""
     with open(path) as fh:
         return [json.loads(line) for line in fh if line.strip()]

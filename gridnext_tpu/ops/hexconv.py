@@ -33,6 +33,7 @@ from gridnext_tpu import geometry
 
 
 def num_taps(radius: int) -> int:
+    """Stencil size of a hex kernel: 1 + 3r(r+1) cells within distance r."""
     return 1 + 3 * radius * (radius + 1)
 
 

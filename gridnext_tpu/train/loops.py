@@ -946,6 +946,8 @@ def save_checkpoint(path, state: TrainState, include_opt_state: bool = True,
 
 
 def load_checkpoint(path):
+    """Read a save_checkpoint payload dict (params/batch_stats/extra_vars/
+    step, optionally opt_state) from a msgpack file."""
     with open(path, "rb") as fh:
         return flax.serialization.msgpack_restore(fh.read())
 
