@@ -1212,6 +1212,10 @@ def _cmd_serve(args):
 
     try:
         if args.artifact:
+            if getattr(args, "mesh", None):
+                sys.exit("error: --mesh applies to --model serving; "
+                         "artifacts serialize the single-device path "
+                         "(re-export is not mesh-aware)")
             service = RegistrationService.from_artifact(args.artifact)
         else:
             mesh = None

@@ -22,6 +22,7 @@ _CASES = [  # (example, args, accepts --out)
     ("multimodal_smoke", ["--n-genes", "64"], False),
     ("scbert_count",
      ["--steps", "2", "--vocab", "128", "--sim-genes", "16"], True),
+    ("serve_http", ["--requests", "3"], True),
 ]
 
 
