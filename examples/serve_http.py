@@ -89,11 +89,14 @@ def main():
 
     # concurrent requests: decode overlaps device work, queued slides
     # micro-batch into shared dispatches
-    results = []
+    results, failures = [], []
     def worker(i):
         s = sims[i % len(sims)]
-        results.append(post({"image": str(s["image_file"]),
-                             "spaceranger": str(s["spaceranger_dir"])}))
+        try:
+            results.append(post({"image": str(s["image_file"]),
+                                 "spaceranger": str(s["spaceranger_dir"])}))
+        except Exception as e:      # surface, don't vacuously pass below
+            failures.append(e)
     def fire_round():
         start = time.perf_counter()
         threads = [threading.Thread(target=worker, args=(i,))
@@ -107,6 +110,9 @@ def main():
     fire_round()              # cold: compiles the batched-dispatch shapes
     results.clear()
     dt = fire_round()         # warm: the steady-state serving number
+    if failures:
+        raise SystemExit(f"{len(failures)} requests failed: {failures[0]}")
+    assert len(results) == args.requests
     n_spots = sum(r["n_foreground"] for r in results)
     with urllib.request.urlopen(base + "/metrics") as r:
         metrics = json.loads(r.read())

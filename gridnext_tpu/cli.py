@@ -15,6 +15,8 @@ this thin layer scripts the common flows end to end:
                renders the ROC/PR grid and confusion heatmap)
   export       serialize a model's registration pipeline to StableHLO
   serve-artifact  register slides from an exported artifact, model-free
+  serve        resident HTTP server: model loaded + compiled once,
+               slides registered per request (server.py)
 
 Example:
   python -m gridnext_tpu simulate --out /tmp/demo --arrays 4
@@ -30,6 +32,15 @@ import argparse
 import json
 import os
 import sys
+
+# meta -> model construction lives in modeldir.py (shared with the resident
+# server, server.py); the private aliases remain for in-repo callers/tests
+from gridnext_tpu.modeldir import (
+    grid_model_from_meta as _grid_model_from_meta,
+    image_registrar_from_meta as _image_registrar_from_meta,
+    load_model_dir as _load_model_dir,
+    mm_model_from_meta as _mm_model_from_meta,
+)
 
 
 def _cmd_simulate(args):
@@ -478,51 +489,14 @@ def _cmd_train_image(args):
 
 
 def _scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
-    """gene2vec-space count preprocessing for a scBERT count-f.
+    """modeldir.scbert_count_transform, mapped to a CLI exit (the zero-
+    overlap failure is a user-input error worth a clean message)."""
+    from gridnext_tpu.modeldir import scbert_count_transform
 
-    Unified caches index genes by feature ID (ENSEMBL); gene2vec uses
-    symbols, so map IDs -> symbols via the first array's features.tsv.gz
-    (read_feature_names), falling back to the raw IDs for symbol-indexed
-    caches. Returns (transform, n_tokens): transform reindexes any
-    (..., n_cohort_genes) count array into the (..., vocab) scBERT input
-    space (depth-normalize + log2(1+x), llm/scbert.py:16-75 semantics).
-    """
-    import numpy as np
-
-    from gridnext_tpu.io import unified_cache_path
-    from gridnext_tpu.io.spaceranger import read_feature_names
-    from gridnext_tpu.io.unify import read_unified_genes
-    from gridnext_tpu.models.scbert import (load_gene2vec_names,
-                                            preprocess_scbert)
-
-    caches = [unified_cache_path(srd, hd_binning)
-              for srd in spaceranger_dirs]
-    # First cache only: cross-file gene-axis consistency is enforced by the
-    # dataset constructors (train) / _validated_count_cache (register), and
-    # re-reading every GB-scale gzip here doubled startup I/O at HD scale.
-    genes = read_unified_genes(caches[0])
     try:
-        names = read_feature_names(spaceranger_dirs[0], hd_binning=hd_binning)
-        sym_lut = names["gene_symbol"].to_dict()
-        symbols = [str(sym_lut.get(g, g)) for g in genes]
-    except Exception:
-        symbols = [str(g) for g in genes]
-    target = load_gene2vec_names()[:vocab]
-    overlap = len(set(symbols) & set(target))
-    if overlap == 0:
-        sys.exit("error: no cohort gene symbols found in the gene2vec "
-                 "vocabulary -- scBERT inputs would be all zeros (check "
-                 "features.tsv.gz symbols / --scbert-vocab)")
-    print(f"scBERT input space: {len(target)} gene2vec tokens, "
-          f"{overlap}/{len(symbols)} cohort genes mapped")
-
-    def transform(x):
-        x = np.asarray(x, np.float32)
-        flat = x.reshape(-1, x.shape[-1])
-        out, _ = preprocess_scbert(flat, symbols, target_genes=target)
-        return out.reshape(x.shape[:-1] + (len(target),))
-
-    return transform, len(target)
+        return scbert_count_transform(spaceranger_dirs, hd_binning, vocab)
+    except ValueError as e:
+        sys.exit(f"error: {e}")
 
 
 def _load_scbert_ckpt(path, depth: int):
@@ -824,95 +798,6 @@ def _write_loupe(label_grid, srd, args, classes, hd_binning=None,
     print(f"registered {name} -> {out_csv}")
 
 
-def _image_registrar_from_meta(meta, classes, variables, mesh=None):
-    """Jitted SlideRegistrar for a trained IMAGE model dir's metadata --
-    the shared construction of `register` and `export` (f architecture,
-    window size, and hex vs square-HD lattice all come from model.json)."""
-    from gridnext_tpu.models import GridNetHex, densenet121
-    from gridnext_tpu.serving import SlideRegistrar
-
-    model_name = meta.get("model", "")
-    if model_name.endswith("TpuPatchClassifier"):
-        from gridnext_tpu.models import TpuPatchClassifier
-        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
-
-        f = TpuPatchClassifier(n_classes=len(classes),
-                               **tpu_f_arch_kwargs(meta.get("tpu_f")))
-    else:
-        f = densenet121(num_classes=len(classes))
-
-    grid_dims = meta.get("grid_dims")
-    if grid_dims is not None:
-        # square HD image model: same jitted slide->labels serving path,
-        # with direct (array_row, array_col) grid indexing and the
-        # Cartesian GridNet corrector (from_gridnet auto-detects it)
-        from gridnext_tpu.models import GridNet
-
-        g = GridNet(patch_classifier=f, n_classes=len(classes),
-                    patch_chunk=meta.get("patch_chunk", 624))
-        return SlideRegistrar.from_gridnet(
-            g, variables, patch_size=meta.get("patch_px", 128),
-            window_size=meta.get("window_px"), mesh=mesh,
-            patch_chunk=meta.get("patch_chunk", 624),
-            normalize=None, h_st=int(grid_dims[0]), w_st=int(grid_dims[1]))
-    g = GridNetHex(patch_classifier=f, n_classes=len(classes))
-    return SlideRegistrar.from_gridnet(
-        g, variables, patch_size=meta.get("patch_px", 128),
-        window_size=meta.get("window_px"), mesh=mesh,
-        patch_chunk=meta.get("patch_chunk", 624), normalize=None)
-
-
-def _mm_model_from_meta(meta, classes):
-    """GridNetMM-family model from a trained model dir's metadata (count-f
-    scBERT vs CountMLP, image-f TPU-shaped vs DenseNet-121, hex vs
-    Cartesian corrector, training-time chunk sizes)."""
-    from gridnext_tpu.models import (CountMLP, GridNetHexMM, GridNetMM,
-                                     TpuPatchClassifier, densenet121)
-
-    if meta.get("count_f") == "scbert":
-        from gridnext_tpu.models import scBERT
-
-        f_count = scBERT(n_genes=meta["scbert_vocab"],
-                         dim=meta["scbert_dim"],
-                         depth=meta["scbert_depth"],
-                         heads=meta["scbert_heads"],
-                         dim_head=meta.get("scbert_dim_head", 64),
-                         nb_features=meta.get("scbert_features"),
-                         n_classes=len(classes),
-                         generalized_attention=True)
-    else:
-        f_count = CountMLP(n_classes=len(classes))
-    if meta.get("image_f") == "tpu":
-        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
-
-        f_image = TpuPatchClassifier(n_classes=len(classes),
-                                     **tpu_f_arch_kwargs(meta.get("tpu_f")))
-    else:
-        f_image = densenet121(num_classes=len(classes))
-    # chunk f like training did (activation memory on real slides)
-    mm_cls = (GridNetMM if meta.get("model") == "GridNetMM"
-              else GridNetHexMM)
-    return mm_cls(image_classifier=f_image, count_classifier=f_count,
-                  n_classes=len(classes),
-                  patch_chunk=meta.get("patch_chunk", 624),
-                  count_chunk=meta.get("count_chunk"))
-
-
-def _load_model_dir(model_dir):
-    """(meta, classes, variables) from a trained model directory."""
-    from gridnext_tpu.train import load_checkpoint
-
-    with open(os.path.join(model_dir, "model.json")) as fh:
-        meta = json.load(fh)
-    payload = load_checkpoint(os.path.join(model_dir, "g_state.msgpack"))
-    variables = {"params": payload["params"]}
-    if payload.get("batch_stats") is not None:
-        variables["batch_stats"] = payload["batch_stats"]
-    # extra collections (e.g. a scBERT count-f's FAVOR+ 'favor' projections)
-    variables.update(payload.get("extra_vars") or {})
-    return meta, meta["classes"], variables
-
-
 def _cmd_pretrain_scbert(args):
     """Masked-expression pretraining of an scBERT-scale PerformerLM on a
     Visium cohort -- the upstream recipe the reference's scBERT checkpoint
@@ -1113,59 +998,19 @@ def _cmd_serve_artifact(args):
     import numpy as np
 
     from gridnext_tpu.ingest import SlideSource
+    from gridnext_tpu.server import load_artifact
     from gridnext_tpu.serving import artifact_spot_inputs
 
-    if not os.path.exists(args.artifact):
-        sys.exit(f"error: artifact {args.artifact} not found")
-    with open(args.artifact, "rb") as fh:
-        blob = fh.read()
-    sidecar_path = args.artifact + ".json"
-    if not os.path.exists(sidecar_path):
-        sys.exit(f"error: {sidecar_path} not found -- the JSON sidecar "
-                 "written by `export` must travel with the artifact (it "
-                 "carries the spot-input geometry and class names)")
-    try:
-        with open(sidecar_path) as fh:
-            side = json.load(fh)
-    except json.JSONDecodeError as e:
-        sys.exit(f"error: {sidecar_path} is not valid JSON ({e})")
-    dense = side.get("kind") == "dense"
-    if "n_spots" not in side and not dense:
-        # check FIRST: count/MM grid sidecars legitimately lack the image
-        # fields below, and "re-export with --wsi-shape" would be wrong
-        # advice for them
-        sys.exit("error: serve-artifact drives image-registration artifacts "
-                 "(wsi -> labels); this sidecar has no n_spots -- count/MM "
-                 "grid artifacts are plain functions of in-memory grids")
-    required = {"classes", "h_st", "w_st", "wsi_shape", "window_px"}
-    required |= {"extent"} if dense else set()
-    missing = sorted(required - side.keys())
-    if missing:
-        sys.exit(f"error: {sidecar_path} is missing required fields "
-                 f"{missing} -- re-export the artifact (`export --model "
-                 "... --wsi-shape H W`)")
     _require_one_image_per_dir(args.images, args.spaceranger)
+    # all artifact/sidecar validation (existence, JSON, n_spots-vs-dense,
+    # required fields, deserialization, platform match) lives in
+    # server.load_artifact -- ONE copy of the sidecar contract for the
+    # batch CLI and the resident server
     try:
-        from jax import export as jexport
-
-        exported = jexport.deserialize(bytearray(blob))
-    except Exception as e:
-        sys.exit(f"error: {args.artifact} is not a jax.export StableHLO "
-                 f"artifact ({type(e).__name__}: {e})")
-    import jax
-
-    here = jax.default_backend()
-    # jax.export records lowering platforms ('cuda'/'rocm'), while
-    # default_backend() says 'gpu' -- accept either spelling
-    accept = {here} | ({"cuda", "rocm"} if here == "gpu" else set())
-    platforms = [str(p).lower()
-                 for p in (getattr(exported, "platforms", None)
-                           or getattr(exported, "lowering_platforms", ()))]
-    if platforms and not accept & set(platforms):
-        sys.exit(f"error: this artifact was exported for platforms "
-                 f"{platforms} but the current backend is {here!r} -- "
-                 "re-export with --platforms including it (pure-XLA "
-                 "artifacts only; Pallas paths are backend-specific)")
+        exported, side = load_artifact(args.artifact)
+    except (FileNotFoundError, ValueError) as e:
+        sys.exit(f"error: {e}")
+    dense = side.get("kind") == "dense"
     fn = exported.call
     hexc = side.get("hex_coords", True)
     source = SlideSource(args.images, args.spaceranger,
@@ -1249,6 +1094,9 @@ def _cmd_serve(args):
             sys.exit(f"error: warmup failed: {e}")
         print(f"warmup register: {_time.perf_counter() - t0:.1f}s "
               "(includes compile); subsequent requests skip it")
+        # /metrics should describe steady-state serving, not the one-off
+        # compile (or the phantom warmup request)
+        service.reset_metrics()
 
     httpd = make_server(service, args.host, args.port, verbose=args.verbose)
     host, port = httpd.server_address[:2]
@@ -1384,35 +1232,6 @@ def _cmd_register(args):
         _write_loupe(label_grid, srd, args, classes,
                      hd_binning=meta.get("hd_binning"),
                      hex_coords=grid_dims is None)
-
-
-def _grid_model_from_meta(meta, classes):
-    """Grid (g) module for ANY trained model dir: count, image, or MM --
-    the shared construction behind `evaluate` (register's branches inline
-    the same choices; model.json is the single source of truth)."""
-    model_name = meta.get("model", "")
-    if model_name in ("GridNetHexMM", "GridNetMM"):
-        return _mm_model_from_meta(meta, classes)
-    from gridnext_tpu.models import CountMLP, GridNet, GridNetHex
-
-    square = meta.get("grid_dims") is not None
-    if model_name.endswith("TpuPatchClassifier"):
-        from gridnext_tpu.models import TpuPatchClassifier
-        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
-
-        f = TpuPatchClassifier(n_classes=len(classes),
-                               **tpu_f_arch_kwargs(meta.get("tpu_f")))
-        kw = {"patch_chunk": meta.get("patch_chunk", 624)}
-    elif model_name.endswith("DenseNet121"):
-        from gridnext_tpu.models import densenet121
-
-        f = densenet121(num_classes=len(classes))
-        kw = {"patch_chunk": meta.get("patch_chunk", 624)}
-    else:
-        f = CountMLP(n_classes=len(classes))
-        kw = {}
-    cls = GridNet if square else GridNetHex
-    return cls(patch_classifier=f, n_classes=len(classes), **kw)
 
 
 def _evaluate_one(model_dir, args):

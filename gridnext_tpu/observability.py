@@ -50,8 +50,13 @@ class StageTimer:
     """
 
     def __init__(self):
+        import threading
+
         self.totals: dict = {}
         self.counts: dict = {}
+        # stages may close concurrently (the HTTP server times decode on
+        # many handler threads); the read-modify-write must not lose adds
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def __call__(self, name: str):
@@ -60,8 +65,9 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.totals[name] = self.totals.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> dict:
         return dict(self.totals)

@@ -253,7 +253,7 @@ class RegistrationService:
         self.timer = StageTimer()
         self.requests = 0
         self.errors = 0
-        self._count_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
 
     # ---------------------------------------------------------------- build
 
@@ -306,13 +306,18 @@ class RegistrationService:
         models through the jitted grid forward, multimodal models through
         the jitted MM forward (datasets built per request from the
         validated caches)."""
-        from gridnext_tpu.cli import _load_model_dir
+        from gridnext_tpu.modeldir import load_model_dir
 
-        meta, classes, variables = _load_model_dir(model_dir)
+        meta, classes, variables = load_model_dir(model_dir)
         name = meta.get("model", "")
         if name.endswith(("DenseNet121", "TpuPatchClassifier")):
             return cls._image_service(meta, classes, variables, mesh,
                                       max_batch)
+        if mesh is not None:
+            # fail loudly: a count/MM forward is one small dispatch -- a
+            # silently ignored mesh would misreport the serving topology
+            raise ValueError(f"mesh serving applies to image models; "
+                             f"{name!r} serves single-device")
         if name in ("GridNetHexMM", "GridNetMM"):
             return cls._mm_service(meta, classes, variables)
         if name.endswith("CountMLP"):
@@ -322,10 +327,10 @@ class RegistrationService:
     @classmethod
     def _image_service(cls, meta, classes, variables, mesh=None,
                        max_batch: int = 8):
-        from gridnext_tpu.cli import _image_registrar_from_meta
+        from gridnext_tpu.modeldir import image_registrar_from_meta
 
-        registrar = _image_registrar_from_meta(meta, classes, variables,
-                                               mesh=mesh)
+        registrar = image_registrar_from_meta(meta, classes, variables,
+                                              mesh=mesh)
         return cls.from_registrar(registrar, classes,
                                   model=meta.get("model", ""),
                                   hd_binning=meta.get("hd_binning"),
@@ -336,11 +341,11 @@ class RegistrationService:
         import jax
         import jax.numpy as jnp
 
-        from gridnext_tpu.cli import _grid_model_from_meta
         from gridnext_tpu.data import CountGridDataset
         from gridnext_tpu.io.unify import validated_unified_cache
+        from gridnext_tpu.modeldir import grid_model_from_meta
 
-        g = _grid_model_from_meta(meta, classes)
+        g = grid_model_from_meta(meta, classes)
         grid_dims = meta.get("grid_dims")
         log1p = bool(meta.get("log1p"))
         lock = threading.Lock()
@@ -374,10 +379,10 @@ class RegistrationService:
         import jax
         import jax.numpy as jnp
 
-        from gridnext_tpu.cli import _mm_model_from_meta
         from gridnext_tpu.io.unify import validated_unified_cache
+        from gridnext_tpu.modeldir import mm_model_from_meta
 
-        g = _mm_model_from_meta(meta, classes)
+        g = mm_model_from_meta(meta, classes)
         grid_dims = meta.get("grid_dims")
         lock = threading.Lock()
         fwd = jax.jit(lambda xi, xc: jnp.argmax(
@@ -392,14 +397,11 @@ class RegistrationService:
         def count_transform(srd):
             if meta.get("count_f") == "scbert":
                 if state["transform"] is None:
-                    from gridnext_tpu.cli import _scbert_count_transform
+                    from gridnext_tpu.modeldir import scbert_count_transform
 
-                    try:
-                        state["transform"], _ = _scbert_count_transform(
-                            [srd], meta.get("hd_binning"),
-                            meta["scbert_vocab"])
-                    except SystemExit as e:   # CLI-flavored failure -> 400
-                        raise ValueError(str(e))
+                    state["transform"], _ = scbert_count_transform(
+                        [srd], meta.get("hd_binning"),
+                        meta["scbert_vocab"])
                 return state["transform"]
             return np.log1p if meta.get("log1p") else None
 
@@ -524,14 +526,36 @@ class RegistrationService:
 
     def register(self, spaceranger, image=None) -> np.ndarray:
         """Register one array -> (H, W) int label grid (0 = background)."""
-        if not spaceranger:
-            raise ValueError("request must carry a 'spaceranger' directory")
+        if not spaceranger or not isinstance(spaceranger, str):
+            raise ValueError(
+                "request must carry a 'spaceranger' directory path string")
+        if image is not None and not isinstance(image, str):
+            raise ValueError("'image' must be a path string")
         if not os.path.isdir(spaceranger):
             raise FileNotFoundError(
                 f"spaceranger dir {spaceranger} not found")
-        with self._count_lock:
+        with self._stats_lock:
             self.requests += 1
         return np.asarray(self._register_fn(image, spaceranger, self.timer))
+
+    def note_error(self):
+        """Count a failed request (handler threads are concurrent)."""
+        with self._stats_lock:
+            self.errors += 1
+
+    def reset_metrics(self):
+        """Zero the request/error counters and stage timings -- used after
+        warmup so /metrics reports steady-state serving, not the one-off
+        XLA compile."""
+        with self._stats_lock:
+            self.requests = 0
+            self.errors = 0
+            self.timer.totals.clear()
+            self.timer.counts.clear()
+            batcher = getattr(self, "batcher", None)
+            if batcher is not None:
+                batcher.dispatches = 0
+                batcher.batched_slides = 0
 
     def loupe_csv(self, labels, spaceranger) -> str:
         """Loupe-format (Barcode, AARs) CSV text for a label grid."""
@@ -556,9 +580,11 @@ class RegistrationService:
                 "hex_coords": self.hex_coords,
                 "n_foreground": int((labels > 0).sum())}
         if body.get("loupe") or body.get("out"):
+            if body.get("out") is not None and not isinstance(body["out"], str):
+                raise ValueError("'out' must be a path string")
             csv_text = self.loupe_csv(labels, body["spaceranger"])
             if body.get("out"):
-                out = str(body["out"])
+                out = body["out"]
                 os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
                 with open(out, "w") as fh:
                     fh.write(csv_text)
@@ -621,12 +647,12 @@ class _Handler(BaseHTTPRequestHandler):
             if not isinstance(body, dict):
                 raise ValueError("request body must be a JSON object")
             self._json(200, self.service.handle_register(body))
-        except (ValueError, KeyError, FileNotFoundError,
+        except (ValueError, KeyError, TypeError, FileNotFoundError,
                 json.JSONDecodeError) as e:
-            self.service.errors += 1
+            self.service.note_error()
             self._json(400, {"error": str(e)})
         except Exception as e:  # surface, don't kill the server thread
-            self.service.errors += 1
+            self.service.note_error()
             traceback.print_exc()
             self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -128,6 +128,14 @@ def test_http_image_service_end_to_end(sim, tiny_registrar, tmp_path):
                            {"image": "/nonexistent.jpg",
                             "spaceranger": str(sim["spaceranger_dir"])})
         assert code == 400
+        # malformed TYPES are bad requests too, not 500s (documented
+        # error contract; an int would otherwise probe a file descriptor)
+        code, resp = _post(base + "/register", {"spaceranger": 123})
+        assert code == 400 and "string" in resp["error"]
+        code, resp = _post(base + "/register",
+                           {"image": ["x"],
+                            "spaceranger": str(sim["spaceranger_dir"])})
+        assert code == 400 and "string" in resp["error"]
         code, _ = _get(base + "/bogus")
         assert code == 404
 
@@ -135,6 +143,12 @@ def test_http_image_service_end_to_end(sim, tiny_registrar, tmp_path):
         assert code == 200
         assert metrics["requests"] >= 1 and metrics["errors"] >= 3
         assert metrics["stage_seconds"].get("register", 0) > 0
+
+        # warmup path zeroes the counters so /metrics is steady-state only
+        service.reset_metrics()
+        code, metrics = _get(base + "/metrics")
+        assert metrics["requests"] == 0 and metrics["errors"] == 0
+        assert metrics["stage_seconds"] == {} and metrics["dispatches"] == 0
 
 
 def test_count_model_dir_service(sim, tmp_path):
@@ -202,8 +216,8 @@ def test_mm_model_dir_service(sim, tmp_path):
     import jax.numpy as jnp
     import optax
 
-    from gridnext_tpu.cli import _mm_model_from_meta
     from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.modeldir import mm_model_from_meta
     from gridnext_tpu.io import unified_cache_path
     from gridnext_tpu.io.unify import read_unified_genes
     from gridnext_tpu.train import create_train_state, save_checkpoint
@@ -218,7 +232,7 @@ def test_mm_model_dir_service(sim, tmp_path):
             "tpu_f": {"stages": [[8, 1]], "stem_patch": 4, "norm": "rms"},
             "hd_binning": None, "grid_dims": None, "dense_ingest": False,
             "model": "GridNetHexMM"}
-    g = _mm_model_from_meta(meta, classes)
+    g = mm_model_from_meta(meta, classes)
 
     mm = create_visium_dataset([srd], spatial=True, use_count=True,
                                use_image=True,
@@ -247,6 +261,11 @@ def test_mm_model_dir_service(sim, tmp_path):
     resp = service.handle_register({"spaceranger": srd,
                                     "image": str(sim["image_file"])})
     np.testing.assert_array_equal(np.asarray(resp["labels"]), want)
+
+    # --mesh is image-model-only: a silently ignored mesh would misreport
+    # the serving topology, so construction fails loudly
+    with pytest.raises(ValueError, match="image models"):
+        RegistrationService.from_model_dir(str(model_dir), mesh=object())
 
 
 def test_artifact_service_matches_live(sim, tmp_path, tiny_registrar):
