@@ -166,26 +166,12 @@ def _split_dls(dataset, val_den: int, stream: bool, transform=None,
 
 
 def _first_sample(dls):
-    """Leading-1 model-init sample from a dataloader's train split."""
-    import jax.numpy as jnp
+    """Leading-1 model-init sample from a dataloader's train split (the
+    shared loader-form handling, incl. the cheap sample_item() path for
+    streaming grids, lives in train.loops._sample_input)."""
+    from gridnext_tpu.train.loops import _sample_input
 
-    data = dls["train"]
-    if hasattr(data, "dataset"):  # streaming Subset: items, not batches
-        if hasattr(data.dataset, "sample_item"):
-            # cheap path: shape-correct zeros (decodes at most one patch)
-            # instead of materializing a full ~GB grid item just for init
-            x0 = data.dataset.sample_item()
-            if data.transform is not None:
-                x0 = data.transform(x0)
-        else:
-            x0 = data[0][0]
-        if isinstance(x0, tuple):
-            return tuple(jnp.asarray(a)[None] for a in x0)
-        return jnp.asarray(x0)[None]
-    X, _ = data                   # materialized (inputs, labels) pair
-    if isinstance(X, tuple):
-        return tuple(jnp.asarray(a[:1]) for a in X)
-    return jnp.asarray(X[:1])
+    return _sample_input(dls["train"])
 
 
 def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,

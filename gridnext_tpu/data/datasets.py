@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import collections
 import functools
-import glob
 import os
 import re
 import threading
@@ -470,15 +469,21 @@ class PatchSpotDataset:
                     coord_strs, annot_lbls = read_annotfile(
                         afile, Visium=False, afile_delim=afile_delim)
                 adict = dict(zip(coord_strs, annot_lbls))
-                for imfile in sorted(glob.glob(os.path.join(str(imdir), "*." + img_ext))):
-                    cstr = "_".join(Path(imfile).stem.split("_")[-2:])
+                names, coords = _matched_patch_files(str(imdir), img_ext)
+                for name, (cx, cy) in zip(names, coords):
+                    cstr = f"{cx}_{cy}"
                     if cstr in adict:
                         self.annotations.append(int(adict[cstr]))
-                        self.imgpath_mapping.append(imfile)
+                        self.imgpath_mapping.append(
+                            os.path.join(str(imdir), name))
         else:
             for imdir in img_dirs:
+                # the shared filename-contract discovery, NOT a bare *.jpg
+                # glob: a stray thumbnail.jpg must never become a dataset
+                # item (wrong shape -> np.stack failure mid-training)
+                names, _ = _matched_patch_files(str(imdir), img_ext)
                 self.imgpath_mapping.extend(
-                    sorted(glob.glob(os.path.join(str(imdir), "*." + img_ext))))
+                    os.path.join(str(imdir), n) for n in names)
 
     def __len__(self):
         return len(self.imgpath_mapping)

@@ -244,8 +244,19 @@ def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256
 
     in_bounds = (y_ind < h_st) & (x_ind < w_st)
     if not in_bounds.all():
-        for xi, yi in zip(np.asarray(x_ind)[~in_bounds], np.asarray(y_ind)[~in_bounds]):
-            print(f"Warning: column {xi} row {yi} outside bounds of Visium array")
+        # one aggregate line (a misconfigured HD grid can overflow by tens
+        # of thousands of bins), in the USER's coordinates: the positions
+        # file's array_col/array_row, not the converted grid indices
+        ox, oy = np.asarray(x_ind)[~in_bounds], np.asarray(y_ind)[~in_bounds]
+        if hd_binning is None:
+            ac, ar = geometry.oddr_to_pseudo_hex(ox, oy)
+        else:
+            ac, ar = ox, oy
+        first = list(zip(np.atleast_1d(ac)[:5].tolist(),
+                         np.atleast_1d(ar)[:5].tolist()))
+        print(f"Warning: {int((~in_bounds).sum())} spots outside the "
+              f"{h_st}x{w_st} grid dropped (first (array_col, array_row): "
+              f"{first})")
     x_ind, y_ind = x_ind[in_bounds], y_ind[in_bounds]
     x_px, y_px = x_px[in_bounds], y_px[in_bounds]
 
@@ -275,13 +286,20 @@ def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 2
         dims = hd_lattice_dims(spaceranger_dir, hd_binning)
         h_st = dims[0] if h_st is None else h_st
         w_st = dims[1] if w_st is None else w_st
+    # uint8 end to end: values are raw 0..255 intensities either way, and a
+    # float32 grid would quadruple peak RAM (256px Visium: ~3.9 GB/array)
     grid = grid_from_wsi_visium(img_file, spaceranger_dir,
                                 patch_size=patch_size, window_size=window_size,
                                 h_st=VISIUM_H_ST if h_st is None else h_st,
                                 w_st=VISIUM_W_ST if w_st is None else w_st,
-                                hd_binning=hd_binning)
-    os.makedirs(dest_dir, exist_ok=True)
+                                dtype=np.uint8, hd_binning=hd_binning)
     slide = str(Path(spaceranger_dir).stem)
+    # write-then-rename: the factory's cache check is "directory exists",
+    # so an interrupted multi-thousand-JPEG dump must never leave a partial
+    # dest_dir behind (it would silently train with the missing spots as
+    # background forever)
+    tmp_dir = f"{dest_dir}.tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
 
     fg = grid.reshape(grid.shape[0], grid.shape[1], -1).max(axis=-1) > 0
     for oy, ox in zip(*np.nonzero(fg)):
@@ -289,9 +307,13 @@ def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 2
             x_coord, y_coord = geometry.oddr_to_pseudo_hex(int(ox), int(oy))
         else:
             x_coord, y_coord = int(ox), int(oy)
-        patch = grid[oy, ox].astype(np.uint8)
-        Image.fromarray(patch).save(
-            os.path.join(str(dest_dir), f"{slide}_{x_coord}_{y_coord}.jpg"), "JPEG")
+        Image.fromarray(grid[oy, ox]).save(
+            os.path.join(tmp_dir, f"{slide}_{x_coord}_{y_coord}.jpg"), "JPEG")
+    if os.path.isdir(str(dest_dir)):   # caller asked to (re)write this cache
+        import shutil
+
+        shutil.rmtree(str(dest_dir))
+    os.replace(tmp_dir, str(dest_dir))
 
 
 def save_visium_patches_all(wsi_files, spaceranger_dirs, dest_dir,

@@ -290,9 +290,23 @@ def _is_dataset(data) -> bool:
 
 
 def _sample_input(data):
-    """A leading-1 sample batch for model init, from either loader form."""
+    """A leading-1 sample batch for model init, from either loader form.
+
+    Datasets exposing ``sample_item()`` (shape-correct zeros; the image
+    grids' hook decodes ONE patch instead of the ~3k a full ``__getitem__``
+    costs) are sampled through it -- including streaming Subset views,
+    whose transform is applied to the sample like a real item's.
+    """
     if _is_dataset(data):
-        x0 = data[0][0]
+        if hasattr(data, "sample_item"):
+            x0 = data.sample_item()
+        elif hasattr(data, "dataset") and hasattr(data.dataset,
+                                                  "sample_item"):
+            x0 = data.dataset.sample_item()
+            if getattr(data, "transform", None) is not None:
+                x0 = data.transform(x0)
+        else:
+            x0 = data[0][0]
         if isinstance(x0, (tuple, list)):
             return tuple(jnp.asarray(a)[None] for a in x0)
         return jnp.asarray(x0)[None]
@@ -316,6 +330,12 @@ def _pad_batch(x, y, batch_size: int, loss_kind: str):
     # -- full batches too, keeping one dtype (= one trace) per epoch.
     if loss_kind == "spot_mse" and not np.issubdtype(y.dtype, np.floating):
         y = y.astype(np.float32)
+    # the -1 pad marker needs a SIGNED dtype: np.full(-1, uint8) raises on
+    # NumPy 2.x and silently wraps to 255 (a "valid" class) on 1.x. Cast
+    # full batches too -- one dtype, one trace per epoch.
+    if (loss_kind not in ("grid", "spot_mse")
+            and np.issubdtype(y.dtype, np.unsignedinteger)):
+        y = y.astype(np.int32)
     n_real = len(y)
     n_pad = batch_size - n_real
     if n_pad <= 0:
@@ -672,6 +692,11 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                 if phase == "train" and epoch_skip and not len(losses):
                     # mid-epoch resume past the whole train phase (preempted
                     # during val): nothing trained here, no metric to log
+                    continue
+                if n_batches_items == 0:
+                    # an empty phase (e.g. a split rounding to zero val
+                    # items) must not fabricate a 0.0 loss -- a 0.0 "best
+                    # val" would pin model selection to the first epoch
                     continue
                 epoch_loss = float((losses * bszs).sum()) / max(n_batches_items, 1)
                 epoch_acc = int(corrs.sum()) / max(int(ns.sum()), 1)

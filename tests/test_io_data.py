@@ -793,3 +793,28 @@ def test_image_registrar_from_meta_forwards_patch_chunk():
     meta.pop("patch_chunk")
     assert cli._image_registrar_from_meta(meta, classes,
                                           variables).patch_chunk == 624
+
+
+def test_patch_spot_dataset_ignores_stray_jpgs(tmp_path):
+    """PatchSpotDataset discovery enforces the *_{col}_{row}.{ext} filename
+    contract in BOTH branches: a stray thumbnail.jpg in a patch dir must not
+    become a (wrong-shape) dataset item."""
+    import numpy as np
+    from PIL import Image
+
+    from gridnext_tpu.data.datasets import PatchSpotDataset
+
+    imdir = tmp_path / "arr_patches8px"
+    imdir.mkdir()
+    rng = np.random.default_rng(0)
+    for col, row in [(10, 0), (11, 1), (12, 2)]:
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+            imdir / f"arr_{col}_{row}.jpg")
+    # stray non-patch JPEG with a different shape
+    Image.fromarray(np.zeros((40, 64, 3), np.uint8)).save(
+        imdir / "thumbnail.jpg")
+
+    ds = PatchSpotDataset([str(imdir)])
+    assert len(ds) == 3
+    xs, ys = ds.materialize()          # would np.stack-fail with the stray
+    assert xs.shape == (3, 8, 8, 3)

@@ -234,3 +234,48 @@ def test_parse_grid_dims():
     assert _parse_grid_dims("24X20") == (24, 20)
     with pytest.raises(SystemExit):
         _parse_grid_dims("24")
+
+
+def test_save_visium_patches_atomic_and_uint8(tmp_path):
+    """An interrupted patch dump must never leave a partial cache dir (the
+    factory's cache check is 'directory exists'), and re-writing replaces a
+    stale/partial dir instead of merging into it."""
+    import os
+
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.pipeline import save_visium_patches
+
+    sim = simulate_spaceranger_dir(tmp_path / "arr", seed=0, n_genes=5,
+                                   n_classes=2, image=True,
+                                   spot_spacing_px=16)
+    dest = tmp_path / "arr_patches8px"
+    # stale partial cache from an interrupted run
+    dest.mkdir()
+    (dest / "arr_0_0.jpg").write_bytes(b"partial garbage")
+    (dest / "stray.txt").write_text("x")
+
+    save_visium_patches(str(sim["image_file"]), str(sim["spaceranger_dir"]),
+                        str(dest), patch_size=8)
+    names = sorted(os.listdir(dest))
+    assert "stray.txt" not in names          # replaced, not merged
+    n_fg = int((sim["label_grid"] > 0).sum())
+    assert len(names) == n_fg                # one JPEG per foreground spot
+    # no tmp droppings beside the cache
+    assert not [d for d in os.listdir(tmp_path) if ".tmp-" in d]
+
+
+def test_grid_oob_warning_aggregates(tmp_path, capsys):
+    """Out-of-bounds spots print ONE aggregate line in array_col/array_row
+    coordinates, not a line per spot in converted grid indices."""
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.pipeline import grid_from_wsi_visium
+
+    sim = simulate_spaceranger_dir(tmp_path / "arr", seed=1, n_genes=5,
+                                   n_classes=2, image=True,
+                                   spot_spacing_px=16)
+    grid_from_wsi_visium(str(sim["image_file"]), str(sim["spaceranger_dir"]),
+                         patch_size=8, h_st=20, w_st=20)  # undersized grid
+    outp = capsys.readouterr().out
+    warns = [l for l in outp.splitlines() if l.startswith("Warning")]
+    assert len(warns) == 1
+    assert "array_col" in warns[0] and "20x20" in warns[0]

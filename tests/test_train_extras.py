@@ -468,3 +468,63 @@ def test_train_spotwise_mse_integer_targets_nondivisible():
         num_epochs=2, batch_size=4, verbose=False)
     assert len(train_hist) == 2
     assert all(np.isfinite(v) for v in train_hist)
+
+
+def test_pad_batch_unsigned_labels_cast_signed():
+    """-1 pad markers need a signed dtype: uint8 labels must not wrap to a
+    'valid' class 255 (NumPy 1.x) or raise (2.x)."""
+    import numpy as np
+
+    from gridnext_tpu.train.loops import _pad_batch
+
+    x = np.zeros((3, 4), np.float32)
+    y = np.array([1, 2, 3], np.uint8)
+    xp, yp = _pad_batch(x, y, 5, "spot")
+    assert np.issubdtype(yp.dtype, np.signedinteger)
+    assert list(yp) == [1, 2, 3, -1, -1]
+    # full batches cast too: one label dtype (= one trace) per epoch
+    _, yf = _pad_batch(x, y, 3, "spot")
+    assert np.issubdtype(yf.dtype, np.signedinteger)
+
+
+def test_empty_val_split_does_not_pin_best():
+    """A zero-item val loader must not fabricate a 0.0 'best' loss."""
+    import jax
+    import numpy as np
+
+    from gridnext_tpu.models import CountMLP
+    from gridnext_tpu.train import train_spotwise
+
+    X = np.random.default_rng(0).normal(size=(8, 6)).astype(np.float32)
+    y = np.arange(8) % 3
+    dls = {"train": (X, y), "val": (X[:0], y[:0])}
+    state, val_hist, train_hist = train_spotwise(
+        CountMLP(n_classes=3), dls, num_epochs=2, batch_size=4,
+        verbose=False)
+    assert val_hist == []           # no fake 0.0 entries
+    assert len(train_hist) == 2
+
+
+def test_sample_input_prefers_sample_item():
+    """Model-init sampling uses the cheap sample_item() hook (a full
+    __getitem__ on a streaming image grid costs ~3k JPEG decodes)."""
+    import numpy as np
+
+    from gridnext_tpu.data.datasets import Subset
+    from gridnext_tpu.train.loops import _sample_input
+
+    class Lazy:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise AssertionError("expensive __getitem__ must not run")
+
+        def sample_item(self):
+            return np.zeros((3, 4), np.float32)
+
+    out = _sample_input(Lazy())
+    assert out.shape == (1, 3, 4)
+    # streaming Subset views sample through the backing dataset + transform
+    sub = Subset(Lazy(), [0], transform=lambda x: x[:2])
+    assert _sample_input(sub).shape == (1, 2, 4)
