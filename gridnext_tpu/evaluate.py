@@ -68,6 +68,7 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
         y = np.asarray(labels)[i:i + b]
 
         logits = np.asarray(forward(x))[:b]             # (b, H, W, C)
+        smax_b = None
         if return_grids:
             smax_b = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
             grids.extend((y[j], smax_b[j]) for j in range(b))
@@ -79,7 +80,11 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
 
         true_vals.append(y_fg)
         pred_vals.append(np.argmax(logits, axis=1))
-        pred_smax.append(np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1)))
+        if smax_b is not None:   # the fg rows of the grid softmax, reused
+            pred_smax.append(smax_b.reshape(-1, smax_b.shape[-1])[fg])
+        else:
+            pred_smax.append(
+                np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1)))
 
     out = (np.concatenate(true_vals), np.concatenate(pred_vals),
            np.concatenate(pred_smax))
@@ -144,6 +149,21 @@ def to_loupe_annots(annot_grid, position_file, output_file,
     if hex_coords:
         x, y = geometry.pseudo_hex_to_oddr(in_tissue["array_col"].values,
                                            in_tissue["array_row"].values)
+        x, y = np.atleast_1d(x), np.atleast_1d(y)
+        # guard like the square branch below: an out-of-grid index would
+        # raise a bare IndexError, and a NEGATIVE one (malformed
+        # col/row parity -> x = -1) would silently wrap to the LAST
+        # column and export the wrong spot's label
+        if len(y) and (int(y.max()) >= annot_grid.shape[0]
+                       or int(x.max()) >= annot_grid.shape[1]
+                       or int(x.min()) < 0 or int(y.min()) < 0):
+            raise ValueError(
+                f"positions map to odd-right extent "
+                f"({int(y.min())}..{int(y.max())}, "
+                f"{int(x.min())}..{int(x.max())}) but the label grid is "
+                f"{annot_grid.shape[:2]} -- the array's lattice exceeds "
+                "the model's grid (or a position row has invalid "
+                "array_col/array_row parity)")
     else:
         x = in_tissue["array_col"].values.astype(int)
         y = in_tissue["array_row"].values.astype(int)

@@ -97,12 +97,22 @@ def artifact_spot_inputs(wsi_shape, positions, n_spots: int, *,
     k = len(oy_a)
     if k > n_spots:
         raise ValueError(f"{k} in-tissue spots exceed n_spots={n_spots}")
-    oy = np.full((n_spots,), h_st, np.int32)
-    ox = np.zeros((n_spots,), np.int32)
-    y_px = np.full((n_spots,), p2, np.int32)
-    x_px = np.full((n_spots,), p2, np.int32)
+    oy, ox, y_px, x_px = _parked_spots(n_spots, h_st, p2)
     oy[:k], ox[:k], y_px[:k], x_px[:k] = oy_a, ox_a, y_a, x_a
     return oy, ox, y_px, x_px
+
+
+def _parked_spots(n: int, h_st: int, p2: int):
+    """(oy, ox, y_px, x_px) int32 fill arrays for ``n`` padding spots.
+
+    THE padding convention, defined once: padded spots 'park' outside the
+    lattice (``oy == h_st`` -- dropped by the scatters' mode='drop') and
+    crop a harmless corner window (centers at ``p2 = window // 2``). Both
+    exported-artifact inputs and batched serving pad with exactly these
+    values, so the two can never desynchronize.
+    """
+    return (np.full((n,), h_st, np.int32), np.zeros((n,), np.int32),
+            np.full((n,), p2, np.int32), np.full((n,), p2, np.int32))
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -263,6 +273,13 @@ class SlideRegistrar:
         if not self.use_pallas and corrector_apply is None:
             raise ValueError("need corrector_apply when not using the "
                              "Pallas hex corrector")
+        if self.use_pallas and not self.kernels:
+            # fail HERE, not as max(()) deep inside the first jit trace
+            raise ValueError(
+                "the Pallas hex corrector needs corrector_kernels/"
+                "corrector_biases (serving.fold_corrector_params over the "
+                "trained corrector, or from_gridnet); pass corrector_apply "
+                "for a non-hex corrector")
         from gridnext_tpu.ops.patch_gather_pallas import _LANE_PAD
 
         if extractor not in ("auto", "pallas", "xla"):
@@ -844,14 +861,15 @@ class SlideRegistrar:
         shape = orig_hw if orig_hw is not None else wsis.shape[1:]
         per = [self._spot_arrays(shape, p, pad_offset)
                for p in positions_list]
+        # max(s_max, 1): an all-background batch (no in-tissue spots on any
+        # slide) still needs one (parked) spot column -- a 0-width spot axis
+        # can't reshape to (b, 0, -1)
         s_max = max(len(a[0]) for a in per)
-        s_pad = -(-s_max // _SPOT_BUCKET) * _SPOT_BUCKET
+        s_pad = -(-max(s_max, 1) // _SPOT_BUCKET) * _SPOT_BUCKET
         p2 = self.window_size // 2
 
-        oy = np.full((n, s_pad), self.h_st, np.int32)   # parked out of lattice
-        ox = np.zeros((n, s_pad), np.int32)
-        y_px = np.full((n, s_pad), p2, np.int32)        # harmless corner crop
-        x_px = np.full((n, s_pad), p2, np.int32)
+        oy, ox, y_px, x_px = (np.tile(a, (n, 1)) for a in
+                              _parked_spots(s_pad, self.h_st, p2))
         for i, (a_oy, a_ox, a_y, a_x) in enumerate(per):
             k = len(a_oy)
             oy[i, :k], ox[i, :k] = a_oy, a_ox

@@ -429,3 +429,23 @@ def test_cli_val_arrays_and_split_seed(tmp_path):
             "--val-arrays", "nope")
     assert r.returncode != 0
     assert "matched no" in (r.stderr + r.stdout)
+
+
+def test_to_loupe_hex_out_of_grid_raises(tmp_path):
+    """Hex-coordinate Loupe export validates grid bounds like the square
+    branch (a bare IndexError / silent negative-index wraparound would
+    export the wrong spot's label)."""
+    import numpy as np
+    import pytest
+
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.evaluate import to_loupe_annots
+    from gridnext_tpu.io import find_position_file
+
+    sim = simulate_spaceranger_dir(tmp_path / "arr", seed=0, n_genes=5,
+                                   n_classes=2)
+    pf = find_position_file(sim["spaceranger_dir"])
+    small = np.ones((10, 10), np.int64)     # lattice extends past 10x10
+    with pytest.raises(ValueError, match="label grid is"):
+        to_loupe_annots(small, pf, tmp_path / "out.csv",
+                        annot_names=["a", "b"])

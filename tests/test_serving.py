@@ -993,3 +993,39 @@ def test_export_grid_forward_explicit_fg():
     logits = g.apply(variables, jnp.asarray(counts), train=False)
     want = np.where(fg > 0, np.asarray(jnp.argmax(logits, -1)) + 1, 0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_register_batch_all_background_slides(sim):
+    """A batch whose slides have ZERO in-tissue spots must register (all
+    background), not die reshaping a 0-width spot axis."""
+    import jax
+    import jax.numpy as jnp
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(0), x0)
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda gr: g.apply(
+            variables, gr, train=False,
+            method=lambda m, x, train: m.corrector(x, train=train)))
+
+    pos = read_positions(sim["spaceranger_dir"]).copy()
+    pos["in_tissue"] = 0
+    wsis = jnp.zeros((2, 128, 128, 3), jnp.uint8)
+    labels = registrar.register_batch(wsis, [pos, pos])
+    assert labels.shape == (2, G.VISIUM_H_ST, G.VISIUM_W_ST)
+    assert (labels == 0).all()
+
+
+def test_registrar_requires_corrector():
+    """Missing corrector weights fail at construction, not as max(())
+    inside the first jit trace."""
+    import pytest
+
+    with pytest.raises(ValueError, match="corrector"):
+        SlideRegistrar(lambda p: p.reshape(p.shape[0], -1)[:, :4])
