@@ -111,8 +111,11 @@ def apply_f_chunked(f: nn.Module, flat: jnp.ndarray, chunk: Optional[int]):
     scan = nn.scan(
         nn.remat(body, prevent_cse=False),
         # broadcast every non-mutable collection f carries (params, BN stats,
-        # Performer 'favor' projections) across the chunk scan
+        # Performer 'favor' projections) across the chunk scan; sown
+        # intermediates (e.g. scBERT attention maps) stack along a leading
+        # chunk axis instead of being silently dropped
         variable_broadcast=["params", "batch_stats", "favor"],
+        variable_axes={"intermediates": 0},
         split_rngs={"params": False, "dropout": False},
         in_axes=0, out_axes=0,
     )
@@ -134,7 +137,16 @@ def _apply_f_grid(f, x, chunk, f_dim=None, what="patch classifier"):
     return out.reshape(b, h, w, out.shape[-1])
 
 
-class _GridNetBase(nn.Module):
+class _FGForward:
+    """The f -> g forward, stated once for the unimodal and MM bases:
+    subclasses provide ``patch_predictions`` and a ``corrector``."""
+
+    def __call__(self, x, train: bool = False):
+        ppred = self.patch_predictions(x, train=train)
+        return self.corrector(ppred, train=train)
+
+
+class _GridNetBase(_FGForward, nn.Module):
     """Shared f-application machinery; subclasses define the corrector."""
 
     patch_classifier: nn.Module
@@ -148,12 +160,8 @@ class _GridNetBase(nn.Module):
         return _apply_f_grid(self.patch_classifier, x, self.patch_chunk,
                              self.f_dim)
 
-    def __call__(self, x, train: bool = False):
-        ppred = self.patch_predictions(x, train=train)
-        return self.corrector(ppred, train=train)
 
-
-class GridNetMMBase(nn.Module):
+class GridNetMMBase(_FGForward, nn.Module):
     """Multimodal base: separate f per modality, channel-concat fusion.
 
     Subclasses define the corrector lattice (hex for Visium pseudo-hex,
@@ -182,10 +190,6 @@ class GridNetMMBase(nn.Module):
                                   self.patch_chunk, self.image_f_dim,
                                   what="image classifier")
         return jnp.concatenate([ppg_count, ppg_image], axis=-1)
-
-    def __call__(self, x, train: bool = False):
-        ppred = self.patch_predictions(x, train=train)
-        return self.corrector(ppred, train=train)
 
 
 class GridNet(_GridNetBase):

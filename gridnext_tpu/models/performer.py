@@ -62,12 +62,23 @@ class FastAttention(nn.Module):
             kf = jnp.exp(k - jnp.max(k)) if self.causal else jax.nn.softmax(k, axis=-2)
         else:
             nb = self.nb_features or default_nb_features(self.dim_head)
-            proj = self.variable(
-                "favor", "projection",
-                lambda: favor.orthogonal_gaussian_matrix(
-                    self.make_rng("params") if self.has_rng("params")
-                    else jax.random.key(0),
-                    nb, self.dim_head, self.ortho_scaling)).value
+            def init_proj():
+                if self.has_rng("params"):
+                    rng = self.make_rng("params")
+                else:
+                    # no params rng (e.g. the collection re-created inside
+                    # apply with mutable=['favor']): derive a key from the
+                    # module PATH so every layer still gets a DISTINCT
+                    # projection -- a fixed key(0) would silently give all
+                    # depth layers one identical "random" matrix
+                    import zlib
+
+                    rng = jax.random.key(
+                        zlib.crc32("/".join(self.path).encode()))
+                return favor.orthogonal_gaussian_matrix(
+                    rng, nb, self.dim_head, self.ortho_scaling)
+
+            proj = self.variable("favor", "projection", init_proj).value
             if self.generalized_attention:
                 qf = favor.generalized_kernel_features(q, proj, self.kernel_fn)
                 kf = favor.generalized_kernel_features(k, proj, self.kernel_fn)
@@ -145,7 +156,8 @@ def apply_rotary_interleaved(q, k, angles):
 
 
 def local_block_attention(q, k, v, window: int, causal: bool = False,
-                          mask=None, rel_pos: bool = False):
+                          mask=None, rel_pos: bool = False,
+                          attn_dropout: Optional[Callable] = None):
     """Blockwise local attention: each block attends to itself + the previous
     block (+ the next when non-causal) -- the lucidrains ``local_attention``
     window semantics used by the reference (llm/performer_pytorch.py:369).
@@ -227,6 +239,11 @@ def local_block_attention(q, k, v, window: int, causal: bool = False,
     any_valid = jnp.any(jnp.broadcast_to(m, scores.shape), axis=-1,
                         keepdims=True)
     attn = jnp.where(any_valid, attn, 0.0)
+    if attn_dropout is not None:
+        # reference parity: LocalAttention drops out the post-softmax
+        # attention weights during training (performer_pytorch.py:369),
+        # separate from SelfAttention's output dropout
+        attn = attn_dropout(attn)
     out = jnp.einsum("bhgnm,bhgmd->bhgnd", attn, vcat)
     out = out.reshape(b, h, nb * window, d)
     return out[:, :, :n]
@@ -262,6 +279,12 @@ class SelfAttention(nn.Module):
     def __call__(self, x, mask=None, train: bool = False):
         b, n, _ = x.shape
         h, dh = self.heads, self.dim_head
+        if not 0 <= self.local_heads <= h:
+            # the reference asserts this too (performer_pytorch.py:494);
+            # local_heads > heads would otherwise run SILENTLY with every
+            # head local (negative gh slices wrap)
+            raise ValueError(f"local_heads={self.local_heads} must be in "
+                             f"[0, heads={h}]")
         inner = h * dh
         gh = h - self.local_heads
 
@@ -296,10 +319,14 @@ class SelfAttention(nn.Module):
                     qg, kg, interleaved_rotary_angles(n, dh, jnp.float32))
             outs.append(fa(qg, kg, vg))
         if self.local_heads > 0:
+            local_drop = None
+            if self.dropout > 0:
+                drop = nn.Dropout(self.dropout, name="local_attn_drop")
+                local_drop = lambda a: drop(a, deterministic=not train)  # noqa: E731
             outs.append(local_block_attention(
                 q[:, gh:], k[:, gh:], v[:, gh:],
                 window=self.local_window_size, causal=self.causal, mask=mask,
-                rel_pos=self.local_rel_pos))
+                rel_pos=self.local_rel_pos, attn_dropout=local_drop))
 
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)

@@ -365,3 +365,27 @@ def test_tpu_f_arch_meta_roundtrip():
     assert legacy == {"stages": ((128, 2), (256, 2), (512, 2)),
                       "stem_patch": 8, "norm": "layer"}
     TpuPatchClassifier(n_classes=5, **legacy)  # constructible
+
+
+def test_chunked_f_keeps_sown_intermediates():
+    """apply_f_chunked's nn.scan must not drop the 'intermediates'
+    collection: a chunked scBERT's sown attention maps stack along a
+    leading chunk axis instead of silently vanishing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.models import GridNetHex, scBERT
+
+    f = scBERT(n_genes=12, dim=8, depth=1, heads=2, dim_head=4, n_classes=3,
+               sow_attention=True)
+    x = jnp.zeros((1, 2, 2, 12))
+    g = GridNetHex(patch_classifier=f, n_classes=3, patch_chunk=2)
+    v = g.init(jax.random.key(0), x)
+    out, inter = g.apply(v, x, mutable=["intermediates"])
+    leaves = jax.tree_util.tree_leaves(inter)
+    assert leaves and leaves[0].shape[0] == 2      # (n_chunks, ...) stacked
+    # forward identical to the unchunked model
+    out0 = GridNetHex(patch_classifier=f, n_classes=3,
+                      patch_chunk=None).apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out0), atol=1e-5)

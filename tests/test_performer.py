@@ -418,3 +418,59 @@ def test_neox_rotary_matches_complex_oracle():
     np.testing.assert_allclose(np.asarray(kr), oracle(k), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(qr), axis=-1),
                                np.linalg.norm(q, axis=-1), rtol=1e-5)
+
+
+def test_local_heads_exceeding_heads_rejected():
+    """local_heads > heads must error (the reference asserts it too,
+    performer_pytorch.py:494) -- a negative global-head slice would
+    otherwise run silently with every head local."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from gridnext_tpu.models.performer import SelfAttention
+
+    sa = SelfAttention(dim=16, heads=2, dim_head=4, local_heads=3)
+    with pytest.raises(ValueError, match="local_heads"):
+        sa.init(jax.random.key(0), jnp.zeros((1, 8, 16)))
+
+
+def test_local_attention_prob_dropout_active_in_train():
+    """Local heads carry the reference's attention-probability dropout
+    (LocalAttention(dropout=...), performer_pytorch.py:369), not just the
+    output-projection dropout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.models.performer import SelfAttention
+
+    sa = SelfAttention(dim=16, heads=2, dim_head=4, local_heads=2,
+                       dropout=0.5)
+    v = sa.init(jax.random.key(0), jnp.zeros((1, 8, 16)))
+    x = jnp.ones((1, 8, 16))
+    y1 = sa.apply(v, x, train=True, rngs={"dropout": jax.random.key(1)})
+    y2 = sa.apply(v, x, train=True, rngs={"dropout": jax.random.key(2)})
+    assert not np.allclose(y1, y2)
+    np.testing.assert_array_equal(np.asarray(sa.apply(v, x, train=False)),
+                                  np.asarray(sa.apply(v, x, train=False)))
+
+
+def test_favor_recreated_projections_differ_per_layer():
+    """Re-creating the 'favor' collection without a params rng (e.g.
+    restoring params-only state) must still give every layer a DISTINCT
+    projection -- a fixed fallback key would silently degrade FAVOR+ by
+    sharing one matrix across all depth layers."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.models.performer import Performer
+
+    p = Performer(dim=16, depth=2, heads=2, dim_head=4)
+    v = p.init(jax.random.key(0), jnp.zeros((1, 8, 16)))
+    _, new = p.apply({"params": v["params"]}, jnp.zeros((1, 8, 16)),
+                     mutable=["favor"])
+    projs = jax.tree_util.tree_leaves(new["favor"])
+    assert len(projs) == 2
+    assert not np.allclose(projs[0], projs[1])
