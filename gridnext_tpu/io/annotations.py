@@ -23,6 +23,17 @@ from gridnext_tpu import geometry
 from gridnext_tpu.io.spaceranger import read_positions_file
 
 
+def _label_str(v) -> str:
+    """One canonical string per label value: integral floats render like
+    ints ('1', not '1.0'). Numeric Loupe cluster IDs must encode to the
+    SAME class name on every array -- a column with one blank cell parses
+    float64 while a fully-annotated array's parses int64, and a naive
+    astype(str) would split one cluster into '1' and '1.0' classes."""
+    if isinstance(v, float) and float(v).is_integer():
+        return str(int(v))
+    return str(v)
+
+
 def read_annotfile(afile, position_file=None, afile_delim: str = ",",
                    Visium: bool = True):
     """Return paired (coord_strings, annotations) lists for one array.
@@ -36,7 +47,7 @@ def read_annotfile(afile, position_file=None, afile_delim: str = ",",
         pdat = read_positions_file(position_file)
         first = adat.iloc[:, 0]
         # blank cells parse as NaN; numeric cluster IDs coerce to strings so
-        # class encoding is uniform
+        # class encoding is uniform (dtype-independent -- see _label_str)
         adat = adat[first.notna() & (first.astype(str) != "")]
         # keep only the label column before the join: a second, partially
         # filled Loupe column (e.g. free-text notes) must not drop annotated
@@ -46,7 +57,8 @@ def read_annotfile(afile, position_file=None, afile_delim: str = ",",
         adat = adat.dropna(subset=["array_col", "array_row"])
         coord_strs = [f"{int(x)}_{int(y)}" for x, y in
                       zip(adat["array_col"], adat["array_row"])]
-        return coord_strs, adat.iloc[:, 0].astype(str).values
+        return coord_strs, np.array([_label_str(v)
+                                     for v in adat.iloc[:, 0]])
 
     adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
     adat = adat.loc[:, adat.sum(axis=0) == 1]  # drop mis-annotated spots
@@ -146,6 +158,10 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
         annots_grid = np.zeros((h_st, w_st), dtype=int)
 
     counts_grid = np.zeros((h_st, w_st, n_genes), dtype=float)
+    if len(cmat.columns) == 0:
+        # zero-spot array (no in-tissue spots): empty grids, like the
+        # reference's plain column loop -- coords would be 1-D below
+        return counts_grid, annots_grid
 
     # Vectorized placement over the column coordinate strings.
     coords = np.array([list(map(float, c.split("_"))) for c in cmat.columns])

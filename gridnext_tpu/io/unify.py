@@ -115,7 +115,8 @@ def check_unified_gene_axis(count_files: Sequence) -> list:
     return genes0
 
 
-def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.gz",
+def prepare_count_files(spaceranger_dirs: Sequence,
+                        suffix: Optional[str] = None,
                         minimum_detection_rate: Optional[float] = 0.02,
                         verbose: bool = True,
                         hd_binning: Optional[str] = None) -> list:
@@ -123,7 +124,15 @@ def prepare_count_files(spaceranger_dirs: Sequence, suffix: str = ".unified.tsv.
 
     ``hd_binning`` (e.g. 'square_008um') reads Visium HD binned outputs
     (parquet positions + per-binning MEX; utils.py:253-287 contract).
+    ``suffix`` defaults to :func:`unified_count_suffix` FOR THE GIVEN
+    BINNING -- an HD prepare must never land on the untagged non-HD cache
+    name, which unified_cache_path would miss while a later non-HD factory
+    call would silently adopt (square coordinates through the pseudo-hex
+    transform). Pass an explicit suffix only to break the cache contract
+    on purpose.
     """
+    if suffix is None:
+        suffix = unified_count_suffix(hd_binning)
     frames, out_stems = [], []
     for srd in spaceranger_dirs:
         df = read_feature_matrix(srd, hd_binning=hd_binning)

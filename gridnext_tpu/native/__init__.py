@@ -35,6 +35,7 @@ _tmp_serial = itertools.count()
 
 _lib = None
 _lib_failed = False
+_build_lock = __import__("threading").Lock()
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -43,7 +44,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     so_path = _BUILD_DIR / f"fastio-{tag}.so"
     if not so_path.exists():
         _BUILD_DIR.mkdir(exist_ok=True)
-        tmp = so_path.with_suffix(".so.tmp")
+        # pid+serial-unique tmp (same rule as write_tsv_matrix): two
+        # processes racing the first build must never os.replace a torn .so
+        # onto the content-hash path, which would disable the native tier
+        # until someone deletes _build/
+        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}-{next(_tmp_serial)}")
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_SRC), "-o", str(tmp), "-lz"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, so_path)
@@ -78,10 +83,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     the toolchain/zlib is missing (callers fall back to pure Python)."""
     global _lib, _lib_failed
     if _lib is None and not _lib_failed:
-        try:
-            _lib = _build_lib()
-        except Exception:
-            _lib_failed = True
+        with _build_lock:   # one in-process build; losers reuse it
+            if _lib is None and not _lib_failed:
+                try:
+                    _lib = _build_lib()
+                except Exception:
+                    _lib_failed = True
     return _lib
 
 
@@ -108,7 +115,9 @@ def _sweep_stale_tmps(path):
     import time
 
     now = time.time()
-    for p in glob.glob(f"{path}.tmp.*"):
+    # escape: a path with glob metacharacters ('S1[rep2]') must neither
+    # break the sweep nor match unrelated siblings
+    for p in glob.glob(glob.escape(str(path)) + ".tmp.*"):
         try:
             if now - os.path.getmtime(p) > _STALE_TMP_S:
                 os.remove(p)
@@ -268,7 +277,11 @@ def _build_patch_lib() -> Optional[ctypes.CDLL]:
     so_path = _BUILD_DIR / f"patchio-{tag}.so"
     if not so_path.exists():
         _BUILD_DIR.mkdir(exist_ok=True)
-        tmp = so_path.with_suffix(".so.tmp")
+        # pid+serial-unique tmp (same rule as write_tsv_matrix): two
+        # processes racing the first build must never os.replace a torn .so
+        # onto the content-hash path, which would disable the native tier
+        # until someone deletes _build/
+        tmp = so_path.with_suffix(f".so.tmp.{os.getpid()}-{next(_tmp_serial)}")
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_PATCH_SRC),
                "-o", str(tmp), "-ljpeg"]
         subprocess.run(cmd, check=True, capture_output=True)
@@ -287,10 +300,12 @@ def get_patch_lib() -> Optional[ctypes.CDLL]:
     None when the toolchain/libjpeg is missing (callers fall back to PIL)."""
     global _patch_lib, _patch_lib_failed
     if _patch_lib is None and not _patch_lib_failed:
-        try:
-            _patch_lib = _build_patch_lib()
-        except Exception:
-            _patch_lib_failed = True
+        with _build_lock:
+            if _patch_lib is None and not _patch_lib_failed:
+                try:
+                    _patch_lib = _build_patch_lib()
+                except Exception:
+                    _patch_lib_failed = True
     return _patch_lib
 
 

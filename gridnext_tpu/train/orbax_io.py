@@ -23,19 +23,49 @@ def _require_orbax():
                           "'orbax-checkpoint' package") from e
 
 
+class _SwappingCheckpointer:
+    """Async-save handle that atomically swaps the finished checkpoint into
+    place on ``wait_until_finished()`` (write-then-rename; see
+    :func:`save_checkpoint_orbax`)."""
+
+    def __init__(self, ckptr, swap):
+        self._ckptr = ckptr
+        self._swap = swap
+        self._swapped = False
+
+    def wait_until_finished(self):
+        self._ckptr.wait_until_finished()
+        if not self._swapped:
+            self._swap()
+            self._swapped = True
+
+    def close(self):
+        self.wait_until_finished()
+        self._ckptr.close()
+
+
 def save_checkpoint_orbax(path, state: TrainState, *, block: bool = True):
     """Write a TrainState to ``path`` (a directory) via orbax.
+
+    Overwrites are ATOMIC-replACE, like the msgpack path (loops.py
+    save_checkpoint): the new checkpoint is written to a sibling tmp
+    directory and renamed over ``path`` only once complete. (orbax's own
+    ``force=True`` deletes the existing directory BEFORE writing the new
+    one -- a crash in that window would lose the only checkpoint, which is
+    unacceptable for the periodic-overwrite '.latest' pattern.)
 
     ``block=False`` uses orbax's asynchronous machinery (StandardCheckpointer
     is an AsyncCheckpointer): device arrays are passed through un-fetched so
     the device->host transfer and disk write happen in the background while
     training continues -- the right default for mesh runs, where stalling
-    every chip on a serial host write wastes the whole slice. Returns the
-    checkpointer; the caller must call ``wait_until_finished()`` (and
-    ``close()``) before relying on the files. With ``block=True`` (default)
-    everything is on disk when this returns and None is returned.
+    every chip on a serial host write wastes the whole slice. Returns a
+    handle; the caller must call ``wait_until_finished()`` (which performs
+    the atomic swap) and ``close()`` before relying on the files. With
+    ``block=True`` (default) everything is on disk when this returns and
+    None is returned.
     """
     import os
+    import shutil
 
     ocp = _require_orbax()
     payload = {
@@ -47,13 +77,29 @@ def save_checkpoint_orbax(path, state: TrainState, *, block: bool = True):
         "opt_state": state.opt_state,
         "step": jax.device_get(state.step),
     }
+    final = os.path.abspath(str(path))
+    tmp = f"{final}.tmp-{os.getpid()}"
+    if os.path.isdir(tmp):          # leftover from a killed earlier attempt
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(str(path)), payload, force=True)
+    ckptr.save(tmp, payload)        # fresh dir: no force, no pre-delete
+
+    def swap():
+        old = f"{final}.old-{os.getpid()}"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
     if block:
         ckptr.wait_until_finished()
+        swap()
         ckptr.close()
         return None
-    return ckptr
+    return _SwappingCheckpointer(ckptr, swap)
 
 
 def _abstract_leaf(leaf):

@@ -51,20 +51,27 @@ class TrainingPreempted(RuntimeError):
 
 
 class PreemptionGuard:
-    """A latched flag set from signal context, read at batch boundaries."""
+    """A latched flag set from signal context, read at batch boundaries.
+
+    A plain bool attribute, NOT threading.Event: Event.set() takes a
+    non-reentrant lock, so a second SIGTERM landing while the first
+    handler invocation holds it would deadlock the main thread inside the
+    handler -- exactly when the grace window is burning. Attribute
+    assignment is async-signal-safe in CPython, and polling needs no lock.
+    """
 
     def __init__(self):
-        self._event = threading.Event()
+        self._flag = False
 
     def trigger(self, *_signal_args):
-        self._event.set()
+        self._flag = True
 
     @property
     def triggered(self) -> bool:
-        return self._event.is_set()
+        return self._flag
 
     def reset(self):
-        self._event.clear()
+        self._flag = False
 
 
 _active_lock = threading.Lock()
@@ -82,7 +89,11 @@ def install_preemption_handler(signals=(signal.SIGTERM,)) -> PreemptionGuard:
     with _active_lock:
         if _active_guard is None:
             _active_guard = PreemptionGuard()
-            for sig in signals:
+        # hook any signals not yet covered -- a later caller asking for
+        # (SIGTERM, SIGUSR1) after the CLI installed SIGTERM must not have
+        # its SIGUSR1 request silently dropped
+        for sig in signals:
+            if sig not in _prev_handlers:
                 _prev_handlers[sig] = signal.signal(sig,
                                                     _active_guard.trigger)
         return _active_guard

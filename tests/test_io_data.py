@@ -818,3 +818,58 @@ def test_patch_spot_dataset_ignores_stray_jpgs(tmp_path):
     assert len(ds) == 3
     xs, ys = ds.materialize()          # would np.stack-fail with the stray
     assert xs.shape == (3, 8, 8, 3)
+
+
+def test_numeric_loupe_labels_encode_uniformly(tmp_path):
+    """Integer cluster IDs must map to ONE class name whether or not an
+    array's label column carried NaNs (float64 coercion would otherwise
+    split cluster '1' into classes '1' and '1.0')."""
+    import pandas as pd
+
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.io import find_position_file
+    from gridnext_tpu.io.annotations import read_annotfile, union_classes
+
+    sim = simulate_spaceranger_dir(tmp_path / "arr", seed=0, n_genes=5,
+                                   n_classes=2)
+    pf = find_position_file(sim["spaceranger_dir"])
+    pos = pd.read_csv(pf, header=None if "list" not in str(pf) else 0)
+    import gzip
+
+    # barcodes from the positions file (v2 headered or v1 headerless)
+    from gridnext_tpu.io.spaceranger import read_positions_file
+
+    barcodes = list(read_positions_file(pf).index[:4])
+    full = tmp_path / "full.csv"       # fully annotated -> int64 column
+    pd.DataFrame({"Barcode": barcodes, "AARs": [1, 2, 1, 2]}).to_csv(
+        full, index=False)
+    gappy = tmp_path / "gappy.csv"     # one blank -> float64 column
+    pd.DataFrame({"Barcode": barcodes,
+                  "AARs": [1, 2, None, 2]}).to_csv(gappy, index=False)
+
+    _, a_full = read_annotfile(str(full), position_file=pf)
+    _, a_gappy = read_annotfile(str(gappy), position_file=pf)
+    assert set(a_full) == {"1", "2"}
+    assert set(a_gappy) == {"1", "2"}          # NOT {'1.0', '2.0'}
+    classes = union_classes([str(full), str(gappy)], [pf, pf])
+    assert list(classes) == ["1", "2"]
+
+
+def test_prepare_count_files_hd_default_suffix(tmp_path):
+    """prepare_count_files(hd_binning=...) must write the BIN-TAGGED cache
+    name by default -- the untagged name would be invisible to
+    unified_cache_path yet silently adopted by a later non-HD factory
+    call."""
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.io import unified_cache_path
+    from gridnext_tpu.io.unify import prepare_count_files
+
+    sim = simulate_spaceranger_dir(tmp_path / "hd", seed=0, n_genes=5,
+                                   n_classes=2, spaceranger_version="hd",
+                                   hd_binning="square_008um")
+    written = prepare_count_files([sim["spaceranger_dir"]],
+                                  minimum_detection_rate=None, verbose=False,
+                                  hd_binning="square_008um")
+    assert written[0] == unified_cache_path(sim["spaceranger_dir"],
+                                            "square_008um")
+    assert "square_008um" in written[0]

@@ -238,3 +238,27 @@ def test_cli_train_count_preempts_with_exit_75_and_resumes(tmp_path, guard):
     guard.reset()
     main(argv + ["--resume"])
     assert (tmp_path / "model" / "model.json").exists()
+
+
+def test_repeated_install_hooks_new_signals():
+    """A second install_preemption_handler call naming additional signals
+    must hook them (previously silently dropped once a guard existed)."""
+    import signal
+
+    from gridnext_tpu.train.preempt import (install_preemption_handler,
+                                            uninstall_preemption_handler)
+
+    try:
+        g1 = install_preemption_handler((signal.SIGTERM,))
+        g2 = install_preemption_handler((signal.SIGTERM, signal.SIGUSR1))
+        assert g1 is g2
+        assert signal.getsignal(signal.SIGUSR1) == g1.trigger
+        # double-trigger is safe (plain flag, no Event lock re-entry)
+        g1.trigger()
+        g1.trigger()
+        assert g1.triggered
+        g1.reset()
+    finally:
+        uninstall_preemption_handler()
+    assert signal.getsignal(signal.SIGUSR1) in (signal.SIG_DFL,
+                                                signal.Handlers.SIG_DFL)

@@ -528,3 +528,38 @@ def test_sample_input_prefers_sample_item():
     # streaming Subset views sample through the backing dataset + transform
     sub = Subset(Lazy(), [0], transform=lambda x: x[:2])
     assert _sample_input(sub).shape == (1, 2, 4)
+
+
+def test_orbax_overwrite_is_atomic_swap(tmp_path):
+    """Overwriting an orbax checkpoint writes beside and renames: no
+    force=True pre-delete window where the only checkpoint is gone, and no
+    tmp/old droppings remain."""
+    import os
+
+    import jax
+    import numpy as np
+    import optax
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from gridnext_tpu.models import CountMLP
+    from gridnext_tpu.train import create_train_state
+    from gridnext_tpu.train.orbax_io import (restore_checkpoint_orbax,
+                                             save_checkpoint_orbax)
+    import jax.numpy as jnp
+
+    f = CountMLP(n_classes=3)
+    s1 = create_train_state(f, jax.random.key(0), jnp.zeros((1, 6)),
+                            optax.adam(1e-3))
+    s2 = create_train_state(f, jax.random.key(1), jnp.zeros((1, 6)),
+                            optax.adam(1e-3))
+    path = tmp_path / "ckpt"
+    save_checkpoint_orbax(path, s1)
+    save_checkpoint_orbax(path, s2)          # overwrite
+    restored = restore_checkpoint_orbax(path, s1)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if ".tmp-" in d or ".old-" in d]
+    assert not leftovers
