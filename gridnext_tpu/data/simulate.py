@@ -57,9 +57,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     rng = np.random.default_rng(seed)
     dest = Path(dest_dir)
     spatial = dest / "outs" / "spatial"
+    # NOTE: the non-HD matrix dir is created lazily below -- real HD output
+    # has no outs/filtered_feature_bc_matrix (only the binned_outputs one),
+    # and the fixture layout must match what Spaceranger actually writes
     matdir = dest / "outs" / "filtered_feature_bc_matrix"
     spatial.mkdir(parents=True, exist_ok=True)
-    matdir.mkdir(parents=True, exist_ok=True)
 
     if hd_grid is not None and spaceranger_version != "hd":
         raise ValueError("hd_grid requires spaceranger_version='hd'")
@@ -143,6 +145,7 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     elif len(gene_names) != n_genes:
         raise ValueError(
             f"gene_names has {len(gene_names)} entries, expected {n_genes}")
+    matdir.mkdir(parents=True, exist_ok=True)
     with gzip.open(matdir / "features.tsv.gz", "wt") as fh:
         for gid, gname in zip(gene_ids, gene_names):
             fh.write(f"{gid}\t{gname}\tGene Expression\n")

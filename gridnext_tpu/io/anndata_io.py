@@ -102,6 +102,11 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
         raise ValueError("Must provide either patched image directories or fullres images")
 
     if imgpatch_dirs is None:
+        if patch_size_px is None and patch_size_um is None:
+            # same validation as the dataset factory (datasets.py) -- a bare
+            # int(None) TypeError would point nowhere
+            raise ValueError("Must specify patch size in pixels "
+                             "(patch_size_px) or microns (patch_size_um)")
         patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
                         else f"_patches{int(patch_size_um)}um")
         if hd_binning is not None:

@@ -49,13 +49,36 @@ def filtered_norm_logcounts(count_file, min_counts: int = 100,
     return pd.DataFrame(X, index=df.index, columns=df.columns)
 
 
+def _check_gene_axes(frames, files):
+    """Refuse to hstack count frames with mismatched gene axes: per-gene
+    statistics over misaligned rows would be silently wrong (the same
+    guard the dataset layer and hvg.py apply; pca.py was the one
+    count-consuming path without it)."""
+    genes0, f0 = None, None
+    for df, cf in zip(frames, files):
+        genes = list(df.index)
+        if genes0 is None:
+            genes0, f0 = genes, cf
+        elif genes != genes0:
+            from gridnext_tpu.io.unify import assert_gene_axis_match
+
+            assert_gene_axis_match(genes, genes0, str(cf), str(f0))
+
+
+def _scaler_from_normed(frames, files) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-gene (mean, std) over pre-normalized frames -- the ONE scaler
+    implementation (fit_cohort_scaler and preprocess_cohorts share it)."""
+    _check_gene_axes(frames, files)
+    allcounts = np.hstack([df.values for df in frames])
+    return allcounts.mean(axis=1), allcounts.std(axis=1)
+
+
 def fit_cohort_scaler(count_files: Sequence, min_counts: int = 100,
                       target_sum: float = 1e4) -> Tuple[np.ndarray, np.ndarray]:
     """Per-gene (mean, std) over a training cohort's normalized log counts."""
-    blocks = [filtered_norm_logcounts(cf, min_counts, target_sum).values
+    frames = [filtered_norm_logcounts(cf, min_counts, target_sum)
               for cf in count_files]
-    allcounts = np.hstack(blocks)
-    return allcounts.mean(axis=1), allcounts.std(axis=1)
+    return _scaler_from_normed(frames, count_files)
 
 
 def scale_logcounts(df, mean: np.ndarray, std: np.ndarray, clip: float = 10.0):
@@ -114,31 +137,34 @@ def preprocess_cohorts(train_count_files: Sequence, all_count_files: Sequence,
 
     Returns dict with scaler (mean, std), the fitted pca, ``n_pcs`` at the
     variance target, and per-file scaled DataFrames keyed by the input path
-    string (or ``id()`` for DataFrame inputs).
+    string (or ``id()`` for DataFrame inputs) -- every file in
+    ``all_count_files`` AND ``train_count_files`` gets an entry, and the
+    PCA fits on every TRAIN file (train files need not appear in
+    all_count_files).
     """
     # read/normalize each file exactly once; membership by identity or
     # normalized path string (Path vs str must compare equal)
     def _key(cf):
         return id(cf) if hasattr(cf, "values") else str(cf)
 
-    train_keys = {_key(cf) for cf in train_count_files}
     normed = {_key(cf): filtered_norm_logcounts(cf, min_counts, target_sum)
               for cf in all_count_files}
     for cf in train_count_files:  # train files may not be in all_count_files
         if _key(cf) not in normed:
             normed[_key(cf)] = filtered_norm_logcounts(cf, min_counts, target_sum)
+    every = list(all_count_files) + [cf for cf in train_count_files
+                                     if _key(cf) not in
+                                     {_key(c) for c in all_count_files}]
+    _check_gene_axes([normed[_key(cf)] for cf in every], every)
 
     train_norm = [normed[_key(cf)] for cf in train_count_files]
-    allcounts = np.hstack([df.values for df in train_norm])
-    mean, std = allcounts.mean(axis=1), allcounts.std(axis=1)
+    mean, std = _scaler_from_normed(train_norm, train_count_files)
 
-    scaled = {}
-    train_blocks = []
-    for cf in all_count_files:
-        df = scale_logcounts(normed[_key(cf)], mean, std, clip)
-        scaled[_key(cf)] = df
-        if _key(cf) in train_keys:
-            train_blocks.append(df.values.T)
+    scaled = {k: scale_logcounts(df, mean, std, clip)
+              for k, df in normed.items()}
+    # PCA fits on EVERY training file (not just those echoed in
+    # all_count_files -- silently fitting on a subset was a bug)
+    train_blocks = [scaled[_key(cf)].values.T for cf in train_count_files]
 
     X_train = np.vstack(train_blocks)
     if X_train.shape[0] == 0:

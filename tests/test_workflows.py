@@ -153,3 +153,49 @@ def test_cross_validate_rejects_ragged_histories():
 
     with pytest.raises(ValueError, match="unequal history lengths"):
         cross_validate(fold_fn, ["a", "b"], n_folds=2, verbose=False)
+
+
+def test_pca_fits_on_all_train_files(tmp_path):
+    """PCA must fit on EVERY training file, including ones not echoed in
+    all_count_files (previously the fit silently used only the overlap),
+    and every input file must appear in 'scaled'."""
+    import numpy as np
+    import pandas as pd
+
+    from gridnext_tpu.workflows.pca import preprocess_cohorts
+
+    rng = np.random.default_rng(0)
+
+    def frame(n_spots, seed):
+        r = np.random.default_rng(seed)
+        return pd.DataFrame(
+            r.integers(0, 50, (6, n_spots)).astype(float) + 20,
+            index=[f"g{i}" for i in range(6)],
+            columns=[f"{c}_{c}" for c in range(n_spots)])
+
+    a, b, c = frame(30, 1), frame(25, 2), frame(20, 3)
+    out = preprocess_cohorts([a, b], [b, c], min_counts=0)
+    # all three files scaled; PCA saw a's spots too
+    assert len(out["scaled"]) == 3
+    n_train_spots = a.shape[1] + b.shape[1]
+    assert out["pca"].n_samples_ == n_train_spots
+    # fully disjoint train/all works (previously np.vstack([]) crashed)
+    out2 = preprocess_cohorts([a], [c], min_counts=0)
+    assert out2["pca"].n_samples_ == a.shape[1]
+
+
+def test_pca_rejects_mismatched_gene_axes():
+    """hstack over misaligned gene axes would yield silently wrong per-gene
+    statistics; the scaler refuses like the dataset layer does."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from gridnext_tpu.workflows.pca import fit_cohort_scaler
+
+    g1 = pd.DataFrame(np.ones((3, 4)) + 30, index=["a", "b", "c"],
+                      columns=[f"{i}_{i}" for i in range(4)])
+    g2 = pd.DataFrame(np.ones((3, 4)) + 30, index=["c", "b", "a"],
+                      columns=[f"{i}_{i}" for i in range(4)])
+    with pytest.raises(ValueError, match="gene axis"):
+        fit_cohort_scaler([g1, g2], min_counts=0)
