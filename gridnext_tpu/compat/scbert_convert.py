@@ -43,8 +43,9 @@ def _layernorm(sd, prefix):
     return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
 
 
-def performer_lm_from_torch(sd: Mapping,
-                            depth: int) -> Tuple[dict, Optional[np.ndarray]]:
+def performer_lm_from_torch(sd: Mapping, depth: int,
+                             use_scalenorm: bool = False,
+                             ) -> Tuple[dict, Optional[np.ndarray]]:
     """Convert a PerformerLM state_dict.
 
     Returns (variables, g2v_weights): variables has 'params' and 'favor'
@@ -75,9 +76,21 @@ def performer_lm_from_torch(sd: Mapping,
             perf_fav[f"layers_{i}_attn"] = {
                 "fast_attention": {"projection": _np(sd[proj_key])}}
 
-        if f"{base}.0.g" in sd:  # ReZero gains (use_rezero models)
-            perf[f"wrap_{i}_attn_rezero_g"] = _np(sd[f"{base}.0.g"]).reshape(1)
-            perf[f"wrap_{i}_ff_rezero_g"] = _np(sd[f"{base}.1.g"]).reshape(1)
+        if f"{base}.0.g" in sd:
+            # AMBIGUOUS torch key: PreScaleNorm and ReZero both expose
+            # '.0.g' (performer_pytorch.py:288-306) -- the wrapper type is
+            # model config the state dict cannot reveal, so ScaleNorm
+            # checkpoints must be converted with use_scalenorm=True
+            if use_scalenorm:
+                perf[f"wrap_{i}_attn_norm"] = {
+                    "g": _np(sd[f"{base}.0.g"]).reshape(1)}
+                perf[f"wrap_{i}_ff_norm"] = {
+                    "g": _np(sd[f"{base}.1.g"]).reshape(1)}
+            else:  # ReZero gains (use_rezero models)
+                perf[f"wrap_{i}_attn_rezero_g"] = \
+                    _np(sd[f"{base}.0.g"]).reshape(1)
+                perf[f"wrap_{i}_ff_rezero_g"] = \
+                    _np(sd[f"{base}.1.g"]).reshape(1)
         if f"{base}.1.norm.weight" in sd:
             perf[f"wrap_{i}_ff_norm"] = _layernorm(sd, f"{base}.1.norm")
         # Chunk wraps FeedForward: .1.fn.fn.w1 / .w2
@@ -117,13 +130,15 @@ def performer_lm_from_torch(sd: Mapping,
     return variables, g2v
 
 
-def scbert_from_torch(sd: Mapping, depth: int = 6):
+def scbert_from_torch(sd: Mapping, depth: int = 6,
+                      use_scalenorm: bool = False):
     """Convert a full scBERT checkpoint for gridnext_tpu.models.scbert.scBERT.
 
     Returns (variables, g2v_weights) with params nested under the
     'performer_lm' scope used by the scBERT wrapper module.
     """
-    inner, g2v = performer_lm_from_torch(sd, depth)
+    inner, g2v = performer_lm_from_torch(
+        sd, depth, use_scalenorm=use_scalenorm)
     lm_params = dict(inner["params"])
     root = {"performer_lm": lm_params}
     # The AttentionClassifier head binds at the scBERT root scope (it is

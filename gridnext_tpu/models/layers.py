@@ -16,8 +16,14 @@ class HexConv(nn.Module):
     natively on Visium odd-right layout and NHWC tensors. ``radius=1`` is the
     7-cell stencil; weights are per-tap full matrices (T, C_in, C_out).
 
-    Init parity: xavier-uniform weights / zero bias, matching the reference's
-    ``init_weights`` (gridnet_models.py:14-20).
+    Init: xavier-uniform over the full (7*C_in, C_out) tap fan, zero bias --
+    the same FAMILY as the reference's ``init_weights`` but NOT its exact
+    distribution: init_weights type-checks ``type(m) == nn.Conv2d`` so it
+    never touches hexagdly layers at all (those keep torch's default
+    kaiming sub-kernel init), and hexagdly's column-parity sub-kernels have
+    different fans than one 7-tap stencil. Fresh-training dynamics may
+    therefore differ slightly from the reference; converted checkpoints are
+    exact (compat.hexagdly_ref).
 
     Dtype convention (same as flax.linen.Dense): parameters live in
     ``param_dtype`` (float32 master weights regardless of activation dtype);

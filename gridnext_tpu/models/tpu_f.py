@@ -79,6 +79,18 @@ class TpuPatchClassifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dtype = self.dtype or jnp.float32
+        # trace-time guard (shapes are static). Enforce the REAL bound up
+        # front: the SAME-padded stage downsamples can never reach size 0
+        # (only the VALID stem can), so a late zero-dim check would let
+        # patches in the [stem, stem*2^(n-1)) range silently train on a
+        # degenerate 1x1 feature map where every 3x3 conv sees one pixel.
+        min_px = self.stem_patch * 2 ** (len(self.stages) - 1)
+        if x.shape[-3] < min_px or x.shape[-2] < min_px:
+            raise ValueError(
+                f"input patches {x.shape[-3:-1]} too small for "
+                f"stem_patch={self.stem_patch} with {len(self.stages)} "
+                f"stages: every stage needs a non-degenerate spatial "
+                f"extent -- use patches of at least {min_px}px")
         x = x.astype(dtype)
         x = nn.Conv(self.stages[0][0], (self.stem_patch, self.stem_patch),
                     strides=(self.stem_patch, self.stem_patch),
@@ -87,11 +99,6 @@ class TpuPatchClassifier(nn.Module):
         for width, depth in self.stages:
             if x.shape[-1] != width:
                 x = nn.Conv(width, (2, 2), strides=(2, 2), dtype=dtype)(x)
-            if 0 in x.shape[1:3]:  # trace-time: shapes are static
-                raise ValueError(
-                    f"input patches too small: spatial dims collapsed to "
-                    f"{x.shape[1:3]} before the {width}-wide stage; use "
-                    f"patches of at least {self.stem_patch * 2 ** (len(self.stages) - 1)}px")
             for _ in range(depth):
                 h = nn.Conv(width, (3, 3), dtype=dtype)(x)
                 h = nn.relu(self._norm(dtype)(h))

@@ -64,6 +64,12 @@ def performance_curves(true, smax, class_names: Optional[Sequence[str]] = None,
     for fi, (_, _, curve_fn) in enumerate(_CURVE_FAMILIES):
         for c in range(n_classes):
             for ci, (_, scores) in enumerate(conditions):
+                if not onehot[:, c].any():
+                    # class absent from `true`: roc_curve yields nan tpr
+                    # and auc(nan) would poison the MACRO average for
+                    # every class; mark it and exclude it instead
+                    aucs[fi, c, ci] = np.nan
+                    continue
                 xs, ys = curve_fn(onehot[:, c], scores[:, c])
                 aucs[fi, c, ci] = auc(xs, ys)
                 curves[fi, c, ci] = (xs, ys)
@@ -87,11 +93,13 @@ def performance_curves(true, smax, class_names: Optional[Sequence[str]] = None,
             a.set(xlabel=None, ylabel=None, xlim=(0, 1), ylim=(0, 1))
             a.set_xlabel(xlabel, fontsize=12)
             a.set_ylabel(ylabel, fontsize=12)
-            a.legend(fontsize=12)
+            if a.get_legend_handles_labels()[0]:  # absent class: no curves
+                a.legend(fontsize=12)
             if class_names is not None:
                 a.set_title(class_names[c], fontsize=14)
 
-    macro = aucs.mean(axis=1)  # -> (family, condition)
+    # macro over the classes PRESENT in `true` (absent classes are nan)
+    macro = np.nanmean(aucs, axis=1)  # -> (family, condition)
     return fig, ax, macro[0], macro[1]
 
 
@@ -282,7 +290,10 @@ def plot_hextensor(grid, layout: str = "odd-r", cmap: str = "Greys", ax=None,
     for y, x in order:
             if npix not in mask:
                 if layout == "odd-r":
-                    center = (x + (y % 2) * 0.5, -(y * np.sqrt(3) / 2))
+                    # the canonical odd-right coordinate math (CLAUDE.md:
+                    # one geometry implementation), y flipped for screen
+                    cx, cy = geometry.oddr_to_cartesian(x, y)
+                    center = (float(cx), -float(cy))
                     orientation = 0.0  # pointy-top
                 elif layout == "odd-q":
                     center = (x * np.sqrt(3) / 2, -(y + (x % 2) * 0.5))

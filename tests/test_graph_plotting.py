@@ -204,3 +204,25 @@ def test_plot_cv_curves():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_performance_curves_absent_class_finite_macro():
+    """A class with zero examples in `true` must not poison the macro
+    AUROC/AUPRC with NaN (sklearn's roc_curve yields nan tpr there);
+    absent classes are excluded from the macro instead."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from gridnext_tpu.plotting import performance_curves
+
+    rng = np.random.default_rng(0)
+    true = rng.integers(0, 2, 100)      # class 2 absent
+    smax = rng.dirichlet([1.0, 1.0, 1.0], 100)
+    fig, ax, mroc, mpr = performance_curves(true, smax,
+                                            class_names=["a", "b", "c"])
+    assert np.isfinite(mroc) and np.isfinite(mpr)
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
