@@ -79,19 +79,18 @@ def _cmd_prepare(args):
 
     written = prepare_count_files(args.spaceranger,
                                   unified_count_suffix(args.hd_binning),
-                                  minimum_detection_rate=args.min_detection,
+                                  minimum_detection_rate=_min_detection(args),
                                   hd_binning=args.hd_binning)
     for w in written:
         print(f"wrote {w}")
     if args.images:
-        from gridnext_tpu.pipeline import save_visium_patches
+        from gridnext_tpu.pipeline import patch_cache_suffix, save_visium_patches
 
-        _require_one_image_per_dir(args.images, args.spaceranger)
+        # validate BEFORE the expensive extraction: a cache train-image
+        # would refuse (patch < 32, window < patch) must not be built
+        _check_image_args(args)
         h_st = w_st = None
-        suffix = f"_patches{args.patch_px}px"
         window_px = getattr(args, "window_px", None)
-        if window_px is not None:
-            suffix += f"_w{window_px}"
         if args.hd_binning is not None:
             # COHORT-max lattice dims, exactly like the factory's
             # grid_dims='auto' -- per-array dims would name caches the
@@ -100,7 +99,11 @@ def _cmd_prepare(args):
 
             h_st, w_st = cohort_hd_lattice_dims(args.spaceranger,
                                                 args.hd_binning)
-            suffix = f"_{args.hd_binning}_{h_st}x{w_st}{suffix}"
+        # shared cache-naming contract with the dataset factory
+        suffix = patch_cache_suffix(
+            patch_size_px=args.patch_px, window_size_px=window_px,
+            hd_binning=args.hd_binning,
+            hd_dims=(h_st, w_st) if args.hd_binning is not None else None)
         for srd, im in zip(args.spaceranger, args.images):
             pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
             save_visium_patches(im, srd, pdir, patch_size=args.patch_px,
@@ -256,6 +259,17 @@ def _validated_count_cache(srd, meta):
         sys.exit(f"error: {e}")
 
 
+_MIN_DETECTION_DEFAULT = 0.02
+
+
+def _min_detection(args):
+    """--min-detection resolved to its effective value. The argparse default
+    is None (not 0.02) so _warn_existing_caches can tell a user-passed flag
+    from the default and only warn when the flag would actually be ignored."""
+    v = getattr(args, "min_detection", None)
+    return _MIN_DETECTION_DEFAULT if v is None else v
+
+
 def _warn_existing_caches(args, suffix_paths):
     if args.min_detection is not None and all(os.path.exists(c)
                                               for c in suffix_paths):
@@ -287,8 +301,8 @@ def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None):
         return None
     from gridnext_tpu.train.loops import _mesh_placement, _resolve_mesh
 
-    mesh = _resolve_mesh(None, mesh_shape)
     try:
+        mesh = _resolve_mesh(None, mesh_shape)
         if spot_batch is not None:
             _mesh_placement(mesh, "spot", spot_batch)
         if grid_batch is not None:
@@ -324,12 +338,12 @@ def _parse_mesh(args):
         for part in spec.split(","):
             name, size = part.split("=")
             shape[name.strip()] = int(size)
-        if not shape:
+        if not shape or any(s <= 0 for s in shape.values()):
             raise ValueError
         return shape
     except ValueError:
-        sys.exit(f"error: --mesh must be 'auto' or like 'data=4,spot=2'; "
-                 f"got {spec!r}")
+        sys.exit(f"error: --mesh must be 'auto' or like 'data=4,spot=2' "
+                 f"(positive axis sizes); got {spec!r}")
 
 
 def _parse_grid_dims(spec):
@@ -370,7 +384,7 @@ def _cmd_train_count(args):
     caches = [unified_cache_path(s, hd_binning) for s in args.spaceranger]
     _warn_existing_caches(args, caches)
     kw = dict(annot_files=args.annots, use_count=True, use_image=False,
-              minimum_detection_rate=args.min_detection,
+              minimum_detection_rate=_min_detection(args),
               hd_binning=hd_binning)
     spots = create_visium_dataset(args.spaceranger, spatial=False, **kw)
     grids = create_visium_dataset(args.spaceranger, spatial=True,
@@ -494,7 +508,9 @@ def _load_scbert_ckpt(path, depth: int):
 
         from gridnext_tpu.compat.scbert_convert import scbert_from_torch
 
-        sd = torch.load(path, map_location="cpu")
+        # only plain state-dicts are supported content (scbert_from_torch),
+        # so refuse arbitrary pickle execution from a user-supplied path
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "model_state_dict" in sd:
             sd = sd["model_state_dict"]
         variables, _ = scbert_from_torch(sd, depth=depth)
@@ -578,14 +594,14 @@ def _cmd_train_mm(args):
         count_grids = create_visium_dataset(
             args.spaceranger, spatial=True, use_count=True, use_image=False,
             annot_files=args.annots,
-            minimum_detection_rate=args.min_detection,
+            minimum_detection_rate=_min_detection(args),
             hd_binning=hd_binning,
             grid_dims=(img_grids.h_st, img_grids.w_st))
         mm_grids = MMStackDataset(img_grids, count_grids)
         image_spots = None
     else:
         kw = dict(annot_files=args.annots,
-                  minimum_detection_rate=args.min_detection,
+                  minimum_detection_rate=_min_detection(args),
                   fullres_image_files=args.images,
                   patch_size_px=args.patch_px,
                   window_size_px=args.window_px, hd_binning=hd_binning)
@@ -603,7 +619,7 @@ def _cmd_train_mm(args):
     count_spots = create_visium_dataset(args.spaceranger, spatial=False,
                                         use_count=True, use_image=False,
                                         annot_files=args.annots,
-                                        minimum_detection_rate=args.min_detection,
+                                        minimum_detection_rate=_min_detection(args),
                                         hd_binning=hd_binning)
     classes = list(mm_grids.classes)
     n_classes = len(classes)
@@ -632,6 +648,7 @@ def _cmd_train_mm(args):
             outfile=f_out, resume=_resume_path(args, f_out))
         return state
 
+    frozen_f = None  # per-subtree freeze carried into the joint g stage
     if args.count_f == "scbert":
         # transformer count-f: the multimodal_model_test.py stack. Counts
         # reindex into the gene2vec space; the scBERT forward bins them.
@@ -655,11 +672,17 @@ def _cmd_train_mm(args):
 
             tx_f = optax.adam(args.f_lr)
             if args.scbert_finetune:
+                scbert_labels = lambda params: finetune_param_labels(  # noqa: E731
+                    params, args.scbert_depth)
                 tx_f = optax.multi_transform(
                     {"train": optax.adam(args.f_lr),
                      "frozen": optax.set_to_zero()},
-                    lambda params: finetune_param_labels(
-                        params, args.scbert_depth))
+                    scbert_labels)
+                # carry the freeze into the joint gridwise stage too: the
+                # count_classifier subtree must not fall back to plain adam
+                # there (make_gridwise_optimizer would otherwise train every
+                # pretrained scBERT parameter when f trains jointly with g)
+                frozen_f = {"count_classifier": scbert_labels}
             f_count_state0 = create_train_state(
                 f_count, jax.random.key(0),
                 jnp.zeros((1, vocab), jnp.float32), tx_f)
@@ -724,7 +747,8 @@ def _cmd_train_mm(args):
                      **split_kw)
     joint_f = args.finetune_f or f_image_state is None
     tx = make_gridwise_optimizer(args.g_lr,
-                                 f_lr=args.f_lr if joint_f else None)
+                                 f_lr=args.f_lr if joint_f else None,
+                                 frozen_f_labels=frozen_f)
     state = create_train_state(g, jax.random.key(0), _first_sample(dls), tx)
     if f_image_state is not None:
         state = load_f_params(state, f_image_state.variables(),
@@ -768,13 +792,21 @@ def _cmd_train_mm(args):
 
 
 def _write_loupe(label_grid, srd, args, classes, hd_binning=None,
-                 hex_coords=True):
+                 hex_coords=True, index=None):
     """Shared Loupe-CSV export for every register branch: output naming
-    (single file vs per-array directory), positions lookup, write, log."""
+    (single file vs per-array directory), positions lookup, write, log.
+
+    ``index`` (the array's position in args.spaceranger) disambiguates
+    cohorts whose dirs share a basename — the standard '.../outs' layout —
+    which would otherwise silently overwrite each other's CSVs (same
+    convention as _evaluate_one's map files)."""
     from gridnext_tpu.evaluate import to_loupe_annots
     from gridnext_tpu.io import find_position_file
 
     name = os.path.basename(srd.rstrip("/"))
+    names = [os.path.basename(s.rstrip("/")) for s in args.spaceranger]
+    if index is not None and names.count(name) > 1:
+        name = f"{index:02d}_{name}"
     out_csv = (args.out if len(args.spaceranger) == 1
                else os.path.join(args.out, f"{name}_loupe.csv"))
     if len(args.spaceranger) > 1:
@@ -803,7 +835,7 @@ def _cmd_pretrain_scbert(args):
     # spot-level count dataset (labels unused; cohorts need no annotations)
     spots = create_visium_dataset(args.spaceranger, spatial=False,
                                   use_count=True, use_image=False,
-                                  minimum_detection_rate=args.min_detection,
+                                  minimum_detection_rate=_min_detection(args),
                                   hd_binning=args.hd_binning)
     transform, vocab = _scbert_count_transform(args.spaceranger,
                                                args.hd_binning,
@@ -1031,7 +1063,8 @@ def _cmd_serve_artifact(args):
                 h_st=side["h_st"], w_st=side["w_st"], hex_coords=hexc)
             labels = np.asarray(fn(wsi, *map(jnp.asarray, ins)))
         _write_loupe(labels, args.spaceranger[i], args, side["classes"],
-                     hd_binning=side.get("hd_binning"), hex_coords=hexc)
+                     hd_binning=side.get("hd_binning"), hex_coords=hexc,
+                     index=i)
 
 
 def _cmd_serve(args):
@@ -1164,7 +1197,7 @@ def _cmd_register(args):
             label_grid = np.where(fg, labels, 0)
             _write_loupe(label_grid, srd, args, classes,
                          hd_binning=meta.get("hd_binning"),
-                         hex_coords=grid_dims is None)
+                         hex_coords=grid_dims is None, index=i)
         return
 
     if model_name.endswith(("DenseNet121", "TpuPatchClassifier")):
@@ -1190,9 +1223,16 @@ def _cmd_register(args):
                 slide_batch=args.slide_batch):
             _write_loupe(label_grid, args.spaceranger[i], args, classes,
                          hd_binning=meta.get("hd_binning"),
-                         hex_coords=grid_dims is None)
+                         hex_coords=grid_dims is None, index=i)
         return
 
+    if not model_name.endswith("CountMLP"):
+        # an unexpected/missing model.json "model" must not silently fall
+        # through to the count path (it would die deep in flax apply);
+        # mirror export's explicit refusal
+        sys.exit(f"error: don't know how to register model "
+                 f"{model_name or '<missing>'!r} (expected GridNet[Hex]"
+                 f"[MM]+CountMLP / *DenseNet121 / *TpuPatchClassifier)")
     grid_dims = meta.get("grid_dims")  # square HD lattices (GridNet g)
     f = CountMLP(n_classes=len(classes))
     if grid_dims is not None:
@@ -1202,7 +1242,7 @@ def _cmd_register(args):
     else:
         g = GridNetHex(patch_classifier=f, n_classes=len(classes))
 
-    for srd in args.spaceranger:
+    for i, srd in enumerate(args.spaceranger):
         cfile = _validated_count_cache(srd, meta)
         if grid_dims is not None:
             gdat = CountGridDataset([cfile], Visium=False,
@@ -1217,7 +1257,7 @@ def _cmd_register(args):
         label_grid = np.where(x.sum(-1) > 0, labels, 0)
         _write_loupe(label_grid, srd, args, classes,
                      hd_binning=meta.get("hd_binning"),
-                     hex_coords=grid_dims is None)
+                     hex_coords=grid_dims is None, index=i)
 
 
 def _evaluate_one(model_dir, args):
@@ -1602,7 +1642,8 @@ def main(argv=None):
     s.add_argument("--window-px", type=int, default=None,
                    help="crop window side; resized down to --patch-px "
                         "(cache dirs get a _w{px} suffix)")
-    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--min-detection", type=float, default=None,
+                   help="gene detection-rate filter (default 0.02)")
     s.add_argument("--hd-binning", default=None,
                    help="Visium HD binned output to read (e.g. square_008um)")
     s.set_defaults(fn=_cmd_prepare)
@@ -1617,7 +1658,8 @@ def main(argv=None):
     s.add_argument("--f-lr", type=float, default=1e-4)
     s.add_argument("--g-lr", type=float, default=1e-3)
     s.add_argument("--finetune-f", action="store_true")
-    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--min-detection", type=float, default=None,
+                   help="gene detection-rate filter (default 0.02)")
     _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_count)
 
@@ -1639,7 +1681,8 @@ def main(argv=None):
     s = sub.add_parser("train-mm",
                        help="train multimodal GridNetHexMM (count + image)")
     _add_image_train_args(s)
-    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--min-detection", type=float, default=None,
+                   help="gene detection-rate filter (default 0.02)")
     s.add_argument("--count-f", choices=("mlp", "scbert"), default="mlp",
                    help="count classifier: 'mlp' (CountMLP, tutorial parity) "
                         "or 'scbert' (the multimodal_model_test.py stack: "
@@ -1696,7 +1739,8 @@ def main(argv=None):
     s.add_argument("--bin-num", type=int, default=5,
                    help="expression bins (tokens 0..bin_num; mask id "
                         "bin_num+1; vocabulary bin_num+2)")
-    s.add_argument("--min-detection", type=float, default=0.02)
+    s.add_argument("--min-detection", type=float, default=None,
+                   help="gene detection-rate filter (default 0.02)")
     s.add_argument("--hd-binning", default=None,
                    help="Visium HD binned output to read (e.g. square_008um)")
     s.add_argument("--scbert-vocab", type=int, default=16906,

@@ -802,19 +802,16 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
 
     patch_dirs = None
     if use_image:
-        from gridnext_tpu.pipeline import distance_um_to_px, save_visium_patches
+        from gridnext_tpu.pipeline import (distance_um_to_px,
+                                           patch_cache_suffix,
+                                           save_visium_patches)
 
-        patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
-                        else f"_patches{int(patch_size_um)}um")
-        if window_size_px is not None:
-            # distinct cache: same patch size from a different crop window
-            patch_suffix += f"_w{window_size_px}"
-        if hd_binning is not None:
-            # binning- AND dims-specific cache dir: the writer drops
-            # out-of-bounds patches, so a cache built with smaller explicit
-            # grid_dims must not be reused for a larger-dims run (the
-            # use_image guard above ensures hd_square here)
-            patch_suffix = f"_{hd_binning}_{h_hd}x{w_hd}{patch_suffix}"
+        # shared cache-naming contract with CLI `prepare` (the use_image
+        # guard above ensures hd_square, so (h_hd, w_hd) are set here)
+        patch_suffix = patch_cache_suffix(
+            patch_size_px=patch_size_px, patch_size_um=patch_size_um,
+            window_size_px=window_size_px, hd_binning=hd_binning,
+            hd_dims=(h_hd, w_hd) if hd_binning is not None else None)
         if save_patches_to is None:
             patch_dirs = [os.path.join(srd, Path(srd).name + patch_suffix)
                           for srd in spaceranger_dirs]

@@ -267,6 +267,33 @@ def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256
     return grid
 
 
+def patch_cache_suffix(patch_size_px: Optional[int] = None,
+                       patch_size_um: Optional[float] = None,
+                       window_size_px: Optional[int] = None,
+                       hd_binning: Optional[str] = None,
+                       hd_dims: Optional[tuple] = None) -> str:
+    """THE patch-cache directory suffix — the one place the naming lives.
+
+    The suffix is a load-bearing cache contract shared by the dataset
+    factory (data/datasets.py) and CLI ``prepare``: a mismatch silently
+    orphans prepared caches and triggers full re-extraction. Window-resized
+    caches get ``_w{px}``; HD caches are binning- AND dims-specific (the
+    writer drops out-of-bounds patches, so a cache built for smaller dims
+    must never be reused for a larger-dims run).
+    """
+    s = (f"_patches{patch_size_px}px" if patch_size_px is not None
+         else f"_patches{int(patch_size_um)}um")
+    if window_size_px is not None:
+        s += f"_w{window_size_px}"
+    if hd_binning is not None:
+        if hd_dims is None:
+            raise ValueError("HD patch caches are dims-specific: "
+                             "patch_cache_suffix needs hd_dims with "
+                             "hd_binning")
+        s = f"_{hd_binning}_{hd_dims[0]}x{hd_dims[1]}{s}"
+    return s
+
+
 def save_visium_patches(img_file, spaceranger_dir, dest_dir, patch_size: int = 256,
                         window_size: Optional[int] = None,
                         hd_binning: Optional[str] = None,

@@ -68,10 +68,36 @@ def _param_labels(params):
 
 
 def make_gridwise_optimizer(lr: float = 1e-3, f_lr: Optional[float] = None,
-                            accum_iters: int = 1) -> optax.GradientTransformation:
-    """g-optimizer (+optional f fine-tune optimizer) with grad accumulation."""
+                            accum_iters: int = 1,
+                            frozen_f_labels=None) -> optax.GradientTransformation:
+    """g-optimizer (+optional f fine-tune optimizer) with grad accumulation.
+
+    ``frozen_f_labels``: optional {f_collection_key: label_fn} carrying a
+    per-f-subtree freeze policy into the joint stage — label_fn maps that
+    collection's param subtree to a 'train'/'frozen' label tree (e.g.
+    ``models.scbert.finetune_param_labels``); 'frozen' leaves stay at
+    set_to_zero even when ``f_lr`` is given, so a spotwise-stage freeze
+    (pretrained scBERT) is not silently dropped when f trains jointly
+    with g.
+    """
     f_tx = optax.adam(f_lr) if f_lr is not None else optax.set_to_zero()
-    tx = optax.multi_transform({"g": optax.adam(lr), "f": f_tx}, _param_labels)
+    frozen = frozen_f_labels or {}
+
+    def labels(params):
+        out = {}
+        for k, v in params.items():
+            if k in frozen:
+                inner = frozen[k](v)  # 'train'/'frozen' tree congruent w/ v
+                out[k] = jax.tree.map(
+                    lambda lbl: "f" if lbl == "train" else "frozen", inner)
+            else:
+                out[k] = jax.tree.map(
+                    lambda _: "f" if k in _F_KEYS else "g", v)
+        return out
+
+    tx = optax.multi_transform(
+        {"g": optax.adam(lr), "f": f_tx, "frozen": optax.set_to_zero()},
+        labels if frozen else _param_labels)
     if accum_iters > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_iters)
     return tx
