@@ -445,7 +445,9 @@ def _retry(fn, attempts=None, wait_s=None):
     Knobs: GNX_BENCH_ATTEMPTS / GNX_BENCH_WAIT_S (observed relay outages can
     run long, and a failed backend init itself takes ~minutes to surface, so
     each attempt already embeds a substantial wait)."""
-    attempts = attempts or int(os.environ.get("GNX_BENCH_ATTEMPTS", 4))
+    # min 1: attempts=0 would skip the bench entirely and return None,
+    # crashing later without the contractual JSON line
+    attempts = max(1, attempts or int(os.environ.get("GNX_BENCH_ATTEMPTS", 4)))
     wait_s = wait_s or float(os.environ.get("GNX_BENCH_WAIT_S", 120))
     for a in range(attempts):
         try:

@@ -62,7 +62,9 @@ def main(argv=None):
 
         (loss, (corr, n)), grads = jax.value_and_grad(lf, has_aux=True)(params)
         upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss, corr / n
+        # n is the raw labeled-node count: guard against an all-padding batch
+        return (optax.apply_updates(params, upd), opt, loss,
+                corr / jnp.maximum(n, 1))
 
     acc = 0.0
     for i in range(args.steps):

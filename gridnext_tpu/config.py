@@ -93,8 +93,18 @@ def save_config(cfg, path):
 
 def load_config(cls, path):
     """Read a config dataclass from JSON, ignoring unknown fields (configs
-    written by newer versions still load)."""
+    written by newer versions still load). Tuple-typed fields are restored
+    from JSON arrays (e.g. DenseNetConfig.block_config) so round-tripped
+    configs compare equal and stay hashable as jit-static arguments."""
     with open(path) as fh:
         raw = json.load(fh)
-    fields = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in raw.items() if k in fields})
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in raw:
+            continue
+        v = raw[f.name]
+        if isinstance(v, list) and str(f.type).lower().startswith(
+                ("tuple", "typing.tuple")):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)

@@ -147,6 +147,7 @@ class CountGridDataset(_GridDatasetBase):
                  select_genes: Optional[Sequence[str]] = None,
                  h_st: int = geometry.VISIUM_H_ST, w_st: int = geometry.VISIUM_W_ST,
                  cfile_delim: str = "\t", afile_delim: str = "\t",
+                 loupe_delim: str = ",",
                  annot_format: str = "loupe", check_gene_axis: bool = True):
         _check_lengths(count_files, annot_files, position_files, Visium,
                        annot_format)
@@ -158,7 +159,8 @@ class CountGridDataset(_GridDatasetBase):
         self.h_st, self.w_st = h_st, w_st
         self.Visium = Visium
         self.cfile_delim = cfile_delim
-        self.afile_delim = afile_delim
+        self.afile_delim = afile_delim   # Splotch one-hot TSVs
+        self.loupe_delim = loupe_delim   # Loupe barcode CSVs
         self._n_arrays = len(self.count_files)
 
         # Loupe annotations (barcode CSVs + positions) need class encoding
@@ -168,7 +170,8 @@ class CountGridDataset(_GridDatasetBase):
         self.classes = None
         if (annot_files is not None and annot_format == "loupe"
                 and self.position_files is not None):
-            self.classes = union_classes(self.annot_files, self.position_files)
+            self.classes = union_classes(self.annot_files, self.position_files,
+                                         afile_delim=loupe_delim)
 
         # Caches from separate prepare runs may not share a gene axis; fail
         # at construction with a clear message instead of as an np.stack
@@ -192,7 +195,7 @@ class CountGridDataset(_GridDatasetBase):
             self.count_files[idx], af, select_genes=self.select_genes,
             h_st=self.h_st, w_st=self.w_st, Visium=self.Visium,
             position_file=pf, cfile_delim=self.cfile_delim,
-            afile_delim=self.afile_delim)
+            afile_delim=self.afile_delim, loupe_delim=self.loupe_delim)
         if annots.dtype.kind not in "iu":
             annots = encode_annot_grid(annots, self.classes)
         return counts.astype(np.float32), annots.astype(np.int64)

@@ -50,6 +50,17 @@ def hex_adjacency(arr_coords: np.ndarray) -> np.ndarray:
     return np.asarray([send, recv], dtype=np.int64)
 
 
+def _feature_ids(spaceranger_dir) -> list:
+    """First column of features.tsv.gz — the gene ordering of the MEX
+    matrix, read without parsing the matrix itself."""
+    import gzip
+
+    f = str(find_feature_matrix_files(spaceranger_dir)["features"])
+    op = gzip.open if f.endswith(".gz") else open
+    with op(f, "rt") as fh:
+        return [line.split("\t", 1)[0] for line in fh]
+
+
 def read_visium_graph(spaceranger_dir, annot_file=None):
     """One array -> (x, edges, arr_coords, y) (graph_datasets.py:84-159).
 
@@ -68,9 +79,10 @@ def read_visium_graph(spaceranger_dir, annot_file=None):
     y = None
     if annot_file is not None:
         df_annot = pd.read_csv(annot_file, sep=",", header=0, index_col=0)
-        # drop un-annotated spots (blank cells parse as NaN)
+        # drop un-annotated spots (blank cells parse as NaN under read_csv's
+        # default NA handling, which already covers empty strings)
         first = df_annot.iloc[:, 0]
-        df_annot = df_annot[first.notna() & (first.astype(str) != "")]
+        df_annot = df_annot[first.notna()]
         shared = df_annot.index.intersection(df_pos.index)
         df_counts = df_counts.loc[shared]
         df_pos = df_pos.loc[shared]
@@ -100,7 +112,19 @@ def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
 
     xs, es, ps, ys, n_nodes, n_edges = [], [], [], [], [], []
     offset = 0
+    feature_ids = first_srd = None
     for srd, afile in zip(spaceranger_dirs, annot_files):
+        # node features concatenate on gene position: arrays processed
+        # against different reference transcriptomes (or a filtered/raw
+        # mix) would silently misalign gene k across arrays
+        ids = _feature_ids(srd)
+        if feature_ids is None:
+            feature_ids, first_srd = ids, srd
+        elif ids != feature_ids:
+            raise ValueError(
+                f"feature axes differ between {first_srd} "
+                f"({len(feature_ids)} genes) and {srd} ({len(ids)} genes); "
+                "graph node features need one shared gene ordering")
         x, e, pos, y = read_visium_graph(srd, afile)
         xs.append(x)
         es.append(e + offset)

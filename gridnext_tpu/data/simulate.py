@@ -54,6 +54,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
 
     Returns a dict with paths and the ground-truth label grid.
     """
+    if not 0 < tissue_fraction <= 1:
+        # fraction 0 would divide by zero in the ellipse and emit a corrupt
+        # zero-barcode MEX fixture (a blank-line barcodes.tsv.gz)
+        raise ValueError(f"tissue_fraction must be in (0, 1]; "
+                         f"got {tissue_fraction}")
     rng = np.random.default_rng(seed)
     dest = Path(dest_dir)
     spatial = dest / "outs" / "spatial"
@@ -132,6 +137,11 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     # --- MEX count matrix (in-tissue barcodes only, like Spaceranger) ------
     keep = in_tissue == 1
     kept_barcodes = barcodes[keep]
+    if not len(kept_barcodes):
+        # degenerate lattice (e.g. a 1xN hd_grid whose ellipse collapses):
+        # refuse rather than write a fixture readers can't parse
+        raise ValueError("simulated tissue ellipse contains no spots; "
+                         "increase tissue_fraction or the grid size")
     # class gene signatures are a property of the TISSUE, not the array:
     # a fixed rng makes them consistent across simulated arrays so
     # cross-array train/val generalization is meaningful
@@ -176,9 +186,13 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         W = int(px_col.max() + margin)
         H = int(px_row.max() + margin)
         img = np.full((H, W, 3), 255, dtype=np.uint8)
-        # paint class-colored discs at spot centers
-        palette = (np.stack([rng.permutation(256)[:n_classes] for _ in range(3)], 1)
-                   ).astype(np.uint8)
+        # paint class-colored discs at spot centers. Class colors are a
+        # property of the TISSUE like the gene signatures above: a fixed rng
+        # keeps Layer_k the same color on every simulated array, so
+        # cross-array image train/val generalization is meaningful
+        pal_rng = np.random.default_rng(20260816 + n_classes)
+        palette = (np.stack([pal_rng.permutation(256)[:n_classes]
+                             for _ in range(3)], 1)).astype(np.uint8)
         rad = spot_spacing_px // 2
         for x0, y0, l in zip(px_col[keep], px_row[keep], labels[keep]):
             img[max(0, y0 - rad):y0 + rad, max(0, x0 - rad):x0 + rad] = palette[l - 1]
@@ -226,17 +240,18 @@ def pseudo_visium_from_image(fullres_roi, dest_dir, image_width_mm: float = 8,
     spot_space_px = px_per_mm * spot_spacing_um / 1000
 
     ul = int(np.rint(0.75 * px_per_mm + spot_width_px / 2))
-    dx = spot_space_px
-    dy = spot_space_px * np.sqrt(3) / 2
 
     barcodes, col, row = lattice_positions()
+    # one canonical hex formula: pseudo-hex -> unit-spacing Cartesian, then
+    # scale by the spot pitch (geometry.py owns col/2 and row*sqrt(3)/2)
+    x_hex, y_hex = geometry.pseudo_to_true_hex(col, row)
     pos = pd.DataFrame({
         "barcode": barcodes,
         "in_tissue": np.ones(len(barcodes), int),
         "array_row": row,
         "array_col": col,
-        "pxl_row_in_fullres": np.rint(ul + row * dy).astype(int),
-        "pxl_col_in_fullres": np.rint(ul + col / 2 * dx).astype(int),
+        "pxl_row_in_fullres": np.rint(ul + y_hex * spot_space_px).astype(int),
+        "pxl_col_in_fullres": np.rint(ul + x_hex * spot_space_px).astype(int),
     })
 
     arr_name = Path(fullres_roi).stem.replace(" ", "_")

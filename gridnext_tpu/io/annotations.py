@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from gridnext_tpu import geometry
-from gridnext_tpu.io.spaceranger import read_positions_file
+from gridnext_tpu.io.spaceranger import coord_string, read_positions_file
 
 
 def _label_str(v) -> str:
@@ -46,16 +46,17 @@ def read_annotfile(afile, position_file=None, afile_delim: str = ",",
         adat = pd.read_csv(afile, header=0, index_col=0, sep=afile_delim)
         pdat = read_positions_file(position_file)
         first = adat.iloc[:, 0]
-        # blank cells parse as NaN; numeric cluster IDs coerce to strings so
-        # class encoding is uniform (dtype-independent -- see _label_str)
-        adat = adat[first.notna() & (first.astype(str) != "")]
+        # blank cells parse as NaN (read_csv's default NA handling covers
+        # empty strings); numeric cluster IDs coerce to strings so class
+        # encoding is uniform (dtype-independent -- see _label_str)
+        adat = adat[first.notna()]
         # keep only the label column before the join: a second, partially
         # filled Loupe column (e.g. free-text notes) must not drop annotated
         # spots via dropna; dropna then only removes barcodes with no
         # position row
         adat = adat.iloc[:, [0]].join(pdat, how="left")
         adat = adat.dropna(subset=["array_col", "array_row"])
-        coord_strs = [f"{int(x)}_{int(y)}" for x, y in
+        coord_strs = [coord_string(x, y) for x, y in
                       zip(adat["array_col"], adat["array_row"])]
         return coord_strs, np.array([_label_str(v)
                                      for v in adat.iloc[:, 0]])
@@ -119,8 +120,13 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
                            h_st: int = geometry.VISIUM_H_ST,
                            w_st: int = geometry.VISIUM_W_ST,
                            Visium: bool = True, position_file=None,
-                           cfile_delim: str = "\t", afile_delim: str = "\t"):
+                           cfile_delim: str = "\t", afile_delim: str = "\t",
+                           loupe_delim: str = ","):
     """Read one array's unified count file (+ annotations) into dense grids.
+
+    ``afile_delim`` applies to the Splotch branch (reference semantics,
+    utils.py:130-142); ``loupe_delim`` to the Loupe branch, so cohorts with
+    non-comma Loupe exports parse the same here as in the spot datasets.
 
     Returns:
       counts_grid: (h_st, w_st, n_genes) float array, odd-right indexed.
@@ -141,10 +147,9 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
     adict = None
     if annot_file is not None:
         if position_file is not None:
-            # Loupe exports are comma-separated; afile_delim applies to the
-            # Splotch branch (reference semantics, utils.py:130-142)
             coord_strs, annot_strs = read_annotfile(
-                annot_file, position_file=position_file, Visium=True)
+                annot_file, position_file=position_file, Visium=True,
+                afile_delim=loupe_delim)
             str_len = max((len(a) for a in annot_strs), default=1)
             annots_grid = np.empty((h_st, w_st), dtype=f"U{str_len}")
             annots_grid[:] = ""
@@ -173,16 +178,18 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
         y = np.rint(coords[:, 1]).astype(int)
 
     values = cmat.values.T  # (spots, genes)
-    for i, cstr in enumerate(cmat.columns):
-        if adict is not None:
-            if cstr in adict:
-                counts_grid[y[i], x[i]] = values[i]
-                if annots_grid.dtype.kind in "iu":
-                    annots_grid[y[i], x[i]] = adict[cstr] + 1  # 0 = background
-                else:
-                    annots_grid[y[i], x[i]] = adict[cstr]
-        else:
-            counts_grid[y[i], x[i]] = values[i]
+    if adict is None:
+        counts_grid[y, x] = values
+    else:
+        # vectorized: a per-spot Python loop is ~147k dict lookups plus
+        # row copies per array at HD scale
+        keep = np.fromiter((c in adict for c in cmat.columns), dtype=bool,
+                           count=len(cmat.columns))
+        counts_grid[y[keep], x[keep]] = values[keep]
+        lbls = np.asarray([adict[c] for c in cmat.columns[keep]])
+        if annots_grid.dtype.kind in "iu":
+            lbls = lbls + 1 if len(lbls) else lbls  # 0 = background
+        annots_grid[y[keep], x[keep]] = lbls
 
     return counts_grid, annots_grid
 
@@ -212,21 +219,32 @@ def to_splotch_annots(loupe_annotations: Sequence, spaceranger_dirs: Sequence,
         annot_list = []
         for afile in loupe_annotations:
             adat = pd.read_csv(afile, header=0, sep=",")
-            col = adat[adat.columns[1]]
-            keep = [isinstance(a, str) and len(a) > 0 and a.lower() != "undefined"
-                    for a in col]
-            annot_list.append(col[keep])
-        include_annots = list(np.unique(np.concatenate(annot_list)))
+            # numeric Loupe cluster IDs count as labels too (same _label_str
+            # coercion the grid readers use); NaN = unannotated
+            col = [_label_str(a) for a in adat[adat.columns[1]]
+                   if pd.notna(a)]
+            annot_list.append([a for a in col
+                               if a and a.lower() != "undefined"])
+        include_annots = list(np.unique(np.concatenate(
+            [np.asarray(a, dtype=object) for a in annot_list]
+            or [np.array([], dtype=object)])))
 
     for afile, srd in zip(loupe_annotations, spaceranger_dirs):
         annots = pd.read_csv(afile, header=0, sep=",")
         positions = read_positions(srd)
+        missing = [b for b in annots["Barcode"] if b not in positions.index]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} annotation barcodes in {afile} have no row "
+                f"in {srd}'s positions file (first: {missing[0]!r}) -- the "
+                "Loupe export and Spaceranger dir are mismatched")
         mat = np.zeros((len(include_annots), len(annots["Barcode"])), dtype=int)
         coord_strs = []
         for i, b in enumerate(annots["Barcode"]):
-            coord_strs.append("%d_%d" % (positions.loc[b, "array_col"],
-                                         positions.loc[b, "array_row"]))
+            coord_strs.append(coord_string(positions.loc[b, "array_col"],
+                                           positions.loc[b, "array_row"]))
             a = annots.iloc[i, 1]
+            a = _label_str(a) if pd.notna(a) else a
             if a in include_annots:
                 mat[include_annots.index(a), i] = 1
         frame = pd.DataFrame(mat, index=include_annots, columns=coord_strs)

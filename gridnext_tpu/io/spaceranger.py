@@ -34,8 +34,12 @@ def find_position_file(spaceranger_dir, hd_binning: Optional[str] = None) -> str
                 f"Cannot locate position file for {hd_binning} binning of {spaceranger_dir}")
         return pos_path
 
-    for pos_path in glob.glob(os.path.join(str(spaceranger_dir), "**", "*.csv"),
-                              recursive=True):
+    # sorted: deterministic across filesystems, and when a re-processed dir
+    # holds both layouts, 'tissue_positions.csv' (v2) sorts before
+    # 'tissue_positions_list.csv' (v1) so the newer format wins
+    for pos_path in sorted(glob.glob(os.path.join(str(spaceranger_dir),
+                                                  "**", "*.csv"),
+                           recursive=True)):
         if "tissue_positions" in os.path.basename(pos_path):
             return pos_path
     raise ValueError(f"Cannot locate position file for {spaceranger_dir}")
@@ -122,13 +126,28 @@ def read_feature_names(spaceranger_dir=None, individual_files: Optional[Mapping]
                        sep="\t", names=["ENSEMBL", "gene_symbol"], usecols=[0, 1])
 
 
+_HD_DIMS_CACHE: dict = {}
+
+
 def hd_lattice_dims(spaceranger_dir, hd_binning: str) -> tuple:
     """(h, w) of an HD square bin lattice: (max_row+1, max_col+1) over ALL
     positions (in- and out-of-tissue), the canonical grid dims for
-    ``grid_dims='auto'`` and the patch-cache writer."""
-    pos = read_positions(spaceranger_dir, hd_binning)
-    return (int(pos["array_row"].astype(int).max()) + 1,
-            int(pos["array_col"].astype(int).max()) + 1)
+    ``grid_dims='auto'`` and the patch-cache writer.
+
+    Memoized per (positions path, mtime): one run resolves dims from several
+    independent sites (CLI grid-dims, factory, prepare, dense ingest,
+    AnnData builder), and each HD parquet is ~147k rows."""
+    pos_path = find_position_file(spaceranger_dir, hd_binning)
+    key = (str(pos_path), os.stat(pos_path).st_mtime_ns)
+    hit = _HD_DIMS_CACHE.get(key)
+    if hit is None:
+        pos = read_positions_file(pos_path)
+        hit = (int(pos["array_row"].astype(int).max()) + 1,
+               int(pos["array_col"].astype(int).max()) + 1)
+        if len(_HD_DIMS_CACHE) >= 64:
+            _HD_DIMS_CACHE.pop(next(iter(_HD_DIMS_CACHE)))
+        _HD_DIMS_CACHE[key] = hit
+    return hit
 
 
 def cohort_hd_lattice_dims(spaceranger_dirs, hd_binning: str) -> tuple:
@@ -143,8 +162,15 @@ def cohort_hd_lattice_dims(spaceranger_dirs, hd_binning: str) -> tuple:
     return h, w
 
 
+def coord_string(array_col, array_row) -> str:
+    """THE '{array_col}_{array_row}' spot key — the unified-cache column
+    name every annotation/count join matches on (one formatter so the
+    load-bearing key can never diverge across writers and readers)."""
+    return f"{int(array_col)}_{int(array_row)}"
+
+
 def positions_to_coord_strings(positions: pd.DataFrame, barcodes) -> list:
     """Barcodes -> '{array_col}_{array_row}' coordinate strings."""
     sub = positions.loc[barcodes]
-    return [f"{int(x)}_{int(y)}" for x, y in
+    return [coord_string(x, y) for x, y in
             zip(sub["array_col"].values, sub["array_row"].values)]

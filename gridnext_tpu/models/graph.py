@@ -55,7 +55,9 @@ def graph_node_loss(logits, y, node_mask=None):
 
     ``y`` uses the graph encoding of :func:`visium_to_graphdata` /
     :func:`pad_graph`: labels in [0, C), padding/unlabeled nodes -1.
-    Returns (mean_loss, n_correct, n).
+    Returns (mean_loss, n_correct, n). ``n`` is the RAW labeled-node count
+    (so epoch-level sums stay exact); guard accuracy divisions with
+    ``jnp.maximum(n, 1)`` — a batch with zero labeled nodes yields n=0.
     """
     valid = y >= 0
     if node_mask is not None:

@@ -94,13 +94,17 @@ class MetricsLogger:
         if step is not None:
             rec["step"] = int(step)
         for k, v in metrics.items():
+            if isinstance(v, (bool, str, list, dict, type(None))):
+                # preserved verbatim BEFORE the float attempt: float(True)
+                # and float("007") would otherwise succeed and silently
+                # change the type (bool identity, leading zeros)
+                rec[k] = v
+                continue
             try:
                 rec[k] = float(v)
             except (TypeError, ValueError):
                 if hasattr(v, "tolist"):
                     rec[k] = np.asarray(v).tolist() if hasattr(v, "shape") else v.tolist()
-                elif isinstance(v, (str, bool, list, dict, type(None))):
-                    rec[k] = v
                 else:
                     rec[k] = str(v)
         self._fh.write(json.dumps(rec) + "\n")

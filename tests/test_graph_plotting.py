@@ -103,7 +103,8 @@ def test_hexgcn_learns_node_classification(sims):
 
         (loss, (corr, n)), grads = jax.value_and_grad(lf, has_aux=True)(params)
         upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss, corr / n
+        return (optax.apply_updates(params, upd), opt, loss,
+                corr / jnp.maximum(n, 1))
 
     acc0 = None
     for i in range(60):
