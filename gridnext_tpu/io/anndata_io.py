@@ -107,8 +107,8 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
             # int(None) TypeError would point nowhere
             raise ValueError("Must specify patch size in pixels "
                              "(patch_size_px) or microns (patch_size_um)")
-        patch_suffix = (f"_patches{patch_size_px}px" if patch_size_px is not None
-                        else f"_patches{int(patch_size_um)}um")
+        from gridnext_tpu.pipeline import patch_cache_suffix
+
         if hd_binning is not None:
             # match create_visium_dataset's binning+dims cache naming; HD
             # patch filenames carry direct (array_col, array_row), which is
@@ -118,13 +118,13 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
             # even when per-array HD lattices differ.
             from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
 
-            h_hd, w_hd = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
-            hd_dims = [(h_hd, w_hd)] * len(spaceranger_dirs)
-            suffixes = [f"_{hd_binning}_{h_hd}x{w_hd}{patch_suffix}"
-                        for _ in spaceranger_dirs]
+            cohort_dims = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
         else:
-            hd_dims = [None] * len(spaceranger_dirs)
-            suffixes = [patch_suffix] * len(spaceranger_dirs)
+            cohort_dims = None
+        hd_dims = [cohort_dims] * len(spaceranger_dirs)
+        suffixes = [patch_cache_suffix(patch_size_px, patch_size_um,
+                                       hd_binning=hd_binning,
+                                       hd_dims=cohort_dims)] * len(spaceranger_dirs)
         if save_patches_to is None:
             imgpatch_dirs = [os.path.join(str(srd), Path(srd).name + sfx)
                              for srd, sfx in zip(spaceranger_dirs, suffixes)]
