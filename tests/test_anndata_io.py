@@ -115,6 +115,90 @@ def test_anndata_mm_to_grid_arrays(tmp_path):
     assert Y[0, 0, 0] == 2 and Y[0, 0, 1] == 1
 
 
+class _ShimAnnData:
+    """Just enough of anndata.AnnData for the builder functions: dense X,
+    pandas obs/var, boolean-mask slicing, copy, no-op write."""
+
+    def __init__(self, X=None, var=None, obs=None):
+        if hasattr(X, "todense"):
+            X = np.asarray(X.todense())
+        self.X = np.asarray(X)
+        self.var = var
+        self.obs = obs
+
+    def __getitem__(self, key):
+        mask = np.asarray(key)
+        return _ShimAnnData(self.X[mask], self.var, self.obs.loc[mask])
+
+    def copy(self):
+        return _ShimAnnData(self.X.copy(), self.var.copy(), self.obs.copy())
+
+    def write(self, *a, **k):
+        pass
+
+
+def _shim_concat(adatas, axis=0, join="outer", merge="first"):
+    import pandas as pd
+
+    return _ShimAnnData(np.vstack([a.X for a in adatas]),
+                        adatas[0].var, pd.concat([a.obs for a in adatas]))
+
+
+def test_builder_and_factory_share_hd_patch_cache_names(tmp_path, monkeypatch):
+    """create_visium_anndata_img and create_visium_dataset must name HD patch
+    caches identically (shared pipeline.patch_cache_suffix, cohort-MAX dims)
+    even when per-array HD lattices differ -- otherwise one path silently
+    re-extracts the other's caches."""
+    import os
+    import sys
+    import types
+
+    from gridnext_tpu.data.datasets import create_visium_dataset
+    from gridnext_tpu.data.simulate import simulate_spaceranger_dir
+
+    shim = types.ModuleType("anndata")
+    shim.AnnData = _ShimAnnData
+    shim.concat = _shim_concat
+    monkeypatch.setitem(sys.modules, "anndata", shim)
+
+    binning = "square_008um"
+    sims = [simulate_spaceranger_dir(
+        tmp_path / f"arr{i}", n_genes=8, n_classes=3, seed=i, image=True,
+        spaceranger_version="hd", hd_grid=grid, hd_binning=binning)
+        for i, grid in enumerate([(6, 8), (8, 6)])]  # unequal lattices
+    srdirs = [s["spaceranger_dir"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+
+    adata = anndata_io.create_visium_anndata_img(
+        srdirs, fullres_image_files=imgs, annot_files=annots,
+        patch_size_px=12, hd_binning=binning)
+    assert len(adata.obs) and all(os.path.exists(p) for p in adata.obs.imgpath)
+
+    def patch_dirs():
+        out = {}
+        for srd in srdirs:
+            for d in sorted(os.listdir(srd)):
+                if "_patches" in d:
+                    full = os.path.join(srd, d)
+                    out[full] = {f: os.path.getmtime(os.path.join(full, f))
+                                 for f in os.listdir(full)}
+        return out
+
+    before = patch_dirs()
+    assert before, "builder wrote no patch caches"
+    for d in before:  # cohort-max dims (8, 8), factory-identical suffix
+        assert f"_{binning}_8x8_patches12px" in d, d
+
+    ds = create_visium_dataset(
+        srdirs, use_count=False, use_image=True, spatial=True,
+        fullres_image_files=imgs, annot_files=annots,
+        patch_size_px=12, hd_binning=binning, grid_dims="auto")
+    assert patch_dirs() == before, "factory re-extracted or renamed caches"
+    x, y = ds[0]
+    assert x.shape == (8, 8, 12, 12, 3) and y.shape == (8, 8)
+
+
 def test_consensus_softmax():
     from gridnext_tpu.evaluate import consensus_softmax
 
