@@ -17,6 +17,7 @@ import importlib
 import inspect
 import io
 import os
+import re
 import sys
 
 MODULES = [
@@ -68,7 +69,10 @@ def _first_line(obj) -> str:
     doc = inspect.getdoc(obj) or ""
     for line in doc.split("\n"):
         if line.strip():
-            return line.strip()
+            # dataclass auto-docstrings repr default values; flax's module
+            # _Sentinel repr embeds a memory address, which would make the
+            # generated file differ run to run
+            return re.sub(r" at 0x[0-9a-fA-F]+", "", line.strip())
     return ""
 
 
@@ -77,6 +81,9 @@ def _signature(obj) -> str:
         sig = str(inspect.signature(obj))
     except (TypeError, ValueError):
         return "(...)"
+    # default-value reprs (e.g. flax's module._Sentinel) can embed a memory
+    # address, which would make the generated file differ run to run
+    sig = re.sub(r" at 0x[0-9a-fA-F]+", "", sig)
     if len(sig) > 90:
         sig = sig[:87] + "...)"
     return sig
