@@ -123,7 +123,8 @@ def fused_dense_block(x: jnp.ndarray, A1, B1, W1, A2, B2, W2, *,
     (batch_tile * H * W * c_max) fits comfortably.
     """
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        from gridnext_tpu.ops.pallas_support import default_interpret
+        interpret = default_interpret()
     b, h, w, _ = x.shape
     n_layers, c_max = A1.shape
     cb = A2.shape[1]

@@ -123,7 +123,8 @@ def fused_generalized_linear_attention(q, k, v, proj):
 
 def _fused_fwd_impl(q, k, v, proj, interpret=None):
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        from gridnext_tpu.ops.pallas_support import default_interpret
+        interpret = default_interpret()
     b, h, n, d = q.shape
     m = proj.shape[0]
     m_pad = -(-m // 128) * 128

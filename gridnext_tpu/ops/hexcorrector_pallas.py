@@ -122,10 +122,9 @@ def _fused_corrector_call(x, fg, kernels, biases, relu_flags, interpret):
     can never diverge between the two variants.
     """
     if interpret is None:
-        # Pallas Mosaic kernels compile on TPU backends only; fall back to
-        # the interpreter EVERYWHERE else (cpu tests/dev, gpu) -- same
-        # heuristic as ops.patch_gather_pallas so the two never diverge
-        interpret = jax.devices()[0].platform != "tpu"
+        # one shared heuristic across every Pallas kernel in the package
+        from gridnext_tpu.ops.pallas_support import default_interpret
+        interpret = default_interpret()
     b, h, w, c_in = x.shape
     n_layers = len(kernels)
     c_max = max(k.shape[1] for k in kernels)

@@ -168,7 +168,8 @@ def gather_patches(imgs32: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
     if imgs32.dtype != jnp.int32:
         raise ValueError("imgs32 must be pack_wsi output (int32)")
     if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
+        from gridnext_tpu.ops.pallas_support import default_interpret
+        interpret = default_interpret()
     if window % _LANE_PAD and not interpret:
         # the staged (window, window) corner is a lane-dim slice of the VMEM
         # superblock; Mosaic only lowers compiled slices at 128-lane
@@ -184,6 +185,13 @@ def gather_patches(imgs32: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
         raise ValueError(f"packed image {hp}x{wp} smaller than the "
                          f"superblock {blk_r}x{blk_c}")
     h, w = orig_hw if orig_hw is not None else (hp, wp)
+    if h < window or w < window:
+        # the superblock check above already implies this when orig_hw is
+        # consistent with the packed dims, but an inconsistent orig_hw would
+        # otherwise drive jnp.clip(y0, 0, h - window) NEGATIVE (clip returns
+        # the max when max < min) and the kernel into out-of-bounds DMAs
+        raise ValueError(f"slide ({h}x{w}) smaller than the {window}px "
+                         f"window; cannot crop")
     n = y0.shape[0]
     if n == 0:
         # all-background slide (no in-tissue spots): the kernel's warm-up
@@ -192,8 +200,10 @@ def gather_patches(imgs32: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray,
         return jnp.zeros((0, window, window, 3), jnp.uint8)
     y0 = jnp.clip(y0, 0, h - window).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, w - window).astype(jnp.int32)
+    # slide indices are traced values, so clamp (like the corners) rather
+    # than DMA past the batch dim on a bad index
     slide = (jnp.zeros((n,), jnp.int32) if slide is None
-             else slide.astype(jnp.int32))
+             else jnp.clip(slide.astype(jnp.int32), 0, b - 1))
     # aligned superblock origin (block units -- Mosaic proves divisibility
     # from the in-kernel multiply) + in-block window offset
     y_b = jnp.minimum(y0 // _ROW_PAD, (hp - blk_r) // _ROW_PAD)

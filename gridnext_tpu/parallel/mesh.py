@@ -26,6 +26,7 @@ numerically in tests/test_parallel.py::test_scbert_sequence_parallel_*.
 
 from __future__ import annotations
 
+import warnings
 from typing import Mapping, Optional, Sequence
 
 import jax
@@ -69,13 +70,32 @@ def shard_grid_batch(tree, mesh: Mesh, data_axis: str = "data",
     """Place a batch of grids: batch dim over ``data``, H dim over ``spot``.
 
     Works on (B, H, ...) arrays and pytrees thereof; 1-D label/batch arrays
-    shard on batch only.
+    shard on batch only. A grid H that the ``spot`` axis does not divide
+    (e.g. an odd-H ``--grid-dims auto`` HD lattice on a spot=2 mesh) falls
+    back to data-only sharding for that array with a warning -- XLA would
+    otherwise reject the placement with an opaque partitioning error deep
+    inside the training loop. A batch dim the ``data`` axis does not divide
+    is a configuration error and raises with the numbers spelled out.
     """
     spot = spot_axis if spot_axis in mesh.axis_names else None
+    data_n = mesh.shape[data_axis]
+    spot_n = mesh.shape[spot] if spot is not None else 1
 
     def place(x):
+        if x.shape[0] % data_n:
+            raise ValueError(
+                f"batch dim {x.shape[0]} is not divisible by mesh axis "
+                f"'{data_axis}'={data_n}; pick a batch size that is a "
+                f"multiple of the data-parallel degree")
         if x.ndim >= 2 and spot is not None:
-            spec = P(data_axis, spot)
+            if x.shape[1] % spot_n == 0:
+                spec = P(data_axis, spot)
+            else:
+                warnings.warn(
+                    f"grid H={x.shape[1]} is not divisible by mesh axis "
+                    f"'{spot}'={spot_n}; sharding this array over "
+                    f"'{data_axis}' only (H replicates)", stacklevel=3)
+                spec = P(data_axis)
         else:
             spec = P(data_axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -89,8 +109,14 @@ def shard_spot_batch(tree, mesh: Mesh):
     'spot': 2} mesh simply acts as 8-way DP for spotwise training -- the
     layout behind ``train_spotwise(mesh=...)``."""
     spec = P(tuple(mesh.axis_names))
+    n_dev = mesh.size
 
     def place(x):
+        if x.shape[0] % n_dev:
+            raise ValueError(
+                f"spot-batch dim {x.shape[0]} is not divisible by the "
+                f"mesh's {n_dev} devices; pick a batch size that is a "
+                f"multiple of the device count")
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, tree)
@@ -103,9 +129,18 @@ def shard_token_batch(tree, mesh: Mesh, data_axis: str = "data",
     axis (the SPMD partitioner lowers the FAVOR+ contractions over the
     sharded axis to psums; see module docstring)."""
     token = token_axis if token_axis in mesh.axis_names else None
+    token_n = mesh.shape[token] if token is not None else 1
 
     def place(x):
-        spec = P(data_axis, token) if x.ndim >= 2 else P(data_axis)
+        if x.ndim >= 2 and token is not None and x.shape[1] % token_n == 0:
+            spec = P(data_axis, token)
+        else:
+            if x.ndim >= 2 and token is not None:
+                warnings.warn(
+                    f"token dim {x.shape[1]} is not divisible by mesh axis "
+                    f"'{token}'={token_n}; sharding this array over "
+                    f"'{data_axis}' only (tokens replicate)", stacklevel=3)
+            spec = P(data_axis)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, tree)

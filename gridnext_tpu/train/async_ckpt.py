@@ -69,6 +69,19 @@ class AsyncCheckpointWriter:
                     self._in_flight -= 1
                     self._cv.notify_all()
 
+    def _raise_errors_locked(self):
+        """Re-raise the first recorded failure; later ones (e.g. the
+        best-val AND the '.latest' write both failing) ride along as
+        exception notes instead of being silently discarded."""
+        if not self._errors:
+            return
+        err, rest = self._errors[0], self._errors[1:]
+        self._errors.clear()
+        for other in rest:
+            err.add_note(
+                f"another background checkpoint write also failed: {other!r}")
+        raise err
+
     def save(self, path, state, **kwargs):
         """Enqueue a write of ``state`` to ``path`` (save_checkpoint kwargs
         pass through). Replaces any not-yet-started write to the same path.
@@ -79,29 +92,28 @@ class AsyncCheckpointWriter:
         with every save silently failing (the synchronous-save semantics).
         """
         with self._cv:
-            if self._errors:
-                err = self._errors[0]
-                self._errors.clear()
-                raise err
+            self._raise_errors_locked()
             self._pending[str(path)] = (state, kwargs)
             self._ensure_thread()
             self._cv.notify_all()
 
     def wait(self):
         """Block until every enqueued write is durably on disk; re-raise the
-        first background failure, if any."""
+        first background failure (any others ride along as notes)."""
         with self._cv:
             while self._pending or self._in_flight:
                 self._cv.wait()
-            if self._errors:
-                err = self._errors[0]
-                self._errors.clear()
-                raise err
+            self._raise_errors_locked()
 
     def close(self):
-        self.wait()
-        with self._cv:
-            self._stop = True
-            self._cv.notify_all()
-        if self._thread is not None:
-            self._thread.join(timeout=60)
+        try:
+            self.wait()
+        finally:
+            # stop and join even when wait() re-raises a write failure --
+            # otherwise the daemon worker parks in cv.wait() forever and
+            # each failed run leaks one blocked thread
+            with self._cv:
+                self._stop = True
+                self._cv.notify_all()
+            if self._thread is not None:
+                self._thread.join(timeout=60)

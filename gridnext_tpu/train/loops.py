@@ -472,6 +472,11 @@ def _resolve_mesh(mesh, mesh_shape):
     """Public trainers accept ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape``
     (e.g. {'data': 4, 'spot': 2}, or 'auto' for the default data x spot
     factorization over all visible devices)."""
+    if isinstance(mesh, (str, dict)) and mesh_shape is None:
+        # mesh='auto' / mesh={'data': 4} is a natural slip for
+        # mesh_shape=...; accept it rather than crash later with an opaque
+        # "'str' object has no attribute 'axis_names'"
+        mesh, mesh_shape = None, mesh
     if mesh is not None:
         return mesh
     if mesh_shape is None:

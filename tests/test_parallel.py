@@ -263,3 +263,46 @@ def test_cli_mesh_batch_validation_fails_fast(eight_devices):
     assert _checked_mesh_shape(args, spot_batch=8, grid_batch=4) == \
         {"data": 4, "spot": 2}
     assert _checked_mesh_shape(argparse.Namespace(mesh=None)) is None
+
+
+def test_shard_grid_batch_odd_h_falls_back(eight_devices):
+    """An H the spot axis does not divide (odd-H HD lattice on spot=2) must
+    place with H replicated + a warning, not crash inside device_put."""
+    from gridnext_tpu.parallel.mesh import shard_spot_batch
+
+    mesh = make_mesh({"data": 4, "spot": 2}, eight_devices)
+    x = jnp.zeros((4, 77, 8, 3), jnp.float32)  # H=77 not divisible by 2
+    with pytest.warns(UserWarning, match="not divisible by mesh axis 'spot'"):
+        placed = shard_grid_batch(x, mesh)
+    assert placed.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    # divisible H keeps the 2-D layout
+    placed = shard_grid_batch(jnp.zeros((4, 78, 8, 3)), mesh)
+    assert placed.sharding.spec == jax.sharding.PartitionSpec("data", "spot")
+
+    # a batch the data axis does not divide is a config error, spelled out
+    with pytest.raises(ValueError, match="batch dim 3 is not divisible"):
+        shard_grid_batch(jnp.zeros((3, 78, 8, 3)), mesh)
+    with pytest.raises(ValueError, match="not divisible by the mesh's 8"):
+        shard_spot_batch(jnp.zeros((12, 24)), mesh)
+
+
+def test_shard_token_batch_odd_tokens_fall_back(eight_devices):
+    from gridnext_tpu.parallel import shard_token_batch
+
+    mesh = make_mesh({"data": 1, "seq": 8}, eight_devices)
+    with pytest.warns(UserWarning, match="not divisible by mesh axis 'seq'"):
+        placed = shard_token_batch(jnp.zeros((1, 1025)), mesh)
+    assert placed.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_resolve_mesh_accepts_string_mesh(eight_devices):
+    """mesh='auto' (the natural slip for mesh_shape='auto') resolves instead
+    of crashing later with an opaque AttributeError."""
+    from gridnext_tpu.train.loops import _resolve_mesh
+
+    mesh = _resolve_mesh("auto", None)
+    assert mesh is not None and set(mesh.axis_names) == {"data", "spot"}
+    mesh = _resolve_mesh({"data": 2}, None)
+    assert mesh.axis_names == ("data",)
+    assert _resolve_mesh(None, None) is None

@@ -103,3 +103,30 @@ def test_gather_zero_spots(img):
                                     jnp.zeros((0,), jnp.int32),
                                     WIN, orig_hw=(h, w)))
     assert got.shape == (0, WIN, WIN, 3) and got.dtype == np.uint8
+
+
+def test_gather_clamps_slide_index(img):
+    """A slide index past the batch dim clamps (like the corners) instead of
+    DMAing out of bounds."""
+    img2 = img[::-1].copy()
+    h, w = img.shape[:2]
+    y0 = np.asarray([4, 8], np.int32)
+    x0 = np.asarray([16, 32], np.int32)
+    packed = jnp.stack([pack_wsi(jnp.asarray(img)),
+                        pack_wsi(jnp.asarray(img2))])
+    got = np.asarray(gather_patches(
+        packed, jnp.asarray(y0), jnp.asarray(x0), WIN,
+        jnp.asarray([5, -3], np.int32), orig_hw=(h, w), depth=2))
+    np.testing.assert_array_equal(got[0], _ref_crop(img2, y0[:1], x0[:1])[0])
+    np.testing.assert_array_equal(got[1], _ref_crop(img, y0[1:], x0[1:])[0])
+
+
+def test_gather_rejects_window_larger_than_slide(img):
+    """orig_hw smaller than the window must raise, not clamp corners
+    negative (jnp.clip returns the max when max < min) and DMA out of
+    bounds."""
+    packed = pack_wsi(jnp.asarray(img))
+    with pytest.raises(ValueError, match="smaller than"):
+        gather_patches(packed, jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1,), jnp.int32), WIN,
+                       orig_hw=(WIN - 2, 300), depth=2)

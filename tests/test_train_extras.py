@@ -563,3 +563,34 @@ def test_orbax_overwrite_is_atomic_swap(tmp_path):
     leftovers = [d for d in os.listdir(tmp_path)
                  if ".tmp-" in d or ".old-" in d]
     assert not leftovers
+
+
+def test_async_checkpoint_writer_failure_handling(tmp_path):
+    """Two distinct background failures both surface (first raised, second
+    as a note), and close() after a failure still stops + joins the worker
+    instead of leaking a thread parked in cv.wait()."""
+    from gridnext_tpu.train.async_ckpt import AsyncCheckpointWriter
+
+    X, _ = _grid_data()
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3)
+    state = create_train_state(g, jax.random.key(0), X[:1], tx)
+
+    writer = AsyncCheckpointWriter()
+    writer.save(tmp_path / "missing_a" / "x.msgpack", state)
+    with writer._cv:                     # let the first failure record
+        while writer._pending or writer._in_flight:
+            writer._cv.wait()
+    with writer._cv:                     # inject a second distinct failure
+        writer._errors.append(RuntimeError("second write failed"))
+    with pytest.raises(OSError) as exc_info:
+        writer.close()
+    notes = getattr(exc_info.value, "__notes__", [])
+    assert any("second write failed" in n for n in notes)
+    assert not writer._errors            # nothing silently retained
+    # the worker must be stopped and joined despite the raise
+    assert writer._stop
+    assert writer._thread is None or not writer._thread.is_alive()
+    # and a post-close wait() reports clean (no stale error state)
+    writer.wait()
