@@ -7,11 +7,29 @@ Parity targets: ``all_fgd_predictions`` (utils.py:20-57) and
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _forward_fn(model, method):
+    """One jitted forward per (model, method): repeated all_fgd_predictions
+    calls (CLI ``evaluate`` loops per array) reuse the compile instead of
+    re-tracing every call. Variables are an ARGUMENT, not a closure --
+    closed-over device arrays lower as HLO constants (bloating each
+    compile; see the artifact-export HTTP 413 note in docs/roadmap.md)."""
+
+    @jax.jit
+    def forward(variables, x):
+        if method:
+            return model.apply(variables, x, train=False, method=method)
+        return model.apply(variables, x, train=False)
+
+    return forward
 
 
 def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
@@ -40,11 +58,15 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
 
     method = "patch_predictions" if f_only else None
 
-    @jax.jit
+    try:
+        fwd = _forward_fn(model, method)
+    except TypeError:  # model config unhashable; fall back to an uncached jit
+        fwd = jax.jit(lambda v, x: (
+            model.apply(v, x, train=False, method=method) if method
+            else model.apply(v, x, train=False)))
+
     def forward(x):
-        if method:
-            return model.apply(variables, x, train=False, method=method)
-        return model.apply(variables, x, train=False)
+        return fwd(variables, x)
 
     def pad_batch(a, b):
         """Pad a short remainder batch up to batch_size (repeat last array).
@@ -111,6 +133,9 @@ def flatten_foreground(pred_grid: np.ndarray, true_grid: np.ndarray):
 
     Args:
       pred_grid: (H, W, C) channels-last or (C, H, W) channels-first map.
+        Channels-first is detected by shape mismatch with ``true_grid``; in
+        the ambiguous C == H == W case the package convention
+        (channels-LAST, CLAUDE.md) wins -- pass channels-last there.
       true_grid: (H, W) integer labels, 0 = background.
 
     Returns:

@@ -242,7 +242,10 @@ def grid_from_wsi_visium(fullres_imgfile, spaceranger_dir, patch_size: int = 256
     x_ind, y_ind, x_px, y_px = _spot_pixel_boxes(positions, w,
                                                  hex_coords=hd_binning is None)
 
-    in_bounds = (y_ind < h_st) & (x_ind < w_st)
+    # lower bounds too: malformed array_col/array_row parity can yield an
+    # odd-right x of -1, which NumPy fancy indexing would silently WRAP to
+    # the last grid column (same guard as evaluate.to_loupe_annots)
+    in_bounds = (y_ind >= 0) & (x_ind >= 0) & (y_ind < h_st) & (x_ind < w_st)
     if not in_bounds.all():
         # one aggregate line (a misconfigured HD grid can overflow by tens
         # of thousands of bins), in the USER's coordinates: the positions
@@ -356,9 +359,15 @@ def save_visium_patches_all(wsi_files, spaceranger_dirs, dest_dir,
 
 def remove_color_cast(img: np.ndarray) -> np.ndarray:
     """SpaCell color-cast removal: scale channels so the 99th percentile
-    maps to white (imgprocess.py:49-67). uint8 in, uint8 out."""
+    maps to white (imgprocess.py:49-67). (H, W, >=3) uint8 in, uint8 out;
+    channels past RGB (e.g. PNG alpha) pass through untouched."""
     img = np.asarray(img)
-    out = np.empty_like(img)
+    if img.ndim != 3 or img.shape[-1] < 3:
+        # a 2-D grayscale image would otherwise "normalize" its first three
+        # COLUMNS as if they were channels, silently
+        raise ValueError(f"expected an (H, W, >=3) RGB image; got shape "
+                         f"{img.shape}")
+    out = img.copy()
     for c in range(3):
         p = np.percentile(img[..., c].ravel(), q=99)
         # PIL Image.point applies the lut with int truncation

@@ -55,7 +55,10 @@ def spot_pixel_arrays(positions, h_st: int = geometry.VISIUM_H_ST,
 
     ox, oy, x_px, y_px = _spot_pixel_boxes(positions, window=0,
                                            hex_coords=hex_coords)
-    keep = (oy < h_st) & (ox < w_st)
+    # lower bounds too: a malformed-parity spot's odd-right x of -1 would
+    # otherwise scatter its features + fg flag onto the LAST grid column
+    # (jnp .at[] wraps negative indices even with mode='drop')
+    keep = (oy >= 0) & (ox >= 0) & (oy < h_st) & (ox < w_st)
     return (oy[keep], ox[keep],
             y_px[keep].astype(np.int32), x_px[keep].astype(np.int32))
 

@@ -492,11 +492,11 @@ def _resolve_mesh(mesh, mesh_shape):
 
 
 def _mesh_placement(mesh, loss_kind, batch_size):
-    """(place, pad_kind) for mesh execution: the batch-placement function and
-    the batch-padding mode. Grid batches shard (data x spot); spot batches
-    shard their item axis over every mesh axis. Padding to a fixed
-    ``batch_size`` keeps the batch axis shardable; the masked losses ignore
-    the pad items, so numerics match unsharded execution."""
+    """Batch-placement function for mesh execution. Grid batches shard
+    (data x spot); spot batches shard their item axis over every mesh axis.
+    Padding to a fixed ``batch_size`` keeps the batch axis shardable; the
+    masked losses ignore the pad items, so numerics match unsharded
+    execution."""
     from gridnext_tpu.parallel import shard_grid_batch, shard_spot_batch
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -511,7 +511,7 @@ def _mesh_placement(mesh, loss_kind, batch_size):
             f"batch_size {batch_size} is not divisible by the mesh's batch "
             f"sharding factor {div} (mesh axes {axis_sizes}); pick a batch "
             "size divisible by it")
-    return place, loss_kind
+    return place
 
 
 def _num_items(data) -> int:
@@ -591,7 +591,7 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
     if mesh is not None:
         from gridnext_tpu.parallel import replicate
 
-        place, _ = _mesh_placement(mesh, loss_kind, batch_size)
+        place = _mesh_placement(mesh, loss_kind, batch_size)
         state = replicate(state, mesh)
 
     # Checkpoint writes happen off-thread (device arrays are immutable, so
@@ -959,8 +959,12 @@ def load_f_params(state: TrainState, f_variables: Mapping,
 
     The tutorial workflow: train f spotwise, then compose it into g
     (Tutorial_visium_count.ipynb cells 13->21). ``f_variables`` is the
-    {'params', 'batch_stats'} dict of the f model (e.g. ``state.variables()``
-    from train_spotwise, or a converted torch checkpoint).
+    variables dict of the f model (e.g. ``state.variables()`` from
+    train_spotwise, or a converted torch checkpoint): 'params',
+    'batch_stats', and any extra collections -- a Performer/scBERT f's
+    'favor' FAVOR+ projections in particular MUST travel with the params
+    (its trained weights were validated against those projections; keeping
+    g-init's fresh draw would silently change the f logits inside g).
     """
     params = dict(state.params)
     params[key] = f_variables["params"]
@@ -968,7 +972,17 @@ def load_f_params(state: TrainState, f_variables: Mapping,
     if f_variables.get("batch_stats") is not None:
         batch_stats = dict(batch_stats or {})
         batch_stats[key] = f_variables["batch_stats"]
-    return state.replace(params=params, batch_stats=batch_stats)
+    extra = state.extra_vars
+    rest = {c: v for c, v in f_variables.items()
+            if c not in ("params", "batch_stats") and v is not None}
+    if rest:
+        extra = dict(extra or {})
+        for col, sub in rest.items():
+            colmap = dict(extra.get(col) or {})
+            colmap[key] = sub
+            extra[col] = colmap
+    return state.replace(params=params, batch_stats=batch_stats,
+                         extra_vars=extra)
 
 
 # ---------------------------------------------------------------------------

@@ -279,3 +279,30 @@ def test_grid_oob_warning_aggregates(tmp_path, capsys):
     warns = [l for l in outp.splitlines() if l.startswith("Warning")]
     assert len(warns) == 1
     assert "array_col" in warns[0] and "20x20" in warns[0]
+
+
+def test_remove_color_cast_extra_channels_and_bad_ndim():
+    rng = np.random.default_rng(1)
+    rgba = rng.integers(0, 200, size=(16, 16, 4)).astype(np.uint8)
+    out = pipeline.remove_color_cast(rgba)
+    np.testing.assert_array_equal(out[..., 3], rgba[..., 3])  # alpha intact
+    assert np.percentile(out[..., 0], 99) >= 250
+    with pytest.raises(ValueError, match="RGB"):
+        pipeline.remove_color_cast(rgba[..., 0])  # 2-D grayscale
+
+
+def test_grid_from_wsi_drops_negative_oddr(tmp_path):
+    """A malformed-parity positions row (array_col=0, odd array_row ->
+    odd-right x = -1) is dropped with the out-of-grid warning instead of
+    NumPy-wrapping the patch onto the last grid column."""
+    sim = simulate_spaceranger_dir(tmp_path / "arr", n_genes=5, n_classes=3,
+                                   seed=0, image=True, spot_spacing_px=16)
+    grid0 = pipeline.grid_from_wsi_visium(sim["image_file"],
+                                          sim["spaceranger_dir"],
+                                          patch_size=8)
+    with open(sim["position_file"], "a") as fh:
+        fh.write("BADBARCODE-1,1,1,0,50,50\n")
+    grid1 = pipeline.grid_from_wsi_visium(sim["image_file"],
+                                          sim["spaceranger_dir"],
+                                          patch_size=8)
+    np.testing.assert_array_equal(grid1, grid0)  # last column not polluted

@@ -1029,3 +1029,19 @@ def test_registrar_requires_corrector():
 
     with pytest.raises(ValueError, match="corrector"):
         SlideRegistrar(lambda p: p.reshape(p.shape[0], -1)[:, :4])
+
+
+def test_spot_pixel_arrays_drops_negative_oddr(sim):
+    """Malformed array_col/array_row parity (col=0, odd row) converts to
+    odd-right x = -1; it must be DROPPED, not wrap the scatter onto the
+    last grid column (jnp .at[] wraps negatives even with mode='drop')."""
+    import pandas as pd
+
+    pos = read_positions(sim["spaceranger_dir"])
+    bad = pd.DataFrame({"in_tissue": [1], "array_row": [1], "array_col": [0],
+                        "pxl_row_in_fullres": [50], "pxl_col_in_fullres": [50]},
+                       index=["BADBARCODE-1"])
+    oy0, ox0, *_ = spot_pixel_arrays(pos)
+    oy, ox, *_ = spot_pixel_arrays(pd.concat([pos, bad]))
+    assert len(oy) == len(oy0)          # the malformed spot is gone
+    assert ox.min() >= 0 and oy.min() >= 0

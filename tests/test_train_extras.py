@@ -594,3 +594,56 @@ def test_async_checkpoint_writer_failure_handling(tmp_path):
     assert writer._thread is None or not writer._thread.is_alive()
     # and a post-close wait() reports clean (no stale error state)
     writer.wait()
+
+
+def test_load_f_params_carries_extra_collections():
+    """A Performer/scBERT f's 'favor' projections must travel into the
+    composed g state with the params -- the trained f weights were
+    validated against THOSE projections, not g-init's fresh draw."""
+    from gridnext_tpu.models import scBERT
+    from gridnext_tpu.train import load_f_params
+
+    f = scBERT(n_genes=12, dim=8, depth=1, heads=2, n_classes=3)
+    xs = jnp.zeros((2, 12), jnp.float32)
+    fv = f.init({"params": jax.random.key(1), "favor": jax.random.key(2)}, xs)
+
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    tx = make_gridwise_optimizer(1e-3)
+    xg = jnp.zeros((1, 4, 4, 12), jnp.float32)
+    state = create_train_state(
+        g, {"params": jax.random.key(3), "favor": jax.random.key(4)}, xg, tx)
+
+    assert "favor" in (state.extra_vars or {})  # the collection exists at init
+    state2 = load_f_params(state, fv)
+    got = jax.tree_util.tree_leaves(
+        state2.extra_vars["favor"]["patch_classifier"])
+    want = jax.tree_util.tree_leaves(fv["favor"])
+    init = jax.tree_util.tree_leaves(
+        state.extra_vars["favor"]["patch_classifier"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(want, init))    # f's draw differs from g-init's
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # params still load as before
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(
+            state2.params["patch_classifier"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(fv["params"])[0]))
+
+
+def test_all_fgd_predictions_forward_cache():
+    """Repeated calls with the same model reuse one jitted forward (the CLI
+    evaluates per array in a loop; each call used to re-trace + recompile)."""
+    from gridnext_tpu.evaluate import _forward_fn, all_fgd_predictions
+
+    f = CountMLP(n_classes=3)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    assert _forward_fn(g, None) is _forward_fn(g, None)
+    assert _forward_fn(g, None) is not _forward_fn(g, "patch_predictions")
+
+    X = np.random.default_rng(0).normal(size=(2, 4, 4, 5)).astype(np.float32)
+    Y = np.ones((2, 4, 4), np.int64)
+    tx = make_gridwise_optimizer(1e-3)
+    state = create_train_state(g, jax.random.key(0), jnp.asarray(X[:1]), tx)
+    yt, yp, ys = all_fgd_predictions((X, Y), g, state.variables())
+    assert yt.shape == (32,) and ys.shape == (32, 3)
