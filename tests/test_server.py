@@ -400,3 +400,58 @@ def test_micro_batcher_groups_concurrent_requests():
     assert isinstance(errors[-2], RuntimeError)
     np.testing.assert_array_equal(results[10], np.full((2, 2), 10))
     assert b.submit(jnp.zeros((4, 4, 3)), 7)[0, 0] == 7   # still alive
+
+
+def test_micro_batcher_routes_square_hd_dense():
+    """Non-hex (square-HD) groups: slides with an exact dense plan register
+    per-slide through register_dense; the rest still batch together."""
+    import jax.numpy as jnp
+
+    from gridnext_tpu.server import _MicroBatcher
+
+    calls = []
+
+    class FakeHDRegistrar:
+        hex_coords = False
+
+        def dense_plan(self, wsi, pos):
+            return ("exact",) if pos % 2 == 0 else None   # evens go dense
+
+        def register_dense(self, wsi, pos, plan=None):
+            calls.append(("dense", pos))
+            return np.full((2, 2), pos)
+
+        def __call__(self, wsi, pos):
+            calls.append(("single", pos))
+            return np.full((2, 2), pos)
+
+        def register_batch(self, wsis, poss):
+            calls.append(("batch", tuple(poss)))
+            return np.stack([np.full((2, 2), p) for p in poss])
+
+    b = _MicroBatcher(FakeHDRegistrar(), max_batch=8)
+    # stop the dispatcher from draining one-by-one: pre-load the queue,
+    # then start the thread's work by submitting through the API from
+    # threads so they all land before the first cycle picks them up
+    import queue as _queue
+
+    done_evts, slots = [], []
+    for p in (0, 1, 2, 3):
+        done = threading.Event()
+        slot = {}
+        b._q.put((jnp.zeros((4, 4, 3)), p, done, slot))
+        done_evts.append(done)
+        slots.append(slot)
+    for d in done_evts:
+        assert d.wait(60)
+    for p, slot in zip((0, 1, 2, 3), slots):
+        assert "error" not in slot, slot.get("error")
+        np.testing.assert_array_equal(slot["labels"], np.full((2, 2), p))
+    dense = [c for c in calls if c[0] == "dense"]
+    batched = [c for c in calls if c[0] in ("batch", "single")]
+    assert {c[1] for c in dense} == {0, 2}
+    # odds registered together (one batch) or singly if they raced apart
+    flat = []
+    for kind, v in batched:
+        flat.extend(v if isinstance(v, tuple) else [v])
+    assert sorted(flat) == [1, 3]
