@@ -341,6 +341,24 @@ def test_scbert_mm_fullscale_smoke():
 
 
 @pytest.mark.slow
+def test_train_image_fullscale_smoke():
+    """The classic-Visium image-training artifact at reduced dims (full
+    78x64 DenseNet-121 scale runs on the real TPU; ms/array in
+    docs/roadmap.md). Covers both optimizer modes."""
+    import train_image_fullscale
+
+    r = train_image_fullscale.main(["--grid", "6", "8", "--patch-px", "32",
+                                    "--patch-chunk", "16",
+                                    "--f-arch", "tiny"])
+    assert r["forward_ms_per_array"] > 0
+    assert r["train_ms_per_array"] > 0
+    r = train_image_fullscale.main(["--grid", "6", "8", "--patch-px", "32",
+                                    "--patch-chunk", "16",
+                                    "--f-arch", "tiny", "--g-only"])
+    assert r["train_ms_per_array"] > 0
+
+
+@pytest.mark.slow
 def test_visium_hd_fullscale_smoke():
     """The HD capture-area-scale training artifact at reduced dims (full
     384x384 scale runs on the real TPU; ms/array in docs/roadmap.md)."""
