@@ -1606,7 +1606,13 @@ def _add_hd_args(s, corrector: str):
                         f"or HxW; selects the Cartesian {corrector} corrector")
 
 
-def main(argv=None):
+def build_parser():
+    """The full gridnext_tpu argument parser (one subparser per command).
+
+    Exposed separately from :func:`main` so tooling and tests can inspect
+    the command surface (e.g. tests/test_readme.py validates every CLI
+    line in the README against it) without dispatching anything.
+    """
     ap = argparse.ArgumentParser(prog="gridnext_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--profile-dir", default=None, metavar="DIR",
@@ -1897,8 +1903,11 @@ def main(argv=None):
     s.add_argument("--verbose", action="store_true",
                    help="log every HTTP request")
     s.set_defaults(fn=_cmd_serve)
+    return ap
 
-    args = ap.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):
         # SIGTERM (spot/queued TPU preemption) -> batch-boundary '.latest'
         # checkpoint -> exit 75 (EX_TEMPFAIL: "transient, retry me"); rerun
