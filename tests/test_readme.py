@@ -14,9 +14,6 @@ import re
 import shlex
 from pathlib import Path
 
-import numpy as np
-import pytest
-
 README = Path(__file__).resolve().parents[1] / "README.md"
 
 
@@ -106,3 +103,25 @@ def test_readme_cli_lines_match_parser():
     # the README documents the whole command surface; a refactor that drops
     # the bash blocks (or renames the module) should fail loudly here
     assert checked >= 8, f"only {checked} CLI lines found in README"
+
+
+def test_api_md_is_current(tmp_path):
+    """docs/api.md matches what tools/gen_api_docs.py generates today.
+
+    The reference doc is committed (users read it without running anything),
+    so surface changes must regenerate it; this pins that contract.
+    """
+    import importlib.util
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", repo / "tools" / "gen_api_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = tmp_path / "api.md"
+    mod.main(out_path=str(out))
+    fresh = out.read_text()
+    committed = (repo / "docs" / "api.md").read_text()
+    assert fresh == committed, (
+        "docs/api.md is stale; regenerate with `python tools/gen_api_docs.py`")
