@@ -4,12 +4,23 @@ import pytest
 from gridnext_tpu.io import anndata_io
 
 
-def test_gated_import_message():
-    try:
-        import anndata  # noqa: F401
-        pytest.skip("anndata installed; gating not exercised")
-    except ImportError:
-        pass
+def test_gated_import_message(monkeypatch):
+    """The optional-dep gate raises an actionable ImportError naming anndata.
+
+    Exercised deterministically by blocking the import, so this runs (and
+    means the same thing) whether or not anndata is installed."""
+    import builtins
+    import sys
+
+    real_import = builtins.__import__
+
+    def block(name, *args, **kwargs):
+        if name == "anndata" or name.startswith("anndata."):
+            raise ImportError("No module named 'anndata'")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.delitem(sys.modules, "anndata", raising=False)
+    monkeypatch.setattr(builtins, "__import__", block)
     with pytest.raises(ImportError, match="anndata"):
         anndata_io.create_visium_anndata(["/nonexistent"])
 
