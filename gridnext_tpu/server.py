@@ -132,6 +132,9 @@ def load_artifact(path):
     return exported, side
 
 
+_UNFITTED = object()   # submit() sentinel: no pre-fitted dense plan
+
+
 class _MicroBatcher:
     """Continuous micro-batching for concurrent slide requests.
 
@@ -158,54 +161,59 @@ class _MicroBatcher:
                                         name="gnx-serve-batcher")
         self._thread.start()
 
-    def submit(self, wsi, positions):
+    def submit(self, wsi, positions, plan=_UNFITTED):
         """Block until the dispatcher registers this slide; returns the
-        (H, W) label grid (or re-raises the dispatch error)."""
+        (H, W) label grid (or re-raises the dispatch error).
+
+        ``plan``: an optional pre-fitted dense plan (``None`` meaning
+        "fitted; not a dense lattice") computed on the CALLING thread --
+        square-HD plan fits are hundreds of ms of host lstsq that would
+        otherwise serialize on the device-owning dispatcher thread."""
         done = threading.Event()
         slot: dict = {}
-        self._q.put((wsi, positions, done, slot))
-        done.wait()
+        self._q.put((wsi, positions, plan, done, slot))
+        while not done.wait(5.0):
+            if not self._thread.is_alive():   # pragma: no cover - bug guard
+                raise RuntimeError("micro-batcher dispatcher thread died; "
+                                   "restart the server")
         if "error" in slot:
             raise slot["error"]
         return slot["labels"]
 
+    @staticmethod
+    def _shape_key(wsi):
+        from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+        return (("packed",) + tuple(wsi.orig_hw)
+                if isinstance(wsi, PackedWSI) else tuple(wsi.shape))
+
     def _dispatch(self, group):
-        import jax.numpy as jnp
+        # routing (dense per-slide / singleton / stacked batch) is THE
+        # canonical serving.dispatch_group -- shared with register_slides
+        # so the CLI batch loop and the resident server can never diverge
+        from gridnext_tpu.serving import dispatch_group
 
         try:
-            if not self.registrar.hex_coords:
-                # square-HD: dense-tiling beats the per-bin gather by far
-                # (serving.register_slides semantics); batch only the rest
-                rest = []
-                for item in group:
-                    wsi, pos, done, slot = item
-                    plan = self.registrar.dense_plan(wsi, pos)
-                    if plan is not None:
-                        slot["labels"] = self.registrar.register_dense(
-                            wsi, pos, plan=plan)
-                        done.set()
-                    else:
-                        rest.append(item)
-                group = rest
-                if not group:
-                    return
-            if len(group) == 1:
-                wsi, pos, done, slot = group[0]
-                slot["labels"] = self.registrar(wsi, pos)
+            items = [(k, wsi, pos)
+                     for k, (wsi, pos, _, _, _) in enumerate(group)]
+            plans = {k: plan for k, (_, _, plan, _, _) in enumerate(group)
+                     if plan is not _UNFITTED}
+            stats: dict = {}
+            for k, labels, _ in dispatch_group(self.registrar, items,
+                                               plans=plans, stats=stats):
+                _, _, _, done, slot = group[k]
+                slot["labels"] = labels
                 done.set()
-                return
-            wsis = jnp.stack([g[0] for g in group])
-            labels = self.registrar.register_batch(wsis,
-                                                   [g[1] for g in group])
-            self.batched_slides += len(group)
-            for k, (_, _, done, slot) in enumerate(group):
-                slot["labels"] = labels[k]
-                done.set()
+            self.batched_slides += stats.get("batched", 0)
         except BaseException as e:  # deliver to every waiter, keep serving
-            for _, _, done, slot in group:
-                if not done.is_set():
-                    slot["error"] = e
-                    done.set()
+            self._fail(group, e)
+
+    @staticmethod
+    def _fail(items, err):
+        for _, _, _, done, slot in items:
+            if not done.is_set():
+                slot["error"] = err
+                done.set()
 
     def _run(self):
         import queue as _queue
@@ -217,9 +225,17 @@ class _MicroBatcher:
                     batch.append(self._q.get_nowait())
                 except _queue.Empty:
                     break
-            groups: dict = {}
-            for item in batch:
-                groups.setdefault(tuple(item[0].shape), []).append(item)
+            try:
+                groups: dict = {}
+                for item in batch:
+                    groups.setdefault(self._shape_key(item[0]),
+                                      []).append(item)
+            except BaseException as e:
+                # grouping failed (malformed wsi, ...): fail THIS batch's
+                # waiters instead of killing the dispatcher thread --
+                # every later submit() would otherwise hang forever
+                self._fail(batch, e)
+                continue
             for group in groups.values():
                 self.dispatches += 1
                 self._dispatch(group)
@@ -274,6 +290,12 @@ class RegistrationService:
         from gridnext_tpu.io import read_positions
 
         batcher = _MicroBatcher(registrar, max_batch=max_batch)
+        pack_fn = None
+        if (getattr(registrar, "extractor", None) == "pallas"
+                and registrar.hex_coords):
+            from gridnext_tpu.ops.patch_gather_pallas import pack_wsi
+
+            pack_fn = jax.jit(pack_wsi)         # one trace, all requests
 
         def register_fn(image, srd, timer):
             if image is None:
@@ -286,8 +308,24 @@ class RegistrationService:
             with timer("positions"):
                 pos = read_positions(srd, hd_binning)
             wsi = jax.device_put(wsi_np)        # async; overlaps prior work
+            plan = _UNFITTED
+            if pack_fn is not None:
+                from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+                # pack at request time: the ~6 ms/slide RGBX pack dispatches
+                # (async) behind whatever the batcher is running, instead of
+                # serializing on the device-owning dispatcher thread -- the
+                # same staging-time convention as ingest.SlideSource(pack=True)
+                with timer("pack"):
+                    wsi = PackedWSI(pack_fn(wsi), wsi_np.shape[:2])
+            elif not registrar.hex_coords:
+                # square HD: the dense-lattice fit is host lstsq over ~1e5
+                # bins -- do it here, concurrently across requests, and hand
+                # the dispatcher a ready plan
+                with timer("dense_fit"):
+                    plan = registrar.dense_plan(wsi_np, pos)
             with timer("register"):             # queue wait + dispatch
-                return batcher.submit(wsi, pos)
+                return batcher.submit(wsi, pos, plan)
 
         svc = cls(register_fn, classes, model=model,
                   hex_coords=registrar.hex_coords, hd_binning=hd_binning,
@@ -641,20 +679,34 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/register":
             self._json(404, {"error": f"unknown route {self.path}"})
             return
+        import contextlib
+
         try:
             length = int(self.headers.get("Content-Length") or 0)
             body = json.loads(self.rfile.read(length) or b"{}")
             if not isinstance(body, dict):
                 raise ValueError("request body must be a JSON object")
-            self._json(200, self.service.handle_register(body))
+            result = self.service.handle_register(body)
         except (ValueError, KeyError, TypeError, FileNotFoundError,
                 json.JSONDecodeError) as e:
             self.service.note_error()
-            self._json(400, {"error": str(e)})
+            with contextlib.suppress(OSError):   # client may be gone
+                self._json(400, {"error": str(e)})
+            return
         except Exception as e:  # surface, don't kill the server thread
             self.service.note_error()
             traceback.print_exc()
-            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            with contextlib.suppress(OSError):
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        try:
+            self._json(200, result)
+        except OSError:
+            # the client disconnected while the (large) 200 payload was
+            # being written: the registration itself SUCCEEDED -- don't
+            # count a service error or write a second response onto the
+            # dead socket
+            self.log_message("client disconnected during response write")
 
     def log_message(self, fmt, *args):
         if getattr(self.server, "verbose", False):

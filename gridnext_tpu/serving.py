@@ -35,7 +35,6 @@ import numpy as np
 from gridnext_tpu import geometry
 from gridnext_tpu.ops.hexcorrector_pallas import (
     fold_corrector_params,
-    fused_hex_corrector,
     fused_hex_corrector_labels,
 )
 
@@ -184,7 +183,14 @@ def fit_dense_lattice(positions, h_st: int, w_st: int, window: int,
     h_img, w_img = ((wsi_shape[0], wsi_shape[1]) if wsi_shape is not None
                     else (np.inf, np.inf))
     # exact tiling when the fitted lattice is the integer window pitch
-    # (lstsq of exact integer data leaves ~1e-12 float residue)
+    # (lstsq of exact integer data leaves ~1e-12 float residue). The
+    # centers the fit sees are already rint'ed to integers
+    # (spot_pixel_arrays), and the per-bin gather's crop origin is
+    # rint(center) - w//2 -- so integer-center integrality IS the right
+    # exactness test for every pitch parity (a zero-residual integer-pitch
+    # fit always has an integer intercept; odd-pitch lattices with raw
+    # half-integer centers rint to alternating +-0.5 and correctly fail
+    # the residual gate, exactly like the per-bin path's own jitter)
     tol = 1e-6
     int_pitch = (abs(pitch_y - w) < tol and abs(pitch_x - w) < tol
                  and res_y < tol and res_x < tol
@@ -723,6 +729,17 @@ class SlideRegistrar:
         wsi, orig_hw = self._unpack(wsi)
         shape = orig_hw if orig_hw is not None else wsi.shape
         oy, ox, y_px, x_px = self._spot_arrays(shape, positions, pad_offset)
+        # bucket-pad the spot axis (parked spots are dropped by the
+        # scatters) so slides with near-equal in-tissue counts share ONE
+        # compiled program -- foreground counts are essentially unique per
+        # slide, and without this every count retraces + recompiles
+        k = len(oy)
+        s_pad = -(-max(k, 1) // _SPOT_BUCKET) * _SPOT_BUCKET
+        if s_pad != k:
+            p2 = self.window_size // 2
+            poy, pox, py, px_ = _parked_spots(s_pad, self.h_st, p2)
+            poy[:k], pox[:k], py[:k], px_[:k] = oy, ox, y_px, x_px
+            oy, ox, y_px, x_px = poy, pox, py, px_
         labels = self._jitted(wsi, jnp.asarray(oy), jnp.asarray(ox),
                               jnp.asarray(y_px), jnp.asarray(x_px),
                               orig_hw=orig_hw)
@@ -942,6 +959,86 @@ def load_exported_registration(blob: bytes) -> Callable:
     return jexport.deserialize(bytearray(blob)).call
 
 
+def _tctx(timer, stage: str):
+    """``timer(stage)`` or a no-op context when no StageTimer is wired."""
+    if timer is None:
+        import contextlib
+
+        return contextlib.nullcontext()
+    return timer(stage)
+
+
+def dispatch_group(registrar: SlideRegistrar, items, *, timer=None,
+                   plans=None, stats=None):
+    """Register one same-shape group of slides with the canonical routing.
+
+    THE routing, defined once and shared by :func:`register_slides` and the
+    HTTP server's micro-batcher (server._MicroBatcher) so the two can never
+    diverge: square-lattice slides with a dense plan register per slide
+    through the tiling path (:meth:`SlideRegistrar.register_dense`); a
+    singleton group uses the single-slide program; everything else stacks
+    (PackedWSI-aware) into one :meth:`SlideRegistrar.register_batch`
+    dispatch.
+
+    Args:
+      items: sequence of ``(key, wsi, positions)``; ``key`` passes through
+        untouched (a slide index, a request handle, ...).
+      timer: optional :class:`~gridnext_tpu.observability.StageTimer`;
+        device dispatches run under ``timer("register")``.
+      plans: optional ``{key: dense_plan-or-None}`` fitted by the caller
+        (e.g. on a concurrent request thread); keys present here skip the
+        in-dispatch :meth:`SlideRegistrar.dense_plan` fit, and a ``None``
+        value means "not a dense lattice". Only consulted for square
+        lattices.
+      stats: optional dict; ``stats['batched']`` is incremented by the
+        number of slides that went through ``register_batch``.
+
+    Returns:
+      list of ``(key, labels, positions)`` per item (dense-routed items
+      first, then the batched rest).
+    """
+    from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
+
+    out = []
+    if not registrar.hex_coords:
+        # square HD lattices: prefer the dense-tiling path (no per-bin
+        # gather -- 3.6M bins/s measured at 16um capture-area scale). The
+        # explicit predicate (not exception control flow) decides: genuine
+        # dense-path errors surface, and slides that fail the dense
+        # precondition keep the batched per-bin dispatch below.
+        rest = []
+        for key, wsi, pos in items:
+            if plans is not None and key in plans:
+                plan = plans[key]
+            else:
+                plan = registrar.dense_plan(wsi, pos)  # fit once per slide
+            if plan is not None:
+                with _tctx(timer, "register"):
+                    out.append((key, registrar.register_dense(wsi, pos,
+                                                              plan=plan),
+                                pos))
+            else:
+                rest.append((key, wsi, pos))
+        items = rest
+        if not items:
+            return out
+    if len(items) == 1:
+        key, wsi, pos = items[0]
+        with _tctx(timer, "register"):
+            return out + [(key, registrar(wsi, pos), pos)]
+    keys, wsis, poss = zip(*items)
+    if isinstance(wsis[0], PackedWSI):
+        wsis = PackedWSI(jnp.stack([w.data for w in wsis]), wsis[0].orig_hw)
+    else:
+        wsis = jnp.stack(wsis)
+    with _tctx(timer, "register"):
+        labels = registrar.register_batch(wsis, list(poss))
+    if stats is not None:
+        stats["batched"] = stats.get("batched", 0) + len(keys)
+    return out + [(k, labels[j], p)
+                  for j, (k, p) in enumerate(zip(keys, poss))]
+
+
 def register_slides(registrar: SlideRegistrar, image_files: Sequence,
                     spaceranger_dirs: Sequence, *, hd_binning=None,
                     slide_batch: int = 4, prefetch: Optional[int] = None,
@@ -995,42 +1092,8 @@ def register_slides(registrar: SlideRegistrar, image_files: Sequence,
     from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
 
     def flush(group):
-        out = []
-        if not registrar.hex_coords:
-            # square HD lattices: prefer the dense-tiling path (no per-bin
-            # gather -- 3.2M bins/s measured at 16um capture-area scale).
-            # The explicit predicate (not exception control flow) decides:
-            # genuine dense-path errors surface, and slides that fail the
-            # dense precondition keep the batched per-bin dispatch below.
-            rest = []
-            for item in group:
-                i, wsi, pos = item
-                plan = registrar.dense_plan(wsi, pos)  # fit once per slide
-                if plan is not None:
-                    with timer("register"):
-                        out.append((i, registrar.register_dense(wsi, pos,
-                                                                plan=plan),
-                                    pos))
-                else:
-                    rest.append(item)
-            group = rest
-            if not group:
-                return out
-        if len(group) == 1:
-            i, wsi, pos = group[0]
-            with timer("register"):
-                labels = registrar(wsi, pos)
-            return out + [(i, labels, pos)]
-        idxs, wsis, poss = zip(*group)
-        if isinstance(wsis[0], PackedWSI):
-            wsis = PackedWSI(jnp.stack([w.data for w in wsis]),
-                             wsis[0].orig_hw)
-        else:
-            wsis = jnp.stack(wsis)
-        with timer("register"):
-            labels = registrar.register_batch(wsis, list(poss))
-        return out + [(i, labels[k], p)
-                      for k, (i, p) in enumerate(zip(idxs, poss))]
+        # one canonical routing, shared with the HTTP server's micro-batcher
+        return dispatch_group(registrar, group, timer=timer)
 
     # Shape-grouping must not pin unbounded device memory: a mixed-shape
     # cohort (distinct scan dimensions are the norm for real WSIs) never

@@ -407,7 +407,7 @@ def test_micro_batcher_routes_square_hd_dense():
     per-slide through register_dense; the rest still batch together."""
     import jax.numpy as jnp
 
-    from gridnext_tpu.server import _MicroBatcher
+    from gridnext_tpu.server import _UNFITTED, _MicroBatcher
 
     calls = []
 
@@ -439,7 +439,7 @@ def test_micro_batcher_routes_square_hd_dense():
     for p in (0, 1, 2, 3):
         done = threading.Event()
         slot = {}
-        b._q.put((jnp.zeros((4, 4, 3)), p, done, slot))
+        b._q.put((jnp.zeros((4, 4, 3)), p, _UNFITTED, done, slot))
         done_evts.append(done)
         slots.append(slot)
     for d in done_evts:
@@ -455,3 +455,58 @@ def test_micro_batcher_routes_square_hd_dense():
     for kind, v in batched:
         flat.extend(v if isinstance(v, tuple) else [v])
     assert sorted(flat) == [1, 3]
+
+
+def test_micro_batcher_survives_malformed_submission():
+    """A wsi the grouping can't key (no .shape) fails THAT request instead
+    of killing the dispatcher thread; later submissions still serve."""
+    import jax.numpy as jnp
+
+    from gridnext_tpu.server import _MicroBatcher
+
+    class FakeRegistrar:
+        hex_coords = True
+
+        def __call__(self, wsi, pos):
+            return np.full((2, 2), pos)
+
+        def register_batch(self, wsis, poss):
+            return np.stack([np.full((2, 2), p) for p in poss])
+
+    b = _MicroBatcher(FakeRegistrar(), max_batch=4)
+    with pytest.raises(AttributeError):
+        b.submit(object(), 3)          # no .shape -> grouping raises
+    assert b._thread.is_alive()
+    np.testing.assert_array_equal(b.submit(jnp.zeros((4, 4, 3)), 7),
+                                  np.full((2, 2), 7))
+
+
+def test_micro_batcher_uses_prefitted_dense_plan():
+    """A plan computed on the request thread is handed to register_dense
+    without re-fitting on the dispatcher."""
+    import jax.numpy as jnp
+
+    from gridnext_tpu.server import _MicroBatcher
+
+    class FakeHDRegistrar:
+        hex_coords = False
+
+        def dense_plan(self, wsi, pos):
+            raise AssertionError("dispatcher must not re-fit a passed plan")
+
+        def register_dense(self, wsi, pos, plan=None):
+            assert plan == ("exact", "prefit")
+            return np.full((2, 2), pos)
+
+        def __call__(self, wsi, pos):
+            return np.full((2, 2), pos)
+
+        def register_batch(self, wsis, poss):
+            return np.stack([np.full((2, 2), p) for p in poss])
+
+    b = _MicroBatcher(FakeHDRegistrar(), max_batch=4)
+    out = b.submit(jnp.zeros((4, 4, 3)), 5, plan=("exact", "prefit"))
+    np.testing.assert_array_equal(out, np.full((2, 2), 5))
+    # plan=None means "fitted, not dense": routes to the per-bin path
+    out = b.submit(jnp.zeros((4, 4, 3)), 6, plan=None)
+    np.testing.assert_array_equal(out, np.full((2, 2), 6))

@@ -1045,3 +1045,44 @@ def test_spot_pixel_arrays_drops_negative_oddr(sim):
     oy, ox, *_ = spot_pixel_arrays(pd.concat([pos, bad]))
     assert len(oy) == len(oy0)          # the malformed spot is gone
     assert ox.min() >= 0 and oy.min() >= 0
+
+
+def test_single_slide_spot_counts_share_one_program(sim):
+    """__call__ bucket-pads the spot axis (parked spots, mode='drop'
+    scatters), so slides with different in-tissue counts reuse ONE
+    compiled program instead of recompiling per count -- and padding does
+    not change the labels."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(0), x0)
+    registrar = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda grid: g.apply(
+            variables, grid, train=False,
+            method=lambda m, x, train: m.corrector(x, train=train)))
+
+    wsi = jnp.asarray(np.asarray(Image.open(sim["image_file"])))
+    pos = read_positions(sim["spaceranger_dir"])
+    full = registrar(wsi, pos)
+
+    # drop some in-tissue spots: a different foreground count in the same
+    # _SPOT_BUCKET must not retrace, and the parked padding spots must not
+    # leak into the label grid (the removed spots read as background; kept
+    # labels may shift near removals -- the corrector sees new boundaries)
+    fewer = pos[pos["in_tissue"].astype(int) == 1].iloc[:-7]
+    sub = registrar(wsi, fewer)
+    assert registrar._jitted._cache_size() == 1
+    kept = np.zeros_like(full, bool)
+    oy, ox, _, _ = spot_pixel_arrays(fewer)
+    kept[oy, ox] = True
+    assert (sub[kept] > 0).all()
+    assert (sub[~kept] == 0).all()
+    assert (full > 0).sum() == kept.sum() + 7
