@@ -104,8 +104,10 @@ def _cmd_prepare(args):
             patch_size_px=args.patch_px, window_size_px=window_px,
             hd_binning=args.hd_binning,
             hd_dims=(h_st, w_st) if args.hd_binning is not None else None)
+        from gridnext_tpu.io.unify import array_name
+
         for srd, im in zip(args.spaceranger, args.images):
-            pdir = os.path.join(srd, os.path.basename(srd.rstrip("/")) + suffix)
+            pdir = os.path.join(srd, array_name(srd) + suffix)
             save_visium_patches(im, srd, pdir, patch_size=args.patch_px,
                                 window_size=window_px,
                                 hd_binning=args.hd_binning, h_st=h_st, w_st=w_st)
@@ -802,9 +804,10 @@ def _write_loupe(label_grid, srd, args, classes, hd_binning=None,
     convention as _evaluate_one's map files)."""
     from gridnext_tpu.evaluate import to_loupe_annots
     from gridnext_tpu.io import find_position_file
+    from gridnext_tpu.io.unify import array_name
 
-    name = os.path.basename(srd.rstrip("/"))
-    names = [os.path.basename(s.rstrip("/")) for s in args.spaceranger]
+    name = array_name(srd)
+    names = [array_name(s) for s in args.spaceranger]
     if index is not None and names.count(name) > 1:
         name = f"{index:02d}_{name}"
     out_csv = (args.out if len(args.spaceranger) == 1
@@ -1366,7 +1369,9 @@ def _evaluate_one(model_dir, args):
     smax = np.concatenate(smaxes)
     if not len(y_true):
         sys.exit("error: no annotated foreground spots to evaluate")
-    names = [os.path.basename(s.rstrip("/")) for s in args.spaceranger]
+    from gridnext_tpu.io.unify import array_name
+
+    names = [array_name(s) for s in args.spaceranger]
     if len(set(names)) < len(names):
         # standard Spaceranger layouts often name every dir 'outs' --
         # index-prefix so per-array map files can't overwrite each other

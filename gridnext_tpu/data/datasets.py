@@ -26,7 +26,6 @@ import functools
 import os
 import re
 import threading
-from pathlib import Path
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -40,7 +39,7 @@ from gridnext_tpu.io.annotations import (
     union_classes,
 )
 from gridnext_tpu.io.spaceranger import find_position_file
-from gridnext_tpu.io.unify import prepare_count_files
+from gridnext_tpu.io.unify import array_name, prepare_count_files
 
 
 def _check_lengths(files, annot_files, position_files, Visium,
@@ -191,8 +190,12 @@ class CountGridDataset(_GridDatasetBase):
         pf = (self.position_files[idx]
               if self.position_files is not None and self.annot_format == "loupe"
               else None)
+        # route the count parse through the mtime-keyed LRU: streamed grid
+        # epochs re-read each array's TSV, and read_annotated_starray only
+        # reads the frame -- sharing the cached parse is free
+        frame = _read_count_frame(self.count_files[idx], self.cfile_delim)
         counts, annots = read_annotated_starray(
-            self.count_files[idx], af, select_genes=self.select_genes,
+            frame, af, select_genes=self.select_genes,
             h_st=self.h_st, w_st=self.w_st, Visium=self.Visium,
             position_file=pf, cfile_delim=self.cfile_delim,
             afile_delim=self.afile_delim, loupe_delim=self.loupe_delim)
@@ -661,8 +664,20 @@ def load_count_dataset(count_files, annot_files=None, select_genes=None):
     Splotch columns), skipping mis-annotated spots.
     """
     xs, ys = [], []
+    genes0 = cf0 = None
     for i, cf in enumerate(count_files):
         frame = _read_count_frame(str(cf))
+        # same in-loop axis check as CountSpotDataset/MMSpotDataset (free:
+        # the frame is already read) -- misaligned caches would otherwise
+        # stack feature-scrambled spot vectors with no error at all
+        if select_genes is None:
+            genes = list(frame.index)
+            if genes0 is None:
+                genes0, cf0 = genes, cf
+            else:
+                from gridnext_tpu.io.unify import assert_gene_axis_match
+
+                assert_gene_axis_match(genes, genes0, cf, cf0)
         adat = None
         if annot_files is not None:
             import pandas as pd
@@ -791,7 +806,7 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
 
     count_files = None
     if use_count:
-        count_files = [os.path.join(srd, Path(srd).name + count_suffix)
+        count_files = [os.path.join(srd, array_name(srd) + count_suffix)
                        for srd in spaceranger_dirs]
         if not all(os.path.exists(cf) for cf in count_files):
             print(f"No unified countfiles detected (*{count_suffix}) -- generating...")
@@ -816,11 +831,12 @@ def create_visium_dataset(spaceranger_dirs: Sequence, use_count: bool = True,
             window_size_px=window_size_px, hd_binning=hd_binning,
             hd_dims=(h_hd, w_hd) if hd_binning is not None else None)
         if save_patches_to is None:
-            patch_dirs = [os.path.join(srd, Path(srd).name + patch_suffix)
+            patch_dirs = [os.path.join(srd, array_name(srd) + patch_suffix)
                           for srd in spaceranger_dirs]
         else:
             os.makedirs(save_patches_to, exist_ok=True)
-            patch_dirs = [os.path.join(str(save_patches_to), Path(srd).name + patch_suffix)
+            patch_dirs = [os.path.join(str(save_patches_to),
+                                       array_name(srd) + patch_suffix)
                           for srd in spaceranger_dirs]
         missing = [i for i, pd_ in enumerate(patch_dirs)
                    if not os.path.exists(pd_)]

@@ -107,6 +107,7 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
             # int(None) TypeError would point nowhere
             raise ValueError("Must specify patch size in pixels "
                              "(patch_size_px) or microns (patch_size_um)")
+        from gridnext_tpu.io.unify import array_name
         from gridnext_tpu.pipeline import patch_cache_suffix
 
         if hd_binning is not None:
@@ -126,12 +127,12 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
                                        hd_binning=hd_binning,
                                        hd_dims=cohort_dims)] * len(spaceranger_dirs)
         if save_patches_to is None:
-            imgpatch_dirs = [os.path.join(str(srd), Path(srd).name + sfx)
+            imgpatch_dirs = [os.path.join(str(srd), array_name(srd) + sfx)
                              for srd, sfx in zip(spaceranger_dirs, suffixes)]
         else:
             os.makedirs(save_patches_to, exist_ok=True)
             imgpatch_dirs = [os.path.join(str(save_patches_to),
-                                          Path(srd).name + sfx)
+                                          array_name(srd) + sfx)
                              for srd, sfx in zip(spaceranger_dirs, suffixes)]
         for imfile, pdir, srd, dims in zip(fullres_image_files, imgpatch_dirs,
                                            spaceranger_dirs, hd_dims):

@@ -134,7 +134,12 @@ def read_annotated_starray(count_file, annot_file=None, select_genes=None,
         (Visium + position_file), int array (bg 0) for Splotch.
     """
     cmat = None
-    if cfile_delim == "\t":
+    if isinstance(count_file, pd.DataFrame):
+        # pre-read frame (e.g. the dataset layer's mtime-keyed LRU): lets
+        # streamed grid training reuse one parse per array instead of
+        # re-inflating the whole TSV on every __getitem__. Read-only here.
+        cmat = count_file
+    elif cfile_delim == "\t":
         from gridnext_tpu import native
 
         cmat = native.read_tsv_dataframe(count_file)

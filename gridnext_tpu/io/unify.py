@@ -12,7 +12,6 @@ pd.concat(sort=True)).
 from __future__ import annotations
 
 import os
-from pathlib import Path
 from typing import Optional, Sequence
 
 import numpy as np
@@ -23,6 +22,16 @@ from gridnext_tpu.io.spaceranger import (
     read_positions,
     positions_to_coord_strings,
 )
+
+
+def array_name(srd) -> str:
+    """THE per-array name rule: the Spaceranger dir's basename, used in
+    every per-array artifact name (unified count caches, patch cache dirs,
+    Loupe output naming, ``--val-arrays`` matching). Resolved via abspath
+    so trailing slashes and dot-paths ('.', 'foo/.') still yield the real
+    directory name -- ad-hoc ``Path(srd).name`` returns '' for '.', which
+    would silently write one artifact name and read another."""
+    return os.path.basename(os.path.abspath(str(srd)))
 
 
 def unified_count_suffix(hd_binning=None,
@@ -41,8 +50,8 @@ def unified_cache_path(srd, hd_binning=None,
     register/scBERT paths) must build the path here so the contract can
     never drift between them."""
     srd = str(srd)
-    name = os.path.basename(srd.rstrip("/"))
-    return os.path.join(srd, name + unified_count_suffix(hd_binning, base))
+    return os.path.join(srd, array_name(srd)
+                        + unified_count_suffix(hd_binning, base))
 
 
 def assert_gene_axis_match(genes, genes0, cf, cf0):
@@ -139,7 +148,7 @@ def prepare_count_files(spaceranger_dirs: Sequence,
         positions = read_positions(srd, hd_binning=hd_binning)
         df.columns = positions_to_coord_strings(positions, df.columns)
         frames.append(df)
-        out_stems.append(os.path.join(str(srd), Path(srd).name))
+        out_stems.append(os.path.join(str(srd), array_name(srd)))
 
     for stem, frame in zip(out_stems, frames):
         frame.columns = pd.MultiIndex.from_product(
@@ -148,20 +157,21 @@ def prepare_count_files(spaceranger_dirs: Sequence,
 
     result = pd.concat(frames, axis=1, sort=True)
     if verbose:
-        print(f"We have detected {result.shape[0]} genes across all samples")
+        print(f"unified gene axis: {result.shape[0]} genes across "
+              f"{len(frames)} arrays")
     result = result.fillna(0).astype(int)
 
     if minimum_detection_rate is not None:
         keep = ((result > 0).sum(axis=1) / float(result.shape[1])) > minimum_detection_rate
         result = result[keep]
         if verbose:
-            print("We keep %d genes after discarding the lowly expressed genes "
-                  "(detected in less than %.2f%% of the ST spots)"
-                  % (result.shape[0], 100.0 * minimum_detection_rate))
+            pct = 100.0 * minimum_detection_rate
+            print(f"detection-rate filter (<{pct:.2f}% of spots): "
+                  f"{result.shape[0]} genes kept")
 
     if verbose:
-        print("The median sequencing depth across the ST spots is %d"
-              % np.median(result.sum(axis=0)))
+        print(f"median depth: {int(np.median(result.sum(axis=0)))} "
+              "counts/spot")
 
     from gridnext_tpu import native
 

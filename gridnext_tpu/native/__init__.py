@@ -261,6 +261,18 @@ def read_tsv_dataframe(path, migrate: bool = False):
     import pandas as pd
 
     rows, cols, values = out
+    if np.isnan(values).any():
+        # The C++ parser writes NaN for BOTH empty cells (pandas semantics)
+        # and unparseable text tokens (strtod failure) -- indistinguishable
+        # here, and our numeric count TSVs never contain NaN. So any NaN
+        # means "not confidently numeric": decline, and let the caller's
+        # pandas fallback decide -- it parses legit empties identically and
+        # fails LOUDLY on text columns (object dtype -> astype raises),
+        # where serving the native frame would silently train on NaN. (The
+        # migrate path only ever rewrites our own .unified caches, which
+        # are numeric by construction, so declining after a migrating parse
+        # does not strand a rewritten user file.)
+        return None
     return pd.DataFrame(values, index=rows, columns=cols)
 
 

@@ -472,7 +472,14 @@ def _resolve_mesh(mesh, mesh_shape):
     """Public trainers accept ``mesh`` (a jax.sharding.Mesh) or ``mesh_shape``
     (e.g. {'data': 4, 'spot': 2}, or 'auto' for the default data x spot
     factorization over all visible devices)."""
-    if isinstance(mesh, (str, dict)) and mesh_shape is None:
+    if isinstance(mesh, (str, dict)):
+        if mesh_shape is not None:
+            # without this the raw string would pass the `mesh is not None`
+            # gate below and crash later with exactly the opaque error the
+            # slip-acceptance was written to prevent
+            raise ValueError("pass mesh= (a jax.sharding.Mesh) OR "
+                             f"mesh_shape=, not both (got mesh={mesh!r} "
+                             f"and mesh_shape={mesh_shape!r})")
         # mesh='auto' / mesh={'data': 4} is a natural slip for
         # mesh_shape=...; accept it rather than crash later with an opaque
         # "'str' object has no attribute 'axis_names'"
@@ -644,6 +651,13 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                             "best_val_loss": (float(best_loss)
                                               if np.isfinite(best_loss)
                                               else None)})
+        # consume the trigger: it belongs to THIS run. Without the reset a
+        # library/notebook user who catches TrainingPreempted and calls
+        # train_*(resume=...) in the same process would re-preempt after
+        # one batch of every phase, forever (the guard is process-global
+        # and only tests ever called reset()).
+        if guard is not None:
+            guard.reset()
         raise preempt.TrainingPreempted(ckpt)
 
     try:

@@ -873,3 +873,36 @@ def test_prepare_count_files_hd_default_suffix(tmp_path):
     assert written[0] == unified_cache_path(sim["spaceranger_dir"],
                                             "square_008um")
     assert "square_008um" in written[0]
+
+
+def test_array_name_handles_dot_paths(tmp_path, monkeypatch):
+    """THE per-array name rule: '.', trailing slashes, and plain paths all
+    yield the real directory name, so the unified-cache path a writer
+    builds is the same one every reader builds (unified_cache_path is the
+    single contract; Path('.').name == '' used to silently split them)."""
+    from gridnext_tpu.io.unify import array_name, unified_cache_path
+
+    d = tmp_path / "a0"
+    d.mkdir()
+    assert array_name(str(d)) == "a0"
+    assert array_name(str(d) + "/") == "a0"
+    monkeypatch.chdir(d)
+    assert array_name(".") == "a0"
+    assert unified_cache_path(".") == os.path.join(".", "a0.unified.tsv.gz")
+
+
+def test_load_count_dataset_rejects_misaligned_gene_axes(tmp_path):
+    """Splotch-style count files with different gene axes fail loudly at
+    load instead of stacking feature-scrambled spot vectors."""
+    import pandas as pd
+
+    from gridnext_tpu.data.datasets import load_count_dataset
+
+    a = tmp_path / "a.tsv"
+    b = tmp_path / "b.tsv"
+    pd.DataFrame([[1, 2]], index=["g1"], columns=["1_1", "2_2"]).to_csv(
+        a, sep="\t")
+    pd.DataFrame([[3, 4]], index=["g2"], columns=["1_1", "2_2"]).to_csv(
+        b, sep="\t")
+    with pytest.raises(ValueError, match="gene axis"):
+        load_count_dataset([str(a), str(b)])

@@ -331,3 +331,23 @@ def test_reader_handles_foreign_concatenated_members(lib_ok, tmp_path):
     rows, cols, values = native.read_tsv_matrix(path)
     assert rows == list(df.index) and cols == list(df.columns)
     np.testing.assert_array_equal(values, df.values)
+
+
+def test_native_dataframe_declines_text_columns(lib_ok, tmp_path):
+    """A TSV with an unparseable (text) token: the native reader declines
+    (returns None) instead of serving silent NaNs, so the pandas fallback
+    fails loudly downstream -- same outcome with or without a toolchain."""
+    import pandas as pd
+
+    from gridnext_tpu import native
+
+    p = tmp_path / "weird.tsv"
+    pd.DataFrame({"1_1": [1, 2], "desc": ["geneA", "geneB"]},
+                 index=["g1", "g2"]).to_csv(p, sep="\t")
+    assert native.read_tsv_dataframe(str(p)) is None
+    # numeric files still parse natively
+    q = tmp_path / "ok.tsv"
+    pd.DataFrame({"1_1": [1, 2], "2_2": [3, 4]},
+                 index=["g1", "g2"]).to_csv(q, sep="\t")
+    df = native.read_tsv_dataframe(str(q))
+    assert df is not None and df.loc["g2", "2_2"] == 4

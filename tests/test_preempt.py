@@ -262,3 +262,18 @@ def test_repeated_install_hooks_new_signals():
         uninstall_preemption_handler()
     assert signal.getsignal(signal.SIGUSR1) in (signal.SIG_DFL,
                                                 signal.Handlers.SIG_DFL)
+
+
+def test_preempt_trigger_is_consumed_by_the_raise(tmp_path, guard):
+    """The latched trigger belongs to the run it preempted: after
+    TrainingPreempted, an in-process resume must run to completion instead
+    of re-preempting after one batch per phase forever."""
+    x, y = _data()
+    out = tmp_path / "consume.msgpack"
+    with pytest.raises(TrainingPreempted):
+        _run(x, y, out, trigger_at=8 + 3)
+    assert not guard.triggered          # consumed by the raise, not by tests
+    state, vh, th = _run(x, y, out, resume=str(out) + ".latest")
+    # resumed mid-epoch-1: epochs 1..2 run to completion (2 val entries);
+    # before the consume fix this raised TrainingPreempted again instead
+    assert len(vh) == 2

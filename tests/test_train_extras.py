@@ -647,3 +647,12 @@ def test_all_fgd_predictions_forward_cache():
     state = create_train_state(g, jax.random.key(0), jnp.asarray(X[:1]), tx)
     yt, yp, ys = all_fgd_predictions((X, Y), g, state.variables())
     assert yt.shape == (32,) and ys.shape == (32, 3)
+
+
+def test_resolve_mesh_rejects_both_args():
+    import pytest
+
+    from gridnext_tpu.train.loops import _resolve_mesh
+
+    with pytest.raises(ValueError, match="not both"):
+        _resolve_mesh("auto", {"data": 8})
