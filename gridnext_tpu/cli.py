@@ -43,6 +43,23 @@ from gridnext_tpu.modeldir import (
 )
 
 
+def _primary_writer() -> bool:
+    """Whether THIS process owns the command's file outputs.
+
+    Multi-controller runs (--multihost) execute the same command on every
+    pod host; model checkpoints / model.json must be written once, by the
+    primary, or same-path writes race on the shared filesystem (the
+    trainers gate their own epoch checkpoints the same way). Always true
+    single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return True
+    from gridnext_tpu.parallel import is_primary
+
+    return is_primary()
+
+
 def _cmd_simulate(args):
     from gridnext_tpu.data import simulate_spaceranger_dir
 
@@ -242,10 +259,11 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
                                mesh_shape=mesh_shape,
                                outfile=g_out, resume=_resume_path(args, g_out))
 
-    save_checkpoint(g_out, state)
-    with open(os.path.join(args.out, "model.json"), "w") as fh:
-        json.dump({"classes": classes, **meta_extra}, fh)
-    print(f"saved model to {args.out}")
+    if _primary_writer():
+        save_checkpoint(g_out, state)
+        with open(os.path.join(args.out, "model.json"), "w") as fh:
+            json.dump({"classes": classes, **meta_extra}, fh)
+        print(f"saved model to {args.out}")
 
 
 def _validated_count_cache(srd, meta):
@@ -764,6 +782,8 @@ def _cmd_train_mm(args):
                                mesh_shape=mesh_shape,
                                outfile=g_out, resume=_resume_path(args, g_out))
 
+    if not _primary_writer():
+        return
     save_checkpoint(g_out, state)
     from gridnext_tpu.io import unified_cache_path
     from gridnext_tpu.io.unify import read_unified_genes
@@ -886,6 +906,8 @@ def _cmd_pretrain_scbert(args):
         batch_size=args.batch_size, outfile=outfile,
         shuffle_seed=args.split_seed, redraw_every=args.redraw_every or None,
         mesh_shape=mesh_shape, resume=_resume_path(args, outfile))
+    if not _primary_writer():
+        return
     save_checkpoint(outfile, state, include_opt_state=False)
     with open(os.path.join(args.out, "pretrain.json"), "w") as fh:
         json.dump({"model": "PerformerLM-MLM", "vocab": vocab,
@@ -1625,6 +1647,15 @@ def build_parser():
                          "into DIR (view with TensorBoard/xprof); goes "
                          "BEFORE the subcommand: gridnext_tpu --profile-dir "
                          "/tmp/tb train-count ...")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join a multi-controller cluster before running the "
+                         "command (run the SAME command on every pod host); "
+                         "auto-discovers on Cloud TPU pods. Goes BEFORE the "
+                         "subcommand, like --profile-dir")
+    ap.add_argument("--coordinator", default=None, metavar="SPEC",
+                    help="hand-wired --multihost cluster: "
+                         "'coordinator_host:port,num_processes,process_id' "
+                         "(implies --multihost)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("simulate", help="fabricate pseudo-Visium data")
@@ -1911,8 +1942,38 @@ def build_parser():
     return ap
 
 
+def _init_multihost(spec):
+    """--multihost: join the jax.distributed cluster before any backend use.
+
+    ``spec`` None relies on Cloud TPU pod discovery; --coordinator's
+    hand-wired form is 'host:port,num_processes,process_id' (the
+    CPU-cluster tests use it).
+    """
+    from gridnext_tpu.parallel import initialize_multihost
+
+    if spec is None:
+        idx = initialize_multihost()
+    else:
+        try:
+            coord, num, pid = spec.rsplit(",", 2)
+            idx = initialize_multihost(coordinator_address=coord,
+                                       num_processes=int(num),
+                                       process_id=int(pid))
+        except ValueError:
+            sys.exit("error: --coordinator must be "
+                     "'host:port,num_processes,process_id'; got "
+                     f"{spec!r}")
+    import jax
+
+    print(f"multihost: process {idx}/{jax.process_count()}, "
+          f"{len(jax.local_devices())} local / {len(jax.devices())} global "
+          "devices", file=sys.stderr)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.multihost or args.coordinator:
+        _init_multihost(args.coordinator)
     if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):
         # SIGTERM (spot/queued TPU preemption) -> batch-boundary '.latest'
         # checkpoint -> exit 75 (EX_TEMPFAIL: "transient, retry me"); rerun

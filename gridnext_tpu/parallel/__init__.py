@@ -6,3 +6,10 @@ from gridnext_tpu.parallel.mesh import (  # noqa: F401
     shard_spot_batch,
     shard_token_batch,
 )
+from gridnext_tpu.parallel.multihost import (  # noqa: F401
+    global_grid_batch,
+    global_spot_batch,
+    initialize_multihost,
+    is_primary,
+    local_shard_indices,
+)

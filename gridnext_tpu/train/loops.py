@@ -601,6 +601,18 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
         place = _mesh_placement(mesh, loss_kind, batch_size)
         state = replicate(state, mesh)
 
+    # Multi-controller runs (one process per pod host; parallel/multihost.py)
+    # execute this loop identically on every process -- file outputs must
+    # come from exactly one of them or same-path writes race on the shared
+    # filesystem. Single-process runs are unaffected (process 0 is primary).
+    if jax.process_count() > 1:
+        from gridnext_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            outfile = None
+            metrics_logger = None
+            verbose = False
+
     # Checkpoint writes happen off-thread (device arrays are immutable, so
     # the background device_get + msgpack write observe the enqueued state
     # exactly) -- the loop never stalls on checkpoint I/O; see async_ckpt.

@@ -48,6 +48,7 @@ MODULES = [
     ("gridnext_tpu.train.async_ckpt", "Off-thread checkpoint writes"),
     ("gridnext_tpu.train.orbax_io", "Orbax sharded checkpoints (mesh states)"),
     ("gridnext_tpu.parallel.mesh", "Device meshes, replication, batch sharding"),
+    ("gridnext_tpu.parallel.multihost", "Multi-controller (pod-slice) clusters, per-process IO sharding"),
     ("gridnext_tpu.modeldir", "Trained model directories: model.json -> live models"),
     ("gridnext_tpu.evaluate", "Predictions, metrics, consensus, Loupe export"),
     ("gridnext_tpu.serving", "SlideRegistrar: jitted slide->labels serving + export artifacts"),
