@@ -308,7 +308,8 @@ def _resume_path(args, outfile):
     return p if os.path.exists(p) else None
 
 
-def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None):
+def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None,
+                        mlm_batch=None):
     """Parse --mesh and fail FAST on batch/mesh divisibility.
 
     The trainers validate inside train_spotwise/train_gridwise, but the g
@@ -327,6 +328,8 @@ def _checked_mesh_shape(args, *, spot_batch=None, grid_batch=None):
             _mesh_placement(mesh, "spot", spot_batch)
         if grid_batch is not None:
             _mesh_placement(mesh, "grid", grid_batch)
+        if mlm_batch is not None:
+            _mesh_placement(mesh, "mlm", mlm_batch)
     except ValueError as e:
         sys.exit(f"error: {e} (adjust --batch-size / --grid-batch-size "
                  "before training starts)")
@@ -863,7 +866,9 @@ def _cmd_pretrain_scbert(args):
     transform, vocab = _scbert_count_transform(args.spaceranger,
                                                args.hd_binning,
                                                args.scbert_vocab)
-    mesh_shape = _checked_mesh_shape(args, spot_batch=args.batch_size)
+    # MLM batches go sequence-parallel on a 'seq' mesh axis (--mesh
+    # data=2,seq=4 splits the 16,906-token FAVOR tensors across chips)
+    mesh_shape = _checked_mesh_shape(args, mlm_batch=args.batch_size)
     dls = _split_dls(spots, 5, stream=False, seed=args.split_seed,
                      val_arrays=args.val_arrays)
 
@@ -1809,8 +1814,12 @@ def build_parser():
                         "(0 disables; llm/performer_pytorch.py:532-546)")
     s.add_argument("--mesh", default=None,
                    help="multi-chip device mesh: 'auto' or axis sizes like "
-                        "'data=8'; params replicate, the sequence batch "
-                        "shards, XLA inserts the gradient all-reduces")
+                        "'data=8' (pure DP) or 'data=2,seq=4' "
+                        "(sequence-parallel: the gene-token axis and its "
+                        "FAVOR feature tensors -- the per-chip memory hog "
+                        "at full scBERT scale -- shard over 'seq'; batch "
+                        "size need only divide 'data'); params replicate, "
+                        "XLA inserts the collectives")
     s.add_argument("--split-seed", type=int, default=0,
                    help="seed for the random train/val split")
     s.add_argument("--val-arrays", nargs="+", default=None,

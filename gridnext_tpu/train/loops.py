@@ -500,16 +500,31 @@ def _resolve_mesh(mesh, mesh_shape):
 
 def _mesh_placement(mesh, loss_kind, batch_size):
     """Batch-placement function for mesh execution. Grid batches shard
-    (data x spot); spot batches shard their item axis over every mesh axis.
-    Padding to a fixed ``batch_size`` keeps the batch axis shardable; the
-    masked losses ignore the pad items, so numerics match unsharded
-    execution."""
-    from gridnext_tpu.parallel import shard_grid_batch, shard_spot_batch
+    (data x spot); spot batches shard their item axis over every mesh axis;
+    MLM token batches on a mesh with a 'seq' axis go sequence-parallel
+    (batch over 'data', the gene-token axis over 'seq' -- the FAVOR+
+    einsums contract over the sharded axis, so XLA's partitioner psums the
+    context/key sums; see parallel/mesh.py docstring). Padding to a fixed
+    ``batch_size`` keeps the batch axis shardable; the masked losses ignore
+    the pad items, so numerics match unsharded execution."""
+    from gridnext_tpu.parallel import (shard_grid_batch, shard_spot_batch,
+                                       shard_token_batch)
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     if loss_kind == "grid":
         div = axis_sizes.get("data", 1)
         place = lambda b: shard_grid_batch(b, mesh)  # noqa: E731
+    elif loss_kind == "mlm" and "seq" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data = "data" if "data" in mesh.axis_names else None
+        div = axis_sizes.get("data", 1)
+        dummy_sharding = NamedSharding(mesh, PartitionSpec(data))
+
+        def place(b):
+            x, y = b  # x: (B, 1) dummy; y: (B, n_tokens) clean targets
+            return (jax.device_put(x, dummy_sharding),
+                    shard_token_batch(y, mesh, data_axis=data))
     else:
         div = int(np.prod(mesh.devices.shape))
         place = lambda b: shard_spot_batch(b, mesh)  # noqa: E731

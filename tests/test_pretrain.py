@@ -106,6 +106,36 @@ def test_train_mlm_mesh_matches_single_device():
                                    rtol=2e-5, atol=2e-6)
 
 
+def test_train_mlm_sequence_parallel_matches_single_device():
+    """The PUBLIC sequence-parallel pretraining path: train_mlm with a
+    'seq' mesh axis shards the gene-token axis (the FAVOR feature tensors
+    -- the measured memory hog at full scBERT scale, docs/roadmap.md) and
+    must reproduce single-device training exactly. Batch divisibility is
+    against the 'data' axis alone (2 here, not 8): sequence parallelism
+    exists precisely so small batches can span many chips."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tokens = _corpus(n=20, seq=32)  # batch 6 over data=2; final batch pads
+
+    def run(**kw):
+        model = _tiny_lm(tokens.shape[1])
+        tx = optax.sgd(1e-2)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(tokens[:1]), tx)
+        return train_mlm(model, {"train": tokens, "val": tokens[:6]},
+                         mask_id=MASK_ID, state=state, tx=tx, num_epochs=2,
+                         batch_size=6, verbose=False, **kw)
+
+    s1, vh1, th1 = run()
+    s8, vh8, th8 = run(mesh_shape={"data": 2, "seq": 4})
+    np.testing.assert_allclose(th1, th8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vh1, vh8, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_train_mlm_preempt_resume_matches_uninterrupted(tmp_path):
     """Mid-epoch preemption during MLM pretraining resumes bit-identically:
     the on-device corruption is keyed on state.step, so the restored step
