@@ -43,6 +43,15 @@ from gridnext_tpu.modeldir import (
 )
 
 
+def _train_augment(args):
+    """--augment -> the train-step augmentation hook (image commands)."""
+    if not getattr(args, "augment", False):
+        return None
+    from gridnext_tpu.pipeline import make_train_augment
+
+    return make_train_augment()
+
+
 def _primary_writer() -> bool:
     """Whether THIS process owns the command's file outputs.
 
@@ -238,7 +247,8 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
         f_state, *_ = train_spotwise(
             f, dls_f, learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
-            outfile=f_out, resume=_resume_path(args, f_out))
+            outfile=f_out, resume=_resume_path(args, f_out),
+            augment=_train_augment(args))
 
     g_cls = GridNet if corrector == "square" else GridNetHex
     g = g_cls(patch_classifier=f, n_classes=len(classes),
@@ -257,7 +267,8 @@ def _train_fg(args, f, grids, spots, meta_extra, patch_chunk=None,
                                num_epochs=args.epochs, verbose=True,
                                batch_size=args.grid_batch_size,
                                mesh_shape=mesh_shape,
-                               outfile=g_out, resume=_resume_path(args, g_out))
+                               outfile=g_out, resume=_resume_path(args, g_out),
+                               augment=_train_augment(args))
 
     if _primary_writer():
         save_checkpoint(g_out, state)
@@ -661,14 +672,14 @@ def _cmd_train_mm(args):
                     val_arrays=getattr(args, 'val_arrays', None))
 
     def spot_train(f, spots, transform=None, stream_spots=stream,
-                   name="f_state", state=None, tx=None):
+                   name="f_state", state=None, tx=None, augment=None):
         f_out = os.path.join(args.out, f"{name}.msgpack")
         state, *_ = train_spotwise(
             f, _split_dls(spots, 5, stream_spots, transform, **split_kw),
             learning_rate=args.f_lr, num_epochs=args.epochs,
             batch_size=args.batch_size, verbose=True, mesh_shape=mesh_shape,
             state=state, tx=tx,
-            outfile=f_out, resume=_resume_path(args, f_out))
+            outfile=f_out, resume=_resume_path(args, f_out), augment=augment)
         return state
 
     frozen_f = None  # per-subtree freeze carried into the joint g stage
@@ -756,7 +767,8 @@ def _cmd_train_mm(args):
         f_image = densenet121(num_classes=n_classes, dtype=dtype)
     # dense ingest has no cached spot patches for an image-f spotwise stage:
     # the image f starts from init and trains jointly with g below
-    f_image_state = (spot_train(f_image, image_spots, name="f_image_state")
+    f_image_state = (spot_train(f_image, image_spots, name="f_image_state",
+                                augment=_train_augment(args))
                      if image_spots is not None else None)
 
     square = grid_dims is not None  # Cartesian corrector on HD bin lattices
@@ -783,7 +795,8 @@ def _cmd_train_mm(args):
                                num_epochs=args.epochs, verbose=True,
                                batch_size=args.grid_batch_size,
                                mesh_shape=mesh_shape,
-                               outfile=g_out, resume=_resume_path(args, g_out))
+                               outfile=g_out, resume=_resume_path(args, g_out),
+                               augment=_train_augment(args))
 
     if not _primary_writer():
         return
@@ -1591,6 +1604,13 @@ def _add_image_train_args(s):
     s.add_argument("--g-lr", type=float, default=1e-3)
     s.add_argument("--finetune-f", action="store_true")
     s.add_argument("--bf16", action="store_true")
+    s.add_argument("--augment", action="store_true",
+                   help="on-device training augmentation: each patch "
+                        "independently draws one of the 8 flips/rotations "
+                        "inside the jitted train step (zero host cost; "
+                        "pipeline.augment_patches -- the TPU-native "
+                        "img_transforms). Applies to image patches only; "
+                        "eval and register see clean inputs")
 
 
 def _add_scbert_geometry_args(s):

@@ -374,3 +374,89 @@ def remove_color_cast(img: np.ndarray) -> np.ndarray:
         out[..., c] = np.minimum(img[..., c].astype(np.float64) * (255.0 / p),
                                  255).astype(np.uint8)
     return out
+
+
+def augment_patches(key, patches, *, flips: bool = True,
+                    rotations: bool = True, brightness: float = 0.0,
+                    contrast: float = 0.0):
+    """On-device random augmentation of square image patches, jit-safe.
+
+    The TPU-native replacement for the reference's host-side torchvision
+    ``img_transforms`` augmentation (README "Importing data": the optional
+    transform hook the tutorials use for training-time augmentation):
+    instead of per-patch PIL work on the host, this rides INSIDE the jitted
+    train step (``make_steps(augment=...)``), so augmentation costs a few
+    fused elementwise copies on the VPU and zero host round-trips.
+
+    ``patches``: (..., P, P, 3) channels-last float array -- every leading
+    axis indexes independent samples, so both spotwise batches (B, P, P, 3)
+    and gridwise batches (B, H, W, P, P, 3) augment per-patch. Each patch
+    independently draws one of the 8 dihedral transforms (when ``flips``
+    and ``rotations``; spot content has no canonical orientation, and
+    per-patch transforms leave the hex GRID geometry untouched -- rotating
+    the lattice itself would corrupt odd-right indexing) and, optionally,
+    photometric jitter: brightness shifts by ``u*brightness`` and contrast
+    scales around the patch mean by ``1 + u*contrast`` with u ~ U[-1, 1]
+    (applied in the normalized space the models consume, where both are
+    affine). Deterministic in ``key``; the train step folds the step index
+    so resume reproduces the exact augmentation stream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    patches = jnp.asarray(patches)
+    if patches.ndim < 3 or patches.shape[-2] != patches.shape[-3]:
+        raise ValueError("augment_patches wants (..., P, P, C) square "
+                         f"patches; got shape {patches.shape}")
+    lead = patches.shape[:-3]
+    k_flip, k_rot, k_bri, k_con = jax.random.split(key, 4)
+
+    # Dihedral group as (transpose?, flip rows?, flip cols?) bits: all 8
+    # combinations of the three reflections generate the group, and each
+    # bit lowers to one jnp.where-selected copy (no per-sample switch).
+    def bit(k, on):
+        if not on:
+            return jnp.zeros(lead, bool)
+        return jax.random.bernoulli(k, 0.5, lead)
+
+    kt, kr, kc = jax.random.split(k_flip, 3)
+    transpose = bit(kt, rotations)
+    flip_r = bit(kr, flips or rotations)
+    flip_c = bit(kc, flips or rotations)
+
+    def expand(b):  # (lead,) -> broadcastable over (..., P, P, C)
+        return b[(...,) + (None,) * 3]
+
+    out = jnp.where(expand(transpose), jnp.swapaxes(patches, -2, -3),
+                    patches)
+    out = jnp.where(expand(flip_r), jnp.flip(out, axis=-3), out)
+    out = jnp.where(expand(flip_c), jnp.flip(out, axis=-2), out)
+
+    if brightness:
+        u = jax.random.uniform(k_bri, lead, minval=-1.0, maxval=1.0)
+        out = out + expand(u * brightness).astype(out.dtype)
+    if contrast:
+        u = jax.random.uniform(k_con, lead, minval=-1.0, maxval=1.0)
+        mean = out.mean(axis=(-1, -2, -3), keepdims=True)
+        out = (out - mean) * expand(1.0 + u * contrast).astype(out.dtype) + mean
+    return out
+
+
+def make_train_augment(brightness: float = 0.0, contrast: float = 0.0):
+    """Build the train-step augmentation hook (``make_steps(augment=...)``).
+
+    Returns ``fn(key, x)`` applying :func:`augment_patches` to the image
+    component of the batch: a bare array augments directly; a multimodal
+    ``(image, counts)`` tuple augments only the image element (count
+    vectors have no spatial symmetry to exploit). The CLI's ``--augment``
+    flag on train-image / train-mm passes exactly this.
+    """
+    def augment(key, x):
+        if isinstance(x, (tuple, list)):
+            return type(x)((augment_patches(key, x[0], brightness=brightness,
+                                            contrast=contrast),)
+                           + tuple(x[1:]))
+        return augment_patches(key, x, brightness=brightness,
+                               contrast=contrast)
+
+    return augment

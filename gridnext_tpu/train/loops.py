@@ -167,7 +167,7 @@ def _spot_mse(preds, targets):
     return mse, jnp.zeros((), jnp.int32), n
 
 
-def make_steps(model: nn.Module, tx, loss_kind: str):
+def make_steps(model: nn.Module, tx, loss_kind: str, augment=None):
     """Build jitted (train_step, eval_step) closures for a model + optimizer.
 
     ``loss_kind``: 'grid' (foreground-masked CE over (B, H, W, C) grids),
@@ -177,12 +177,20 @@ def make_steps(model: nn.Module, tx, loss_kind: str):
     the XLA SPMD partitioner inserts the collectives -- the same closures
     serve single-chip and multi-chip execution. This is the public step
     factory behind ``train_spotwise(mesh=...)`` / ``train_gridwise(mesh=...)``.
+
+    ``augment``: optional jit-safe ``fn(key, x) -> x`` applied to the batch
+    inside the TRAIN step only (eval sees clean inputs), keyed on the step
+    index so resumed runs replay the identical augmentation stream --
+    ``pipeline.augment_patches`` is the image-patch implementation (the
+    TPU-native take on the reference tutorials' torchvision
+    ``img_transforms`` augmentation).
     """
 
     loss_fn = {"grid": masked_cross_entropy, "spot": _spot_loss,
                "spot_mse": _spot_mse}[loss_kind]
 
     _dropout_base = jax.random.key(11)
+    _augment_base = jax.random.key(19)
 
     def forward(params, batch_stats, extra, x, train, mutable, rngs=None):
         variables = {"params": params, **(extra or {})}
@@ -197,6 +205,8 @@ def make_steps(model: nn.Module, tx, loss_kind: str):
     def train_step(state: TrainState, x, y):
         # per-step dropout rng (unused rngs are ignored by flax)
         rngs = {"dropout": jax.random.fold_in(_dropout_base, state.step)}
+        if augment is not None:
+            x = augment(jax.random.fold_in(_augment_base, state.step), x)
 
         def compute(params):
             logits, mut = forward(params, state.batch_stats, state.extra_vars,
@@ -546,11 +556,13 @@ def _run_training(model, state, tx, dataloaders, loss_kind, num_epochs,
                   batch_size, outfile, shuffle_seed, verbose,
                   redraw_every: Optional[int] = None, redraw_rng=None,
                   redraw_scaling: int = 0,
-                  metrics_logger=None, mesh=None, resume=None, mlm=None):
+                  metrics_logger=None, mesh=None, resume=None, mlm=None,
+                  augment=None):
     if loss_kind == "mlm":
         train_step, eval_step = make_mlm_steps(model, tx, **(mlm or {}))
     else:
-        train_step, eval_step = make_steps(model, tx, loss_kind)
+        train_step, eval_step = make_steps(model, tx, loss_kind,
+                                           augment=augment)
     rng = np.random.default_rng(shuffle_seed)
     if redraw_every:
         redraw_rng = redraw_rng if redraw_rng is not None else jax.random.key(7)
@@ -840,7 +852,7 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    redraw_every: Optional[int] = None,
                    redraw_scaling: int = 0, loss: str = "ce",
                    metrics_logger=None, mesh=None, mesh_shape=None,
-                   resume=None):
+                   resume=None, augment=None):
     """Train a spot classifier f.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) numpy array pairs
@@ -881,7 +893,7 @@ def train_spotwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                          redraw_every=redraw_every,
                          redraw_scaling=redraw_scaling,
                          metrics_logger=metrics_logger, mesh=mesh,
-                         resume=resume)
+                         resume=resume, augment=augment)
 
 
 def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: float = 1e-3,
@@ -890,7 +902,7 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                    state: Optional[TrainState] = None, tx=None, rng=None,
                    shuffle_seed: int = 0, verbose: bool = True,
                    metrics_logger=None, mesh=None, mesh_shape=None,
-                   resume=None):
+                   resume=None, augment=None):
     """Train a grid model g (GridNet family) with foreground-masked CE.
 
     ``dataloaders`` maps 'train'/'val' to (inputs, labels) pairs where inputs
@@ -924,7 +936,7 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
     return _run_training(model, state, tx, dataloaders, "grid", num_epochs,
                          batch_size, outfile, shuffle_seed, verbose,
                          metrics_logger=metrics_logger, mesh=mesh,
-                         resume=resume)
+                         resume=resume, augment=augment)
 
 
 def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
