@@ -411,18 +411,26 @@ def augment_patches(key, patches, *, flips: bool = True,
     lead = patches.shape[:-3]
     k_flip, k_rot, k_bri, k_con = jax.random.split(key, 4)
 
-    # Dihedral group as (transpose?, flip rows?, flip cols?) bits: all 8
-    # combinations of the three reflections generate the group, and each
-    # bit lowers to one jnp.where-selected copy (no per-sample switch).
-    def bit(k, on):
-        if not on:
-            return jnp.zeros(lead, bool)
-        return jax.random.bernoulli(k, 0.5, lead)
-
+    # Dihedral transforms as (transpose?, flip rows?, flip cols?) bits --
+    # each bit lowers to one jnp.where-selected copy (no per-sample
+    # switch). All 8 bit combinations = the full dihedral group; the
+    # rotations-only subgroup {0, 90, 180, 270} maps to constrained bits
+    # (90 = transpose+flip_c, 180 = flip_r+flip_c, 270 = transpose+flip_r).
+    zeros = jnp.zeros(lead, bool)
+    transpose = flip_r = flip_c = zeros
     kt, kr, kc = jax.random.split(k_flip, 3)
-    transpose = bit(kt, rotations)
-    flip_r = bit(kr, flips or rotations)
-    flip_c = bit(kc, flips or rotations)
+    if flips and rotations:
+        transpose = jax.random.bernoulli(kt, 0.5, lead)
+        flip_r = jax.random.bernoulli(kr, 0.5, lead)
+        flip_c = jax.random.bernoulli(kc, 0.5, lead)
+    elif flips:
+        flip_r = jax.random.bernoulli(kr, 0.5, lead)
+        flip_c = jax.random.bernoulli(kc, 0.5, lead)
+    elif rotations:
+        k90 = jax.random.randint(kt, lead, 0, 4)
+        transpose = (k90 % 2) == 1
+        flip_r = k90 >= 2
+        flip_c = (k90 == 1) | (k90 == 2)
 
     def expand(b):  # (lead,) -> broadcastable over (..., P, P, C)
         return b[(...,) + (None,) * 3]

@@ -48,6 +48,23 @@ def test_grid_form_augments_per_patch():
     assert any(changed) and not all(changed)
 
 
+def test_rotations_only_is_the_rotation_subgroup():
+    """rotations=True, flips=False must draw from {0, 90, 180, 270} only --
+    never a reflection. A patch with an L-shaped mark distinguishes all 8
+    dihedral images, so check every augmented patch equals some np.rot90."""
+    x = np.zeros((64, 5, 5, 3), np.float32)
+    x[:, 0, :, :] = 1.0   # top row
+    x[:, :, 0, :] = 2.0   # left col (corner overwritten -> chiral L)
+    out = np.asarray(augment_patches(jax.random.key(8), x, flips=False))
+    ks = set()
+    for i in range(len(x)):
+        matches = [k for k in range(4)
+                   if np.array_equal(out[i], np.rot90(x[i], k, axes=(0, 1)))]
+        assert matches, f"patch {i} is not a pure rotation"
+        ks.add(matches[0])
+    assert ks == {0, 1, 2, 3}  # 64 draws hit every rotation w.h.p.
+
+
 def test_deterministic_in_key():
     x = _patches()
     a = np.asarray(augment_patches(jax.random.key(3), x))
