@@ -1398,7 +1398,8 @@ def _evaluate_one(model_dir, args):
             x = x[None]
         t, p, s, gr = all_fgd_predictions((x, y[None]), g, variables,
                                           f_only=args.f_only,
-                                          return_grids=True)
+                                          return_grids=True,
+                                          tta=getattr(args, "tta", False))
         trues.append(t)
         preds.append(p)
         smaxes.append(s)
@@ -1894,6 +1895,10 @@ def build_parser():
                    help="evaluate the spot classifier f alone "
                         "(patch_predictions) instead of the corrected grid "
                         "-- the reference's f_only flag (utils.py:33-36)")
+    s.add_argument("--tta", action="store_true",
+                   help="dihedral test-time augmentation: average softmax "
+                        "over all 8 flip/rotation orientations of each "
+                        "patch (image/MM models; 8x compute per array)")
     s.set_defaults(fn=_cmd_evaluate)
 
     s = sub.add_parser(

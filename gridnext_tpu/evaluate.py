@@ -16,24 +16,45 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def _forward_fn(model, method):
-    """One jitted forward per (model, method): repeated all_fgd_predictions
-    calls (CLI ``evaluate`` loops per array) reuse the compile instead of
-    re-tracing every call. Variables are an ARGUMENT, not a closure --
-    closed-over device arrays lower as HLO constants (bloating each
-    compile; see the artifact-export HTTP 413 note in docs/roadmap.md)."""
+def _forward_fn(model, method, tta=False):
+    """One jitted forward per (model, method, tta): repeated
+    all_fgd_predictions calls (CLI ``evaluate`` loops per array) reuse the
+    compile instead of re-tracing every call. Variables are an ARGUMENT,
+    not a closure -- closed-over device arrays lower as HLO constants
+    (bloating each compile; see the artifact-export HTTP 413 note in
+    docs/roadmap.md).
 
-    @jax.jit
-    def forward(variables, x):
+    ``tta``: test-time augmentation -- the forward averages softmax over
+    all 8 dihedral orientations of the image patches (the image element of
+    a multimodal tuple) and returns log-mean-softmax, so downstream
+    argmax/softmax consume it exactly like logits. 8x compute per array;
+    a static python loop, one fused XLA program."""
+    from gridnext_tpu.pipeline import dihedral_transform
+
+    def apply(variables, x):
         if method:
             return model.apply(variables, x, train=False, method=method)
         return model.apply(variables, x, train=False)
+
+    @jax.jit
+    def forward(variables, x):
+        if not tta:
+            return apply(variables, x)
+        smax = 0.0
+        for k in range(8):
+            if isinstance(x, (tuple, list)):
+                xt = type(x)((dihedral_transform(x[0], k),) + tuple(x[1:]))
+            else:
+                xt = dihedral_transform(x, k)
+            smax = smax + jax.nn.softmax(apply(variables, xt), axis=-1)
+        return jnp.log(smax / 8.0 + 1e-20)
 
     return forward
 
 
 def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
-                        batch_size: int = 1, return_grids: bool = False):
+                        batch_size: int = 1, return_grids: bool = False,
+                        tta: bool = False):
     """Run a grid model over a dataset and collect foreground predictions.
 
     Args:
@@ -46,6 +67,10 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
       return_grids: also return the per-array ``(label_grid, softmax_grid)``
         pairs (unflattened, (H, W) / (H, W, C)) -- the inputs of the label-map
         and misclass-density figures (CLI ``evaluate --maps``).
+      tta: dihedral test-time augmentation -- average the softmax over all
+        8 flip/rotation orientations of each image patch (requires
+        image-patch inputs; the CLI flag is ``evaluate --tta``). The
+        returned "logits" are log-mean-softmax (argmax/softmax-equivalent).
 
     Returns:
       (y_true, y_pred, y_smax): int labels in [0, N), argmax predictions and
@@ -58,9 +83,20 @@ def all_fgd_predictions(data, model, variables, *, f_only: bool = False,
 
     method = "patch_predictions" if f_only else None
 
+    if tta:
+        probe = inputs[0] if multi else inputs
+        probe = np.asarray(probe)
+        if probe.ndim < 5 or probe.shape[-2] != probe.shape[-3]:
+            raise ValueError(
+                "tta needs square image-patch inputs (..., P, P, C); got "
+                f"shape {probe.shape} -- count-modality models have no "
+                "patch orientation to average over")
+
     try:
-        fwd = _forward_fn(model, method)
+        fwd = _forward_fn(model, method, tta)
     except TypeError:  # model config unhashable; fall back to an uncached jit
+        if tta:
+            raise  # the cached path is the only TTA implementation
         fwd = jax.jit(lambda v, x: (
             model.apply(v, x, train=False, method=method) if method
             else model.apply(v, x, train=False)))

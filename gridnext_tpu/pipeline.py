@@ -468,3 +468,29 @@ def make_train_augment(brightness: float = 0.0, contrast: float = 0.0):
                                contrast=contrast)
 
     return augment
+
+
+def dihedral_transform(patches, k: int):
+    """Apply the ``k``-th (0..7) dihedral transform to (..., P, P, C) patches.
+
+    Static companion of :func:`augment_patches` (same convention: bit 0 =
+    transpose, bit 1 = flip rows, bit 2 = flip cols; k in 0..7 enumerates
+    the full group). Used by test-time augmentation
+    (``evaluate.all_fgd_predictions(tta=True)``) to average predictions
+    over every patch orientation.
+    """
+    import jax.numpy as jnp
+
+    if not 0 <= k < 8:
+        raise ValueError(f"dihedral k must be in 0..7; got {k}")
+    patches = jnp.asarray(patches)
+    if patches.ndim < 3 or patches.shape[-2] != patches.shape[-3]:
+        raise ValueError("dihedral_transform wants (..., P, P, C) square "
+                         f"patches; got shape {patches.shape}")
+    if k & 1:
+        patches = jnp.swapaxes(patches, -2, -3)
+    if k & 2:
+        patches = jnp.flip(patches, axis=-3)
+    if k & 4:
+        patches = jnp.flip(patches, axis=-2)
+    return patches

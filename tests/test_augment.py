@@ -137,3 +137,74 @@ def test_make_steps_augment_trains_and_leaves_eval_clean():
     for a, b in zip(jax.tree_util.tree_leaves(s_aug.params),
                     jax.tree_util.tree_leaves(s_aug2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dihedral_transform_enumerates_the_group():
+    from gridnext_tpu.pipeline import dihedral_transform
+
+    x = _patches(shape=(1, 5, 5, 3))
+    variants = [np.asarray(dihedral_transform(x, k)) for k in range(8)]
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.array_equal(variants[i], variants[j])
+    np.testing.assert_array_equal(variants[0], x)  # k=0 is identity
+    with pytest.raises(ValueError, match="0..7"):
+        dihedral_transform(x, 8)
+
+
+def _image_grid_case():
+    from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(2, 4, 4, 8, 8, 3)).astype(np.float32)
+    Y = rng.integers(0, 4, size=(2, 4, 4))
+    f = TpuPatchClassifier(n_classes=3, stages=((8, 1),), stem_patch=4)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    variables = g.init(jax.random.key(0), jnp.asarray(X[:1]))
+    return g, variables, X, Y
+
+
+def test_tta_is_the_dihedral_softmax_mean():
+    from gridnext_tpu.evaluate import all_fgd_predictions
+    from gridnext_tpu.pipeline import dihedral_transform
+
+    g, variables, X, Y = _image_grid_case()
+    want = np.mean([
+        np.asarray(jax.nn.softmax(
+            g.apply(variables, dihedral_transform(jnp.asarray(X), k),
+                    train=False), axis=-1))
+        for k in range(8)], axis=0)
+    fg = Y.reshape(-1) > 0
+    want_fg = want.reshape(-1, want.shape[-1])[fg]
+
+    t, p, smax = all_fgd_predictions((X, Y), g, variables, batch_size=2,
+                                     tta=True)
+    np.testing.assert_allclose(smax, want_fg, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(p, np.argmax(want_fg, axis=1))
+
+
+def test_tta_predictions_are_orientation_invariant():
+    """Group closure: TTA over all 8 orientations gives the identical
+    softmax whether the patches arrive rotated/flipped or not."""
+    from gridnext_tpu.evaluate import all_fgd_predictions
+    from gridnext_tpu.pipeline import dihedral_transform
+
+    g, variables, X, Y = _image_grid_case()
+    _, _, base = all_fgd_predictions((X, Y), g, variables, tta=True)
+    for k in (1, 5):
+        Xk = np.asarray(dihedral_transform(jnp.asarray(X), k))
+        _, _, rot = all_fgd_predictions((Xk, Y), g, variables, tta=True)
+        np.testing.assert_allclose(rot, base, rtol=1e-5, atol=1e-6)
+
+
+def test_tta_rejects_count_inputs():
+    from gridnext_tpu.evaluate import all_fgd_predictions
+    from gridnext_tpu.models import CountMLP, GridNetHex
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(2, 8, 6, 10)).astype(np.float32)
+    Y = rng.integers(0, 4, size=(2, 8, 6))
+    g = GridNetHex(patch_classifier=CountMLP(n_classes=3), n_classes=3)
+    variables = g.init(jax.random.key(0), jnp.asarray(X[:1]))
+    with pytest.raises(ValueError, match="tta needs square image-patch"):
+        all_fgd_predictions((X, Y), g, variables, tta=True)
