@@ -146,8 +146,26 @@ def main(argv=None):
     print(f"artifact: first call (compile-on-load) {t_art_compile:.1f} s, "
           f"then median {np.median(art_times) * 1e3:.1f} ms/call "
           f"(min {min(art_times) * 1e3:.1f})", flush=True)
-    np.testing.assert_array_equal(art_labels, live_labels)
-    print("labels: artifact == live (exact)", flush=True)
+    # Label parity. On TPU the artifact reproduces the live labels exactly
+    # (the measured claim this script exists to pin); off-TPU, two
+    # separately compiled XLA programs may flip argmax at bf16 near-ties,
+    # so enforce the device-portable contract instead: flips only at
+    # sub-tolerance top-2 margins, and only onto the runner-up class
+    # (serving.label_parity_report).
+    from gridnext_tpu.serving import label_parity_report
+
+    if (art_labels == live_labels).all():
+        n_flips = 0
+        print("labels: artifact == live (exact)", flush=True)
+    else:
+        logits, _fg = reg.register_logits(wsi, pos)
+        n_flips = label_parity_report(live_labels, art_labels, logits)
+        assert jax.default_backend() != "tpu", \
+            "artifact != live on TPU -- the exactness contract is broken"
+        print(f"labels: artifact == live up to {n_flips} near-tie flips "
+              f"({n_flips / art_labels.size:.2%} of sites; expected only "
+              "off-TPU, where separately compiled XLA programs may reorder "
+              "float reductions)", flush=True)
 
     # --- scan-chained compute: relay-latency-free ms/slide ------------------
     # Jitter the spot centers per iteration (a different registration each

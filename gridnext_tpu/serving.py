@@ -310,6 +310,8 @@ class SlideRegistrar:
         self.extractor = extractor
         self.mesh = mesh
         self._jitted = jax.jit(self._register, static_argnames=("orig_hw",))
+        self._jitted_logits = jax.jit(self._register_logits,
+                                      static_argnames=("orig_hw",))
         self._jitted_batch = jax.jit(self._register_batch,
                                      static_argnames=("orig_hw",))
         self._jitted_dense = jax.jit(self._register_dense,
@@ -520,7 +522,8 @@ class SlideRegistrar:
         labels = jnp.argmax(logits, axis=-1).astype(jnp.int32) + 1
         return jnp.where(fg > 0, labels, 0)
 
-    def _register(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
+    def _grid_fg(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
+        """One slide -> ((1, H, W, f_dim) f-output grid, (1, H, W) fg)."""
         feats = self._feats_flat(wsi, y_px, x_px, None, orig_hw)  # (N, f_dim)
         bg_vec = self._bg_vec().astype(feats.dtype)
         grid = jnp.broadcast_to(bg_vec, (1, self.h_st, self.w_st,
@@ -529,7 +532,25 @@ class SlideRegistrar:
         grid = grid.at[0, oy, ox].set(feats, mode="drop")
         fg = jnp.zeros((1, self.h_st, self.w_st), jnp.int32)
         fg = fg.at[0, oy, ox].set(1, mode="drop")
+        return grid, fg
+
+    def _register(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
+        grid, fg = self._grid_fg(wsi, oy, ox, y_px, x_px, orig_hw)
         return self._labels_from_grid(grid, fg)[0]
+
+    def _register_logits(self, wsi, oy, ox, y_px, x_px, orig_hw=None):
+        """Like :meth:`_register` but returning the corrector's class
+        logits: ((H, W, C) float32 logits, (H, W) int32 fg mask)."""
+        grid, fg = self._grid_fg(wsi, oy, ox, y_px, x_px, orig_hw)
+        if self.use_pallas:
+            from gridnext_tpu.ops.hexcorrector_pallas import (
+                fused_hex_corrector)
+
+            logits = fused_hex_corrector(grid, self.kernels, self.biases,
+                                         self.relu_flags)
+        else:
+            logits = self.corrector_apply(grid)
+        return logits[0].astype(jnp.float32), fg[0]
 
     def _register_batch(self, wsis, oy, ox, y_px, x_px, orig_hw=None):
         """(B, H, W, 3) slides + (B, S) padded spot arrays -> (B, h, w)."""
@@ -745,6 +766,30 @@ class SlideRegistrar:
                               orig_hw=orig_hw)
         return np.asarray(labels)
 
+    def register_logits(self, wsi, positions, pad_offset: int = 0):
+        """Register one slide, returning class logits instead of labels.
+
+        Same pipeline as :meth:`__call__` up to (and including) the
+        corrector, without the final argmax/masking: returns
+        ``((h_st, w_st, C) float32 logits, (h_st, w_st) int32 fg mask)``.
+        Use for calibrated/score-aware consumers and for
+        :func:`label_parity_report`'s margin analysis.
+        """
+        wsi, orig_hw = self._unpack(wsi)
+        shape = orig_hw if orig_hw is not None else wsi.shape
+        oy, ox, y_px, x_px = self._spot_arrays(shape, positions, pad_offset)
+        k = len(oy)
+        s_pad = -(-max(k, 1) // _SPOT_BUCKET) * _SPOT_BUCKET
+        if s_pad != k:
+            p2 = self.window_size // 2
+            poy, pox, py, px_ = _parked_spots(s_pad, self.h_st, p2)
+            poy[:k], pox[:k], py[:k], px_[:k] = oy, ox, y_px, x_px
+            oy, ox, y_px, x_px = poy, pox, py, px_
+        logits, fg = self._jitted_logits(
+            wsi, jnp.asarray(oy), jnp.asarray(ox), jnp.asarray(y_px),
+            jnp.asarray(x_px), orig_hw=orig_hw)
+        return np.asarray(logits), np.asarray(fg)
+
     def _unpack(self, wsi):
         from gridnext_tpu.ops.patch_gather_pallas import PackedWSI
 
@@ -957,6 +1002,76 @@ def load_exported_registration(blob: bytes) -> Callable:
     from jax import export as jexport
 
     return jexport.deserialize(bytearray(blob)).call
+
+
+def label_parity_report(want, got, logits, *, rel_tol: float = 1e-2,
+                        abs_tol: float = 1e-3) -> int:
+    """Assert two label grids from separately compiled programs agree.
+
+    XLA does not guarantee bitwise-identical floats between two separately
+    compiled programs of the same computation (an exported StableHLO module
+    re-compiled on load vs the live jit): fusion and intra-op partitioning
+    choices can reorder reductions, so an ``argmax`` may legitimately flip
+    at sites whose top-2 logits are within float noise. On real TPU the
+    observed behavior IS exact (measured in examples/artifact_timing.py and
+    asserted there); this helper enforces the strongest *device-portable*
+    contract:
+
+    - the two grids agree everywhere EXCEPT possibly at near-tie sites,
+      where the top-2 logit margin is below ``abs_tol + rel_tol * scale``;
+    - at a flipped site, the disagreeing label must be exactly the
+      runner-up class of the reference logits (a flip to any other class is
+      a real bug, not float noise);
+    - background/foreground structure (label 0 vs >0) must match exactly --
+      the fg mask is integer-deterministic.
+
+    Args:
+      want: (H, W) int reference label grid (e.g. the live jit's).
+      got: (H, W) int label grid under test (e.g. the reloaded artifact's).
+      logits: (H, W, C) float class logits of the REFERENCE path
+        (:meth:`SlideRegistrar.register_logits`).
+
+    Returns:
+      the number of tolerated near-tie flips (0 = exact agreement).
+
+    Raises:
+      AssertionError: any structural mismatch or over-tolerance flip.
+    """
+    want = np.asarray(want)
+    got = np.asarray(got)
+    logits = np.asarray(logits, np.float32)
+    if not ((want > 0) == (got > 0)).all():
+        bad = np.argwhere((want > 0) != (got > 0))
+        raise AssertionError(
+            f"background/foreground mismatch at {len(bad)} sites (first: "
+            f"{bad[0].tolist()}) -- fg masking is integer-deterministic and "
+            "must never diverge between compilations")
+    mism = want != got
+    n_flips = int(mism.sum())
+    if n_flips == 0:
+        return 0
+    order = np.argsort(logits, axis=-1)
+    top1, top2 = order[..., -1], order[..., -2]
+    v1 = np.take_along_axis(logits, top1[..., None], -1)[..., 0]
+    v2 = np.take_along_axis(logits, top2[..., None], -1)[..., 0]
+    margin = v1 - v2
+    tol = abs_tol + rel_tol * np.maximum(np.abs(v1), np.abs(v2))
+    wide = mism & (margin > tol)
+    if wide.any():
+        y, x = np.argwhere(wide)[0]
+        raise AssertionError(
+            f"{int(wide.sum())}/{n_flips} label flips exceed the near-tie "
+            f"margin (first at ({y},{x}): want {want[y, x]} got {got[y, x]}"
+            f", margin {margin[y, x]:.4g} > tol {tol[y, x]:.4g})")
+    # a near-tie flip must land on the runner-up class, not an arbitrary one
+    not_runner_up = mism & (got != top2 + 1) & (got != top1 + 1)
+    if not_runner_up.any():
+        y, x = np.argwhere(not_runner_up)[0]
+        raise AssertionError(
+            f"flip at ({y},{x}) to label {got[y, x]} which is neither the "
+            f"top-1 ({top1[y, x] + 1}) nor runner-up ({top2[y, x] + 1}) "
+            "class -- not explicable as float noise")
+    return n_flips
 
 
 def _tctx(timer, stage: str):

@@ -830,6 +830,80 @@ def test_export_registration_round_trip(sim):
     np.testing.assert_array_equal(got, want)
 
 
+def test_register_logits_matches_labels(sim):
+    """register_logits returns the corrector logits of the same pipeline:
+    argmax+1 under the fg mask must reproduce __call__'s label grid, and the
+    mask must equal the simulated tissue support."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    f = DenseNet(growth_rate=4, block_config=(2,), num_init_features=8,
+                 num_classes=3, small_inputs=True)
+    g = GridNetHex(patch_classifier=f, n_classes=3)
+    patch = 8
+    x0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, patch, patch, 3))
+    variables = g.init(jax.random.key(0), x0)
+    reg = SlideRegistrar.from_gridnet(
+        g, variables, patch_size=patch, normalize=None, patch_chunk=None,
+        use_pallas_corrector=False,
+        corrector_apply=lambda grid: g.apply(
+            variables, grid, train=False,
+            method=lambda m, x, train: m.corrector(x, train=train)))
+    wsi = jnp.asarray(np.asarray(Image.open(sim["image_file"])))
+    pos = read_positions(sim["spaceranger_dir"])
+    labels = reg(wsi, pos)
+    logits, fg = reg.register_logits(wsi, pos)
+    assert logits.shape == (G.VISIUM_H_ST, G.VISIUM_W_ST, 3)
+    assert logits.dtype == np.float32
+    np.testing.assert_array_equal(fg > 0, sim["label_grid"] > 0)
+    want = np.where(fg > 0, logits.argmax(-1) + 1, 0)
+    np.testing.assert_array_equal(want, labels)
+
+
+def test_label_parity_report_contract():
+    """The device-portable parity contract: exact -> 0; near-tie flips to
+    the runner-up tolerated and counted; wide-margin or off-runner-up flips
+    and any bg/fg divergence rejected."""
+    from gridnext_tpu.serving import label_parity_report
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, 5, 3)).astype(np.float32) * 10.0
+    fg = np.ones((4, 5), bool)
+    fg[0, 0] = False
+    want = np.where(fg, logits.argmax(-1) + 1, 0)
+
+    assert label_parity_report(want, want.copy(), logits) == 0
+
+    # a near-tie at (1, 1): top-2 within tolerance, flip to runner-up passes
+    logits_nt = logits.copy()
+    order = np.argsort(logits_nt[1, 1])
+    logits_nt[1, 1, order[-2]] = logits_nt[1, 1, order[-1]] - 1e-4
+    want_nt = np.where(fg, logits_nt.argmax(-1) + 1, 0)
+    got = want_nt.copy()
+    got[1, 1] = order[-2] + 1
+    assert label_parity_report(want_nt, got, logits_nt) == 1
+
+    # same flip with a WIDE margin must raise
+    with pytest.raises(AssertionError, match="exceed the near-tie margin"):
+        got_wide = want.copy()
+        y, x = 2, 3
+        got_wide[y, x] = (np.argsort(logits[y, x])[-2] + 1)
+        label_parity_report(want, got_wide, logits)
+
+    # near-tie flip to a class that is NOT the runner-up must raise
+    got_third = want_nt.copy()
+    got_third[1, 1] = order[0] + 1
+    with pytest.raises(AssertionError, match="runner-up"):
+        label_parity_report(want_nt, got_third, logits_nt)
+
+    # background/foreground structure must never diverge
+    got_bg = want.copy()
+    got_bg[0, 0] = 2
+    with pytest.raises(AssertionError, match="background/foreground"):
+        label_parity_report(want, got_bg, logits)
+
+
 def test_export_rejects_mesh_and_bad_shapes(sim):
     reg = SlideRegistrar(f_apply=lambda p: p.mean(axis=(1, 2)), patch_size=8,
                          normalize=None, use_pallas_corrector=False,
