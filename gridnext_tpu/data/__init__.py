@@ -12,3 +12,8 @@ from gridnext_tpu.data.datasets import (  # noqa: F401
 )
 from gridnext_tpu.data.dense_ingest import DenseWSIGridDataset  # noqa: F401
 from gridnext_tpu.data.simulate import simulate_spaceranger_dir  # noqa: F401
+from gridnext_tpu.data.template import (  # noqa: F401
+    visium_v1_barcode_grid,
+    visium_v1_scalefactors,
+    visium_v1_template,
+)

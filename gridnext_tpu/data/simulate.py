@@ -220,13 +220,23 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
 
 def pseudo_visium_from_image(fullres_roi, dest_dir, image_width_mm: float = 8,
                              spot_width_um: float = 55,
-                             spot_spacing_um: float = 100) -> str:
+                             spot_spacing_um: float = 100,
+                             template: str = "visium_v1") -> str:
     """Simulate Visium files for an arbitrary cropped tissue image.
 
     Writes ``<dest>/<image_stem>/outs/spatial/{tissue_positions.csv,
     scalefactors_json.json}`` placing the full 78x64 lattice over the image
-    ROI -- the reference's ``pseudo_visium_spots`` (imgprocess.py:294-349),
-    but with a generated barcode lattice instead of packaged templates.
+    ROI -- the reference's ``pseudo_visium_spots`` (imgprocess.py:294-349).
+
+    ``template='visium_v1'`` (default, reference parity) fills the packaged
+    REAL slide template (:func:`gridnext_tpu.data.template.visium_v1_template`):
+    actual Visium v1 barcodes -- so Loupe CSV exports from the pseudo array
+    re-import against a real barcode whitelist -- the template's pre-baked
+    in_tissue pattern, and its scalefactors rescaled to the simulated spot
+    width (imgprocess.py:309-341 semantics). ``template='synthetic'``
+    generates ``SYN...`` barcodes with every spot in-tissue (no whitelist,
+    but self-describing coordinates).
+
     Returns the created pseudo-Spaceranger directory.
     """
     import pandas as pd
@@ -241,13 +251,37 @@ def pseudo_visium_from_image(fullres_roi, dest_dir, image_width_mm: float = 8,
 
     ul = int(np.rint(0.75 * px_per_mm + spot_width_px / 2))
 
-    barcodes, col, row = lattice_positions()
+    if template == "visium_v1":
+        from gridnext_tpu.data.template import (visium_v1_scalefactors,
+                                                visium_v1_template)
+
+        pos = visium_v1_template()
+        barcodes = pos["barcode"].to_numpy()
+        col = pos["array_col"].to_numpy()
+        row = pos["array_row"].to_numpy()
+        in_tissue = pos["in_tissue"].to_numpy()
+        scale = visium_v1_scalefactors()
+        # reference semantics (imgprocess.py:337-338): rescale the fiducial
+        # by the simulated/template spot-width ratio, then set the width
+        scale["fiducial_diameter_fullres"] = (
+            scale["fiducial_diameter_fullres"]
+            / scale["spot_diameter_fullres"] * spot_width_px)
+        scale["spot_diameter_fullres"] = spot_width_px
+    elif template == "synthetic":
+        barcodes, col, row = lattice_positions()
+        in_tissue = np.ones(len(barcodes), int)
+        scale = {"spot_diameter_fullres": spot_width_px,
+                 "fiducial_diameter_fullres": spot_width_px * 85 / 55,
+                 "tissue_hires_scalef": 0.1, "tissue_lowres_scalef": 0.03}
+    else:
+        raise ValueError(f"template must be 'visium_v1' or 'synthetic'; "
+                         f"got {template!r}")
     # one canonical hex formula: pseudo-hex -> unit-spacing Cartesian, then
     # scale by the spot pitch (geometry.py owns col/2 and row*sqrt(3)/2)
     x_hex, y_hex = geometry.pseudo_to_true_hex(col, row)
     pos = pd.DataFrame({
         "barcode": barcodes,
-        "in_tissue": np.ones(len(barcodes), int),
+        "in_tissue": in_tissue,
         "array_row": row,
         "array_col": col,
         "pxl_row_in_fullres": np.rint(ul + y_hex * spot_space_px).astype(int),
@@ -258,9 +292,6 @@ def pseudo_visium_from_image(fullres_roi, dest_dir, image_width_mm: float = 8,
     out_dir = Path(dest_dir) / arr_name / "outs" / "spatial"
     out_dir.mkdir(parents=True, exist_ok=True)
     pos.set_index("barcode").to_csv(out_dir / "tissue_positions.csv")
-    scale = {"spot_diameter_fullres": spot_width_px,
-             "fiducial_diameter_fullres": spot_width_px * 85 / 55,
-             "tissue_hires_scalef": 0.1, "tissue_lowres_scalef": 0.03}
     with open(out_dir / "scalefactors_json.json", "w") as fh:
         json.dump(scale, fh)
     return str(Path(dest_dir) / arr_name)

@@ -15,7 +15,7 @@ def test_pseudo_visium_from_image(tmp_path):
     Image.fromarray(img).save(img_path)
 
     srd = pseudo_visium_from_image(img_path, tmp_path / "pseudo",
-                                   image_width_mm=8)
+                                   image_width_mm=8, template="synthetic")
     assert srd.endswith("roi_slice")
     pos = read_positions(srd)
     assert len(pos) == G.VISIUM_N_SPOTS
