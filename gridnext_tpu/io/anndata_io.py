@@ -34,14 +34,29 @@ def _require_anndata():
             "this function requires the optional 'anndata' package") from e
 
 
-def create_visium_anndata(spaceranger_dirs: Sequence, annot_files: Optional[Sequence] = None,
-                          destfile=None, hd_binning: Optional[str] = None):
-    """Annotated multi-array count AnnData (visium_datasets.py:221-272)."""
-    ad = _require_anndata()
-    import pandas as pd
-    from scipy import sparse
+def assemble_visium_frames(spaceranger_dirs: Sequence,
+                           annot_files: Optional[Sequence] = None,
+                           hd_binning: Optional[str] = None):
+    """Per-array (counts, obs, var) assembly as PLAIN pandas frames.
 
-    adata_list = []
+    The pure assembly core of :func:`create_visium_anndata`
+    (visium_datasets.py:221-266 semantics), split out so every line of it
+    executes and tests without the optional ``anndata`` package:
+
+    - counts: (spots x genes) frame over the array's IN-TISSUE barcodes,
+      intersected with the annotation file's labeled barcodes when one is
+      given (blank Loupe cells dropped -- the reference's ``!= ''`` filter
+      keeps NaN rows and poisons the class list, visium_datasets.py:243);
+    - obs: x/y (pseudo-hex array_col/array_row), x_px/y_px, array name, and
+      ``annotation``, indexed ``{array}_{x}_{y}``;
+    - var: ``gene_symbol`` indexed by gene id.
+
+    Returns a list of ``(counts, obs, var)`` triples, one per array, in
+    input order (the concatenation ordering contract).
+    """
+    import pandas as pd
+
+    frames = []
     for i, srd in enumerate(spaceranger_dirs):
         df_counts = read_feature_matrix(srd, hd_binning=hd_binning).T
         df_pos = read_positions(srd, hd_binning=hd_binning)
@@ -74,15 +89,147 @@ def create_visium_anndata(spaceranger_dirs: Sequence, annot_files: Optional[Sequ
         var = pd.DataFrame(
             {"gene_symbol": df_feats.loc[df_counts.columns, "gene_symbol"]},
             index=df_counts.columns)
+        counts = df_counts.loc[barcodes, :]
+        counts.index = obs.index  # rows keyed like obs ({array}_{x}_{y})
+        frames.append((counts, obs, var))
+    return frames
 
-        adata_list.append(ad.AnnData(
-            X=sparse.csr_matrix(df_counts.loc[barcodes, :].values),
-            var=var, obs=obs))
 
-    adata_all = ad.concat(adata_list, axis=0, join="outer", merge="first")
+def concat_visium_frames(frames):
+    """Outer-join concatenation of per-array (counts, obs, var) frames.
+
+    The pure analog of ``ad.concat(axis=0, join='outer', merge='first')``
+    (visium_datasets.py:268): spot rows stack in array order; the gene axis
+    is the union of per-array genes in FIRST-OCCURRENCE order with missing
+    genes filled 0; var columns take the first array's non-missing value
+    per gene. Returns ``(X, obs, var)`` plain frames ready for one
+    ``AnnData(...)`` construction.
+    """
+    import pandas as pd
+
+    gene_order = []
+    seen = set()
+    for counts, _obs, _var in frames:
+        for g in counts.columns:
+            if g not in seen:
+                seen.add(g)
+                gene_order.append(g)
+    X = pd.concat(
+        [counts.reindex(columns=gene_order, fill_value=0)
+         for counts, _obs, _var in frames], axis=0).fillna(0)
+    obs = pd.concat([o for _c, o, _v in frames], axis=0)
+    # merge='first': first non-missing var metadata per gene wins
+    var = pd.concat([v for _c, _o, v in frames], axis=0)
+    var = var[~var.index.duplicated(keep="first")].reindex(gene_order)
+    return X, obs, var
+
+
+def create_visium_anndata(spaceranger_dirs: Sequence, annot_files: Optional[Sequence] = None,
+                          destfile=None, hd_binning: Optional[str] = None):
+    """Annotated multi-array count AnnData (visium_datasets.py:221-272).
+
+    All frame assembly runs in :func:`assemble_visium_frames` +
+    :func:`concat_visium_frames` (pure pandas, fully tested without the
+    optional package); only the final ``AnnData(...)`` construction and
+    write are gated on ``anndata``.
+    """
+    ad = _require_anndata()
+    from scipy import sparse
+
+    frames = assemble_visium_frames(spaceranger_dirs,
+                                    annot_files=annot_files,
+                                    hd_binning=hd_binning)
+    X, obs, var = concat_visium_frames(frames)
+    adata_all = ad.AnnData(X=sparse.csr_matrix(X.values.astype(np.float32)),
+                           obs=obs, var=var)
     if destfile is not None:
         adata_all.write(destfile, compression="gzip")
     return adata_all
+
+
+def attach_imgpaths(frames, imgpatch_dirs):
+    """Attach per-spot patch paths to assembled frames; drop missing ones.
+
+    The pure imgpath-join core of :func:`create_visium_anndata_img`
+    (visium_datasets.py:341-353 semantics): for each array's
+    ``(counts, obs, var)`` triple, ``obs['imgpath']`` is
+    ``<dir>/{array}_{x}_{y}.jpg`` and rows whose patch file does not exist
+    (background/edge spots the patch writer skipped) are filtered from BOTH
+    counts and obs. Returns the filtered triples.
+    """
+    out = []
+    for (counts, obs, var), pdir in zip(frames, imgpatch_dirs):
+        arrs = obs["array"].unique()
+        assert len(arrs) == 1, "one array per assembled frame"
+        arr = arrs[0]
+        imfiles = [os.path.join(str(pdir), f"{arr}_{x}_{y}.jpg")
+                   for x, y in zip(obs["x"], obs["y"])]
+        obs = obs.copy()
+        obs["imgpath"] = imfiles
+        keep = np.array([os.path.exists(im) for im in imfiles], bool)
+        out.append((counts.loc[keep], obs.loc[keep], var))
+    return out
+
+
+def resolve_imgpatch_dirs(spaceranger_dirs: Sequence, fullres_image_files,
+                          patch_size_px: Optional[int] = None,
+                          patch_size_um: Optional[float] = 100.0,
+                          save_patches_to=None, hd_binning=None):
+    """Resolve (and lazily populate) per-array patch-cache directories.
+
+    The cache-naming + generation stage of :func:`create_visium_anndata_img`
+    (visium_datasets.py:296-339): directory names follow the shared
+    ``patch_cache_suffix`` contract (identical to the dataset factory's, so
+    caches interoperate), and any missing directory is built from its
+    fullres image via ``save_visium_patches``.
+    """
+    from gridnext_tpu.pipeline import distance_um_to_px, save_visium_patches
+
+    if patch_size_px is None and patch_size_um is None:
+        # same validation as the dataset factory (datasets.py) -- a bare
+        # int(None) TypeError would point nowhere
+        raise ValueError("Must specify patch size in pixels "
+                         "(patch_size_px) or microns (patch_size_um)")
+    from gridnext_tpu.io.unify import array_name
+    from gridnext_tpu.pipeline import patch_cache_suffix
+
+    if hd_binning is not None:
+        # match create_visium_dataset's binning+dims cache naming; HD
+        # patch filenames carry direct (array_col, array_row), which is
+        # exactly what obs x/y hold for HD, so the imgpath join works.
+        # Dims are the COHORT-MAX lattice (identical to the factory's
+        # grid_dims='auto'), so caches written here and there share names
+        # even when per-array HD lattices differ.
+        from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
+
+        cohort_dims = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
+    else:
+        cohort_dims = None
+    hd_dims = [cohort_dims] * len(spaceranger_dirs)
+    suffixes = [patch_cache_suffix(patch_size_px, patch_size_um,
+                                   hd_binning=hd_binning,
+                                   hd_dims=cohort_dims)] * len(spaceranger_dirs)
+    if save_patches_to is None:
+        imgpatch_dirs = [os.path.join(str(srd), array_name(srd) + sfx)
+                         for srd, sfx in zip(spaceranger_dirs, suffixes)]
+    else:
+        os.makedirs(save_patches_to, exist_ok=True)
+        imgpatch_dirs = [os.path.join(str(save_patches_to),
+                                      array_name(srd) + sfx)
+                         for srd, sfx in zip(spaceranger_dirs, suffixes)]
+    for imfile, pdir, srd, dims in zip(fullres_image_files, imgpatch_dirs,
+                                       spaceranger_dirs, hd_dims):
+        if not os.path.exists(pdir):
+            if not os.path.exists(imfile):
+                raise ValueError(f"Could not find image file: {imfile}")
+            ps = (patch_size_px if patch_size_px is not None
+                  else distance_um_to_px(srd, patch_size_um,
+                                         hd_binning=hd_binning))
+            save_visium_patches(imfile, srd, pdir, patch_size=ps,
+                                hd_binning=hd_binning,
+                                h_st=dims[0] if dims else None,
+                                w_st=dims[1] if dims else None)
+    return imgpatch_dirs
 
 
 def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
@@ -90,74 +237,33 @@ def create_visium_anndata_img(spaceranger_dirs: Sequence, imgpatch_dirs=None,
                               destfile=None, patch_size_px: Optional[int] = None,
                               patch_size_um: Optional[float] = 100.0,
                               save_patches_to=None, hd_binning=None):
-    """Count AnnData + per-spot image paths (visium_datasets.py:277-353)."""
+    """Count AnnData + per-spot image paths (visium_datasets.py:277-353).
+
+    Assembly runs in pure stages -- :func:`assemble_visium_frames`,
+    :func:`resolve_imgpatch_dirs`, :func:`attach_imgpaths`,
+    :func:`concat_visium_frames` -- all tested without ``anndata``; only the
+    final ``AnnData(...)`` construction and write are gated.
+    """
     ad = _require_anndata()
+    from scipy import sparse
 
-    from gridnext_tpu.pipeline import distance_um_to_px, save_visium_patches
-
-    adata_count = create_visium_anndata(spaceranger_dirs, annot_files=annot_files,
-                                        destfile=None, hd_binning=hd_binning)
+    frames = assemble_visium_frames(spaceranger_dirs,
+                                    annot_files=annot_files,
+                                    hd_binning=hd_binning)
 
     if imgpatch_dirs is None and fullres_image_files is None:
         raise ValueError("Must provide either patched image directories or fullres images")
 
     if imgpatch_dirs is None:
-        if patch_size_px is None and patch_size_um is None:
-            # same validation as the dataset factory (datasets.py) -- a bare
-            # int(None) TypeError would point nowhere
-            raise ValueError("Must specify patch size in pixels "
-                             "(patch_size_px) or microns (patch_size_um)")
-        from gridnext_tpu.io.unify import array_name
-        from gridnext_tpu.pipeline import patch_cache_suffix
+        imgpatch_dirs = resolve_imgpatch_dirs(
+            spaceranger_dirs, fullres_image_files,
+            patch_size_px=patch_size_px, patch_size_um=patch_size_um,
+            save_patches_to=save_patches_to, hd_binning=hd_binning)
 
-        if hd_binning is not None:
-            # match create_visium_dataset's binning+dims cache naming; HD
-            # patch filenames carry direct (array_col, array_row), which is
-            # exactly what obs x/y hold for HD, so the imgpath join works.
-            # Dims are the COHORT-MAX lattice (identical to the factory's
-            # grid_dims='auto'), so caches written here and there share names
-            # even when per-array HD lattices differ.
-            from gridnext_tpu.io.spaceranger import cohort_hd_lattice_dims
-
-            cohort_dims = cohort_hd_lattice_dims(spaceranger_dirs, hd_binning)
-        else:
-            cohort_dims = None
-        hd_dims = [cohort_dims] * len(spaceranger_dirs)
-        suffixes = [patch_cache_suffix(patch_size_px, patch_size_um,
-                                       hd_binning=hd_binning,
-                                       hd_dims=cohort_dims)] * len(spaceranger_dirs)
-        if save_patches_to is None:
-            imgpatch_dirs = [os.path.join(str(srd), array_name(srd) + sfx)
-                             for srd, sfx in zip(spaceranger_dirs, suffixes)]
-        else:
-            os.makedirs(save_patches_to, exist_ok=True)
-            imgpatch_dirs = [os.path.join(str(save_patches_to),
-                                          array_name(srd) + sfx)
-                             for srd, sfx in zip(spaceranger_dirs, suffixes)]
-        for imfile, pdir, srd, dims in zip(fullres_image_files, imgpatch_dirs,
-                                           spaceranger_dirs, hd_dims):
-            if not os.path.exists(pdir):
-                if not os.path.exists(imfile):
-                    raise ValueError(f"Could not find image file: {imfile}")
-                ps = (patch_size_px if patch_size_px is not None
-                      else distance_um_to_px(srd, patch_size_um,
-                                             hd_binning=hd_binning))
-                save_visium_patches(imfile, srd, pdir, patch_size=ps,
-                                    hd_binning=hd_binning,
-                                    h_st=dims[0] if dims else None,
-                                    w_st=dims[1] if dims else None)
-
-    adata_list = []
-    for srd, pdir in zip(spaceranger_dirs, imgpatch_dirs):
-        arr = Path(srd).stem
-        adata_arr = adata_count[adata_count.obs.array == arr].copy()
-        imfiles = [os.path.join(str(pdir), f"{arr}_{x}_{y}.jpg")
-                   for x, y in zip(adata_arr.obs.x, adata_arr.obs.y)]
-        adata_arr.obs["imgpath"] = imfiles
-        keep = [os.path.exists(im) for im in imfiles]
-        adata_list.append(adata_arr[keep])
-
-    adata_img = ad.concat(adata_list, axis=0, join="outer", merge="first")
+    frames = attach_imgpaths(frames, imgpatch_dirs)
+    X, obs, var = concat_visium_frames(frames)
+    adata_img = ad.AnnData(X=sparse.csr_matrix(X.values.astype(np.float32)),
+                           obs=obs, var=var)
     if destfile is not None:
         adata_img.write(destfile, compression="gzip")
     return adata_img

@@ -217,3 +217,125 @@ def test_consensus_softmax():
     b = np.array([[0.2, 0.8], [0.6, 0.4]])
     c = consensus_softmax([a, b])
     np.testing.assert_allclose(c, [[0.5, 0.5], [0.5, 0.5]])
+
+
+def _sim_two_arrays(tmp_path, image=False):
+    from gridnext_tpu.data.simulate import simulate_spaceranger_dir
+
+    # overlapping-but-different gene names exercise the outer join
+    sims = [
+        simulate_spaceranger_dir(tmp_path / "arrA", n_genes=5, n_classes=2,
+                                 seed=0, image=image,
+                                 gene_names=["G0", "G1", "G2", "G3", "G4"]),
+        simulate_spaceranger_dir(tmp_path / "arrB", n_genes=5, n_classes=2,
+                                 seed=1, image=image,
+                                 gene_names=["G3", "G4", "G5", "G6", "G7"]),
+    ]
+    return sims
+
+
+def test_assemble_visium_frames_full_body(tmp_path):
+    """The assembly core executes end to end on plain frames (no anndata):
+    in-tissue restriction, annotation intersection, obs schema/index, var
+    gene symbols (visium_datasets.py:221-266 parity)."""
+    import pandas as pd
+
+    from gridnext_tpu.io import read_positions
+
+    sims = _sim_two_arrays(tmp_path)
+    srdirs = [s["spaceranger_dir"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+
+    # drop 3 barcodes from the first annotation file -> intersection shrinks
+    df_a = pd.read_csv(annots[0], index_col=0)
+    df_a.iloc[3:].to_csv(annots[0])  # removes 3 labeled spots
+
+    frames = anndata_io.assemble_visium_frames(srdirs, annot_files=annots)
+    assert len(frames) == 2
+    for (counts, obs, var), srd, annot in zip(frames, srdirs, annots):
+        pos = read_positions(srd)
+        in_tissue = set(pos[pos["in_tissue"] == 1].index)
+        labeled = set(pd.read_csv(annot, index_col=0).index)
+        assert len(counts) == len(in_tissue & labeled)
+        assert list(counts.index) == list(obs.index)  # rows keyed like obs
+        assert list(obs.columns) == ["x", "y", "x_px", "y_px", "array",
+                                     "annotation"]
+        arr = srd.rstrip("/").split("/")[-1]
+        assert (obs["array"] == arr).all()
+        assert list(obs.index) == [f"{arr}_{x}_{y}"
+                                   for x, y in zip(obs["x"], obs["y"])]
+        assert obs["annotation"].notna().all()
+        assert list(var.columns) == ["gene_symbol"]
+        assert list(var.index) == list(counts.columns)
+    # 3 spots fewer than in-tissue on array A
+    pos_a = read_positions(srdirs[0])
+    assert len(frames[0][0]) == int((pos_a["in_tissue"] == 1).sum()) - 3
+
+    # unannotated assembly keeps every in-tissue spot, no annotation column
+    plain = anndata_io.assemble_visium_frames(srdirs)
+    assert "annotation" not in plain[0][1].columns
+    assert len(plain[0][0]) == int((pos_a["in_tissue"] == 1).sum())
+
+
+def test_concat_visium_frames_outer_join(tmp_path):
+    """Gene-axis outer join in first-occurrence order, missing genes filled
+    0, var merge='first', obs stacked in array order (ad.concat analog).
+
+    Synthetic frames with genuinely different gene sets (the simulator
+    always emits one ENSG range, so disjoint genes need hand-built
+    frames); real-file assembly is covered by the test above."""
+    import pandas as pd
+
+    counts_a = pd.DataFrame([[1, 2, 3], [4, 5, 6]], columns=["g1", "g2", "g3"],
+                            index=["a_0_0", "a_2_0"])
+    obs_a = pd.DataFrame({"x": [0, 2], "y": [0, 0], "array": "a"},
+                         index=counts_a.index)
+    var_a = pd.DataFrame({"gene_symbol": ["S1", "S2", "S3"]},
+                         index=["g1", "g2", "g3"])
+    counts_b = pd.DataFrame([[7, 8], [9, 10]], columns=["g2", "g4"],
+                            index=["b_1_1", "b_3_1"])
+    obs_b = pd.DataFrame({"x": [1, 3], "y": [1, 1], "array": "b"},
+                         index=counts_b.index)
+    var_b = pd.DataFrame({"gene_symbol": ["S2b", "S4"]},
+                         index=["g2", "g4"])
+    X, obs, var = anndata_io.concat_visium_frames(
+        [(counts_a, obs_a, var_a), (counts_b, obs_b, var_b)])
+
+    # first-occurrence gene order: a's genes then b's new ones
+    assert list(X.columns) == ["g1", "g2", "g3", "g4"]
+    assert list(var.index) == ["g1", "g2", "g3", "g4"]
+    assert list(obs.index) == ["a_0_0", "a_2_0", "b_1_1", "b_3_1"]
+    np.testing.assert_array_equal(
+        X.values, [[1, 2, 3, 0], [4, 5, 6, 0],
+                   [0, 7, 0, 8], [0, 9, 0, 10]])
+    # var merge='first': g2's symbol comes from array a
+    assert list(var["gene_symbol"]) == ["S1", "S2", "S3", "S4"]
+
+
+def test_attach_imgpaths_filters_missing(tmp_path):
+    """attach_imgpaths: imgpath column format + existence filtering over
+    the REAL patch caches written by resolve_imgpatch_dirs."""
+    import os
+
+    sims = _sim_two_arrays(tmp_path, image=True)
+    srdirs = [s["spaceranger_dir"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+    frames = anndata_io.assemble_visium_frames(srdirs)
+
+    pdirs = anndata_io.resolve_imgpatch_dirs(srdirs, imgs, patch_size_px=6)
+    assert all(os.path.isdir(d) for d in pdirs)
+    attached = anndata_io.attach_imgpaths(frames, pdirs)
+    assert len(attached) == 2
+    for (counts, obs, var), (counts0, obs0, _v) in zip(attached, frames):
+        assert len(obs) > 0
+        assert all(os.path.exists(p) for p in obs["imgpath"])
+        assert list(counts.index) == list(obs.index)
+        # filtered rows are a subset of the unfiltered assembly
+        assert set(obs.index) <= set(obs0.index)
+        arr = obs["array"].iloc[0]
+        for p, x, y in zip(obs["imgpath"], obs["x"], obs["y"]):
+            assert p.endswith(f"{arr}_{x}_{y}.jpg")
+
+    # a bogus cache dir filters everything out
+    empty = anndata_io.attach_imgpaths(frames, [str(tmp_path / "nope")] * 2)
+    assert all(len(o) == 0 for _c, o, _v in empty)
