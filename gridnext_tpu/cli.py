@@ -869,7 +869,8 @@ def _cmd_pretrain_scbert(args):
 
     from gridnext_tpu.data import create_visium_dataset
     from gridnext_tpu.models import PerformerLM
-    from gridnext_tpu.train import save_checkpoint, train_mlm
+    from gridnext_tpu.train import (mlm_token_len, save_checkpoint,
+                                     train_mlm)
 
     # spot-level count dataset (labels unused; cohorts need no annotations)
     spots = create_visium_dataset(args.spaceranger, spatial=False,
@@ -910,7 +911,12 @@ def _cmd_pretrain_scbert(args):
     # scBERT at any n_genes; generalized (ReLU) FAVOR features halve the
     # transcendental cost on TPU (docs/roadmap.md) and are parameterless, so
     # the checkpoint serves either kernel at fine-tune time
-    lm = PerformerLM(num_tokens=args.bin_num + 2, max_seq_len=vocab + 1,
+    # max_seq_len covers the seq-axis padding train_mlm applies when the
+    # mesh's 'seq' size does not divide vocab+1 (real vocabs rarely do:
+    # 16,907 = 11*29*53); params stay length-independent (pos_emb 'none')
+    lm = PerformerLM(num_tokens=args.bin_num + 2,
+                     max_seq_len=mlm_token_len(vocab + 1,
+                                               mesh_shape=mesh_shape),
                      dim=args.scbert_dim, depth=args.scbert_depth,
                      heads=args.scbert_heads,
                      dim_head=args.scbert_dim_head,
@@ -2004,9 +2010,25 @@ def _init_multihost(spec):
           "devices", file=sys.stderr)
 
 
+# Subcommands with a multihost-aware path: the trainers gate file writes to
+# the primary process and shard work globally. Everything else (register,
+# evaluate, export, serve*, simulate, prepare) is single-controller -- under
+# a pod launch every host would race to write IDENTICAL output paths, so
+# reject the flags up front instead of corrupting outputs (ADVICE r3).
+_MULTIHOST_CMDS = ("_cmd_train", "_cmd_pretrain")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.multihost or args.coordinator:
+        if not args.fn.__name__.startswith(_MULTIHOST_CMDS):
+            sys.exit(
+                f"error: --multihost/--coordinator is only supported for "
+                "the training subcommands (train-count, train-image, "
+                "train-mm, pretrain-scbert), whose writers are gated to "
+                "the primary process; run "
+                f"'{args.fn.__name__.removeprefix('_cmd_').replace('_', '-')}'"
+                " single-controller (it uses every local device via --mesh)")
         _init_multihost(args.coordinator)
     if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):
         # SIGTERM (spot/queued TPU preemption) -> batch-boundary '.latest'

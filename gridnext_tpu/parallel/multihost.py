@@ -101,18 +101,73 @@ def local_shard_indices(n_items: int,
     return range(start, stop)
 
 
+def _check_batch_axes_span_processes(mesh: Mesh, batch_axes) -> None:
+    """Validate that the batch mesh axes partition processes contiguously.
+
+    ``_from_local`` assumes each process's ``local_shard_indices`` row
+    slice lands exactly on the batch-axis shards its own devices hold.
+    That is true iff, raveling the device grid over ``batch_axes`` (in
+    axis order), the device->process assignment is an ascending sequence
+    of equal contiguous blocks. A user-ordered mesh like
+    ``--mesh spot=2,data=4`` (dict order preserved by make_mesh) breaks
+    it -- previously surfacing as an opaque
+    make_array_from_process_local_data shape error or, worse, silently
+    wrong row placement. Fail here with an actionable message instead.
+    """
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return
+    names = list(mesh.axis_names)
+    batch = [a for a in batch_axes if a in names]
+    order = ([names.index(a) for a in batch]
+             + [i for i, a in enumerate(names) if a not in batch])
+    devs = np.transpose(mesh.devices, order)
+    lead = int(np.prod([mesh.shape[a] for a in batch], dtype=int))
+    devs = devs.reshape(lead, -1)
+    procs = np.array([[d.process_index for d in row] for row in devs])
+    slice_proc = procs[:, 0]
+    problem = None
+    if (procs != slice_proc[:, None]).any():
+        problem = ("a batch-axis shard spans devices from different "
+                   "processes")
+    else:
+        counts = np.bincount(slice_proc, minlength=n_proc)
+        if (np.diff(slice_proc) < 0).any() or len(set(counts)) != 1:
+            problem = ("the device->process assignment along the batch "
+                       "axis is not an ascending sequence of equal "
+                       "contiguous blocks")
+    if problem:
+        raise ValueError(
+            f"mesh axes {dict(mesh.shape)} cannot assemble process-local "
+            f"batches: {problem}. The batch axes {tuple(batch)} must span "
+            "processes contiguously -- put the process-spanning ('data') "
+            "axis FIRST in the mesh spec (make_mesh preserves axis order; "
+            "e.g. use data=N,spot=M, not spot=M,data=N), or pass fully "
+            "replicated host batches (shard_*_batch) instead of the "
+            "global_*_batch path")
+
+
 def _from_local(local_tree, mesh: Mesh, spec_fn):
     """Assemble global arrays from process-local rows.
 
     Each process passes only ITS rows of the batch (its
     ``local_shard_indices`` slice, in order); the result is the same
     global array the replicated-host path produces.  Requires the batch
-    mesh axis to be the process-spanning one — true for every mesh
+    mesh axes to be the process-spanning ones — true for every mesh
     ``make_mesh`` builds on a pod, where ``jax.devices()`` orders devices
-    by process and the leading ('data') axis therefore spans hosts.
+    by process and the leading ('data') axis therefore spans hosts —
+    and VALIDATED per call by ``_check_batch_axes_span_processes``.
     """
     def place(x):
-        sharding = NamedSharding(mesh, spec_fn(x))
+        spec = spec_fn(x)
+        # the row/batch dim is dim 0: its spec entry (string or tuple of
+        # axis names) is what must span processes contiguously
+        first = spec[0] if len(spec) else None
+        batch_axes = (tuple(first) if isinstance(first, (tuple, list))
+                      else (first,) if first is not None
+                      else tuple(mesh.axis_names))
+        _check_batch_axes_span_processes(mesh, batch_axes)
+        sharding = NamedSharding(mesh, spec)
         return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree.map(place, local_tree)

@@ -15,6 +15,7 @@ from gridnext_tpu.train.loops import (  # noqa: F401
     restore_train_state,
     save_checkpoint,
     train_gridwise,
+    mlm_token_len,
     train_mlm,
     train_spotwise,
 )

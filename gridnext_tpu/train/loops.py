@@ -939,6 +939,22 @@ def train_gridwise(model: nn.Module, dataloaders: Mapping, *, learning_rate: flo
                          resume=resume, augment=augment)
 
 
+def mlm_token_len(n_tokens: int, mesh=None, mesh_shape=None) -> int:
+    """The token-axis length ``train_mlm`` will actually run under a mesh.
+
+    Sequence-parallel meshes ('seq' axis) need the token axis divisible by
+    the axis size; ``train_mlm`` pads indivisible corpora with ``-1``
+    columns (ignored by the masked loss). Size length-sensitive model
+    fields (``PerformerLM.max_seq_len``) with this so the padded batch
+    passes the model's bounds check.
+    """
+    mesh = _resolve_mesh(mesh, mesh_shape)
+    if mesh is None or "seq" not in mesh.axis_names:
+        return int(n_tokens)
+    s = mesh.shape["seq"]
+    return int(n_tokens) + (-int(n_tokens)) % s
+
+
 def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
               mask_prob: float = 0.15, learning_rate: float = 1e-4,
               num_epochs: int = 10, batch_size: int = 4, outfile=None,
@@ -977,6 +993,8 @@ def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
     mesh = _resolve_mesh(mesh, mesh_shape)
     if tx is None:
         tx = optax.adam(learning_rate)
+    seq_n = (mesh.shape.get("seq", 1) if mesh is not None
+             and "seq" in mesh.axis_names else 1)
 
     def as_pair(tokens):
         if tokens is None:
@@ -985,6 +1003,19 @@ def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
         if isinstance(tokens, tuple) or _is_dataset(tokens):
             return tokens
         tokens = np.asarray(tokens)
+        if seq_n > 1 and tokens.shape[1] % seq_n:
+            # Sequence-parallel meshes need the token axis divisible by
+            # 'seq' or the arrays silently replicate (no FAVOR memory
+            # relief). Real vocab sizes rarely divide (16,907 = 11*29*53),
+            # so pad with -1 columns: the masked loss ignores y < 0 and the
+            # on-device corrupt clamps them to token 0 for the forward --
+            # scBERT's own appended-zero convention (llm/scbert.py:117-120).
+            # Params are unchanged (pos_emb 'none' is length-independent),
+            # so padded-pretrain checkpoints load at any n_genes.
+            pad = (-tokens.shape[1]) % seq_n
+            tokens = np.concatenate(
+                [tokens, np.full((len(tokens), pad), -1, tokens.dtype)],
+                axis=1)
         # x is a per-row dummy: the tokens travel ONCE as y (the clean
         # targets); the step corrupts on device (make_mlm_steps)
         return np.zeros((len(tokens), 1), np.int8), tokens

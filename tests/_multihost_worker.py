@@ -74,6 +74,18 @@ def main():
         out["losses"][path] = losses
         out.setdefault("psum", {})[path] = float(
             sum(float(jax.numpy.sum(p)) for p in jax.tree.leaves(state.params)))
+
+    # A user-ordered mesh that puts the batch ('data') axis WITHIN a
+    # process must fail loudly in the process-local path (ADVICE r3) --
+    # not surface as an opaque shape error or silent row misplacement.
+    bad_mesh = make_mesh({"spot": 2, "data": 4})
+    rows = local_shard_indices(len(x))
+    try:
+        global_grid_batch((x[rows.start:rows.stop], y[rows.start:rows.stop]),
+                          bad_mesh)
+        out["bad_mesh_raised"] = False
+    except ValueError as e:
+        out["bad_mesh_raised"] = "process" in str(e) and "data=N" in str(e)
     print(json.dumps(out), flush=True)
 
 

@@ -148,3 +148,20 @@ def test_two_process_cpu_cluster_matches_single_process(eight_devices):
                                        rtol=1e-5, atol=1e-5)
     # the two processes observed the identical replicated result
     assert outs[0]["losses"] == outs[1]["losses"]
+    # misordered mesh (batch axis within-process) raised the loud
+    # validation error on every process (ADVICE r3)
+    assert all(rec["bad_mesh_raised"] is True for rec in outs)
+
+
+def test_cli_multihost_rejected_for_non_trainer_subcommands():
+    """--multihost outside the trainer subcommands would have every pod
+    host write identical output paths concurrently; the CLI rejects it up
+    front (ADVICE r3)."""
+    from gridnext_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="training subcommands"):
+        main(["--multihost", "register", "--model", "m",
+              "--spaceranger", "s", "--out", "o"])
+    with pytest.raises(SystemExit, match="training subcommands"):
+        main(["--coordinator", "h:1,2,0", "evaluate", "--model", "m",
+              "--spaceranger", "s", "--annots", "a", "--out", "o"])

@@ -299,3 +299,42 @@ def test_warm_started_preempt_resume_matches_uninterrupted(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
                     jax.tree_util.tree_leaves(s_r.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_mlm_seq_axis_pads_indivisible_tokens():
+    """Real vocab sizes rarely divide a 'seq' axis (16,907 = 11*29*53), so
+    train_mlm pads the token axis with -1 columns instead of silently
+    replicating tokens (ADVICE r3): no divisibility warning fires, and the
+    run exactly matches single-device training on the same padded corpus
+    (pad targets are ignored by the masked loss)."""
+    import warnings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tokens = _corpus(n=20, seq=30)  # 30 % 4 != 0 -> pads to 32
+    padded = np.concatenate(
+        [tokens, np.full((len(tokens), 2), -1, tokens.dtype)], axis=1)
+
+    from gridnext_tpu.train import mlm_token_len
+
+    def run(corpus, **kw):
+        # max_seq_len sized via the public helper (the CLI's recipe)
+        model = _tiny_lm(mlm_token_len(
+            corpus.shape[1], mesh_shape=kw.get("mesh_shape")) - 1)
+        tx = optax.sgd(1e-2)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(np.maximum(corpus[:1], 0)), tx)
+        return train_mlm(model, {"train": corpus, "val": corpus[:6]},
+                         mask_id=MASK_ID, state=state, tx=tx, num_epochs=2,
+                         batch_size=6, verbose=False, **kw)
+
+    s1, vh1, th1 = run(padded)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any replicate-warning -> failure
+        s8, vh8, th8 = run(tokens, mesh_shape={"data": 2, "seq": 4})
+    np.testing.assert_allclose(th1, th8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vh1, vh8, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
