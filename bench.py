@@ -392,9 +392,28 @@ def bench_count_training_secondary():
         state, m = train_step(state, x, y)
     float(m["loss"])  # sync
     dt = (time.perf_counter() - t0) / iters
+    rate = N_ARRAYS_COUNT * H_ST * W_ST / dt
     log(f"count TRAINING (secondary): {dt*1e3:.1f} ms/step of "
-        f"{N_ARRAYS_COUNT} arrays ({N_ARRAYS_COUNT * H_ST * W_ST / dt:,.0f} "
+        f"{N_ARRAYS_COUNT} arrays ({rate:,.0f} "
         f"spots/s incl. fwd+bwd+adam)")
+    return rate
+
+
+def bench_scbert_pretrain_secondary():
+    """Full-scale scBERT MLM pretraining step time (secondary metric).
+
+    Reference checkpoint shape (16,906 gene2vec tokens, dim 200, depth 6,
+    heads 10, remat, generalized FAVOR features) through the measured
+    recipe of examples/scbert_pretrain_fullscale.py; parsed into BENCH as
+    scbert_pretrain_ms_per_step so round-over-round regressions are
+    machine-checkable (VERDICT r3 #7).
+    """
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "examples"))
+    import scbert_pretrain_fullscale
+
+    r = scbert_pretrain_fullscale.main(["--timed-steps", "2"])
+    return r["ms_per_step"]
 
 
 def bench_ingest_secondary():
@@ -477,8 +496,11 @@ def main():
     secondary = {}
     for key, fn in (("tpu_f_spots_per_sec", bench_tpu_image_alt),
                     ("hd_bins_per_sec", bench_tpu_image_hd),
-                    (None, bench_count_secondary),
-                    (None, bench_count_training_secondary),
+                    ("count_spots_per_sec", bench_count_secondary),
+                    ("count_train_spots_per_sec",
+                     bench_count_training_secondary),
+                    ("scbert_pretrain_ms_per_step",
+                     bench_scbert_pretrain_secondary),
                     (None, bench_ingest_secondary)):
         try:
             rate = fn()

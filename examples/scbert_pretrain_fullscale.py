@@ -123,6 +123,8 @@ def main(argv=None):
           f"({args.batch / best:.2f} seq/s, "
           f"{args.batch * args.vocab / best / 1e6:.2f}M tokens/s)",
           flush=True)
+    return {"ms_per_step": best * 1e3, "seq_per_sec": args.batch / best,
+            "tokens_per_sec": args.batch * args.vocab / best}
     return best
 
 
