@@ -947,6 +947,115 @@ def _cmd_pretrain_scbert(args):
     print(f"saved pretrained LM to {outfile}")
 
 
+def _cmd_distill(args):
+    """Distill a trained image model's spot classifier into the TPU-shaped
+    student (train.distill): the teacher's correction network is carried
+    VERBATIM, so the output model dir serves reference-checkpoint semantics
+    through register/evaluate/export/serve at TpuPatchClassifier speed
+    (~10x the DenseNet-121 path, docs/roadmap.md). Reports the measured
+    holdout patch agreement AND full-slide label agreement -- parity is
+    measured, never assumed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.modeldir import image_f_from_meta
+    from gridnext_tpu.models import TpuPatchClassifier
+    from gridnext_tpu.train import (distill_patch_classifier, label_agreement,
+                                    patch_agreement,
+                                    write_distilled_model_dir)
+
+    meta, classes, tvars = _load_model_dir(args.model)
+    try:
+        teacher_f, teacher_f_vars = image_f_from_meta(meta, classes, tvars)
+    except ValueError as e:
+        sys.exit(f"error: {e}")
+    if args.images is not None:
+        _require_one_image_per_dir(args.images, args.spaceranger)
+
+    patch_px = meta.get("patch_px", 128)
+    ds = create_visium_dataset(
+        args.spaceranger, use_count=False, use_image=True, spatial=False,
+        fullres_image_files=args.images, patch_size_px=patch_px,
+        window_size_px=meta.get("window_px"),
+        hd_binning=meta.get("hd_binning"),
+        grid_dims=meta.get("grid_dims"))
+    patches, _ = ds.materialize()
+    rng = np.random.default_rng(args.split_seed)
+    order = rng.permutation(len(patches))
+    n_hold = max(1, int(len(patches) * args.holdout))
+    hold, train = patches[order[:n_hold]], patches[order[n_hold:]]
+    if not len(train):
+        sys.exit("error: no training patches left after the holdout split")
+    print(f"distilling {meta.get('model')} -> TpuPatchClassifier on "
+          f"{len(train)} patches ({n_hold} held out) @ {patch_px}px, "
+          f"{args.steps} steps x batch {args.batch_size}")
+
+    def teacher_apply(p):
+        return teacher_f.apply(teacher_f_vars, p, train=False)
+
+    arch = {}
+    if args.student_stages:
+        try:
+            arch["stages"] = tuple(
+                (int(w), int(d)) for w, d in
+                (part.split(":") for part in args.student_stages.split(",")))
+        except ValueError:
+            sys.exit("error: --student-stages must look like '256:2,512:2' "
+                     "(width:depth pairs)")
+    if args.student_stem:
+        arch["stem_patch"] = args.student_stem
+    student = TpuPatchClassifier(
+        n_classes=len(classes),
+        dtype=None if args.f32 else jnp.bfloat16, **arch)
+    svars, losses = distill_patch_classifier(
+        teacher_apply, student, train, steps=args.steps,
+        batch_size=min(args.batch_size, len(train)),
+        learning_rate=args.lr, temperature=args.temperature,
+        kl_weight=args.kl_weight, verbose=True)
+
+    def student_apply(p):
+        return student.apply(svars, p, train=False)
+
+    agr_patch = patch_agreement(teacher_apply, student_apply, hold)
+    print(f"holdout patch agreement (f argmax): {agr_patch:.4f}")
+
+    info = {"patch_agreement": agr_patch, "steps": args.steps,
+            "final_loss": losses[-1]}
+    out_meta = write_distilled_model_dir(args.out, meta, classes, tvars,
+                                         svars, student, info)
+
+    # full-slide label agreement: the end-to-end parity metric (teacher
+    # registrar vs the student model dir just written), per array
+    if args.images is not None:
+        from PIL import Image
+
+        from gridnext_tpu.io import read_positions
+
+        reg_t = _image_registrar_from_meta(meta, classes, tvars)
+        s_meta, s_classes, s_vars = _load_model_dir(args.out)
+        reg_s = _image_registrar_from_meta(s_meta, s_classes, s_vars)
+        agrs = []
+        for srd, im in zip(args.spaceranger, args.images):
+            wsi = jnp.asarray(np.asarray(Image.open(im)))
+            pos = read_positions(srd, meta.get("hd_binning"))
+            agrs.append(label_agreement(reg_t(wsi, pos), reg_s(wsi, pos)))
+        agr_label = float(np.mean(agrs))
+        print(f"full-slide label agreement (teacher g vs student g): "
+              f"{agr_label:.4f} over {len(agrs)} arrays")
+        info["label_agreement"] = agr_label
+        out_meta = write_distilled_model_dir(args.out, meta, classes, tvars,
+                                             svars, student, info)
+    if (args.min_agreement is not None
+            and info.get("label_agreement",
+                         info["patch_agreement"]) < args.min_agreement):
+        sys.exit(f"error: agreement below --min-agreement "
+                 f"{args.min_agreement}: {info}")
+    print(f"distilled model dir written to {args.out} "
+          f"(model {out_meta['model']})")
+
+
 def _cmd_export(args):
     """Serialize a trained model's registration pipeline to a portable
     StableHLO artifact (weights embedded; reload with
@@ -1856,6 +1965,43 @@ def build_parser():
                    help="continue an interrupted run from the '.latest' "
                         "checkpoint in --out (--epochs is the TOTAL count)")
     s.set_defaults(fn=_cmd_pretrain_scbert)
+
+    s = sub.add_parser(
+        "distill",
+        help="distill a trained image model's f into the TPU-shaped "
+             "student (g carried verbatim) for fast checkpoint-parity "
+             "serving; agreement is measured and recorded in model.json")
+    s.add_argument("--model", required=True,
+                   help="teacher: a trained IMAGE model dir (DenseNet-121 "
+                        "or TpuPatchClassifier f)")
+    s.add_argument("--spaceranger", nargs="+", required=True,
+                   help="arrays supplying the distillation patch pool")
+    s.add_argument("--images", nargs="+", default=None,
+                   help="fullres slides (omit if patch caches exist; "
+                        "required for the full-slide agreement report)")
+    s.add_argument("--out", required=True, help="student model dir")
+    s.add_argument("--steps", type=int, default=2000)
+    s.add_argument("--batch-size", type=int, default=256)
+    s.add_argument("--lr", type=float, default=3e-4)
+    s.add_argument("--temperature", type=float, default=2.0)
+    s.add_argument("--kl-weight", type=float, default=0.1)
+    s.add_argument("--holdout", type=float, default=0.15,
+                   help="patch fraction held out for the agreement report")
+    s.add_argument("--split-seed", type=int, default=0)
+    s.add_argument("--f32", action="store_true",
+                   help="float32 student (default: bfloat16 compute, the "
+                        "served configuration)")
+    s.add_argument("--student-stages", default=None,
+                   help="student architecture as width:depth pairs, e.g. "
+                        "'256:2,512:2' (default: the class's measured "
+                        "fast config)")
+    s.add_argument("--student-stem", type=int, default=None,
+                   help="student patchify-stem size (default 16; use 8 "
+                        "for patches under 32px)")
+    s.add_argument("--min-agreement", type=float, default=None,
+                   help="fail (exit nonzero) if measured agreement is "
+                        "below this bound")
+    s.set_defaults(fn=_cmd_distill)
 
     s = sub.add_parser("register", help="write Loupe CSVs from a trained model")
     s.add_argument("--spaceranger", nargs="+", required=True)

@@ -18,8 +18,39 @@ import json
 import os
 
 __all__ = ["load_model_dir", "image_registrar_from_meta",
-           "mm_model_from_meta", "grid_model_from_meta",
+           "image_f_from_meta", "mm_model_from_meta", "grid_model_from_meta",
            "scbert_count_transform"]
+
+
+def image_f_from_meta(meta, classes, variables):
+    """(f_module, f_variables) for a trained IMAGE model dir.
+
+    Extracts the spot classifier (its module reconstructed from model.json,
+    its variables pulled out of the GridNet* tree) -- the teacher side of
+    the ``distill`` flow and any other f-only consumer. ``f_variables`` has
+    'params' and, for BatchNorm models, 'batch_stats'.
+    """
+    model_name = meta.get("model", "")
+    if model_name.endswith("TpuPatchClassifier"):
+        from gridnext_tpu.models import TpuPatchClassifier
+        from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
+
+        f = TpuPatchClassifier(n_classes=len(classes),
+                               **tpu_f_arch_kwargs(meta.get("tpu_f")))
+    elif model_name.endswith("DenseNet121"):
+        from gridnext_tpu.models import densenet121
+
+        f = densenet121(num_classes=len(classes))
+    else:
+        raise ValueError(
+            f"not an image model dir (model={model_name!r}); the f "
+            "extractor needs a GridNet[Hex]+DenseNet121 or "
+            "+TpuPatchClassifier directory")
+    f_vars = {"params": variables["params"]["patch_classifier"]}
+    bs = (variables.get("batch_stats") or {}).get("patch_classifier")
+    if bs is not None:
+        f_vars["batch_stats"] = bs
+    return f, f_vars
 
 
 def load_model_dir(model_dir):

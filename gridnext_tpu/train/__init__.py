@@ -19,3 +19,9 @@ from gridnext_tpu.train.loops import (  # noqa: F401
     train_mlm,
     train_spotwise,
 )
+from gridnext_tpu.train.distill import (  # noqa: F401
+    distill_patch_classifier,
+    label_agreement,
+    patch_agreement,
+    write_distilled_model_dir,
+)

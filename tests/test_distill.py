@@ -1,0 +1,185 @@
+"""Checkpoint-parity fast serving via f-distillation (train/distill.py +
+CLI `distill`; VERDICT r3 #2).
+
+The end-to-end case: a trained teacher f inside a GridNetHex model dir is
+distilled into a (differently shaped) TpuPatchClassifier student; the
+teacher's corrector is carried verbatim; agreement is MEASURED at the
+patch level and through full-slide registration, and the student dir
+round-trips through the standard register path.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gridnext_tpu import geometry as G
+from gridnext_tpu.data import create_visium_dataset, simulate_spaceranger_dir
+from gridnext_tpu.models import GridNetHex, TpuPatchClassifier
+from gridnext_tpu.train import (
+    distill_patch_classifier,
+    label_agreement,
+    patch_agreement,
+    write_distilled_model_dir,
+)
+
+PATCH = 16
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = tmp_path_factory.mktemp("distill")
+    sims = [simulate_spaceranger_dir(root / f"a{i}", seed=i, n_genes=8,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=PATCH)
+            for i in range(3)]
+    srdirs = [s["spaceranger_dir"] for s in sims]
+    images = [s["image_file"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    return root, sims, srdirs, images, annots
+
+
+@pytest.fixture(scope="module")
+def teacher_dir(cohort):
+    """A small TRAINED teacher f (real logit margins) inside a standard
+    GridNetHex model dir."""
+    root, sims, srdirs, images, annots = cohort
+    spots = create_visium_dataset(srdirs, use_count=False, use_image=True,
+                                  spatial=False, annot_files=annots,
+                                  fullres_image_files=images,
+                                  patch_size_px=PATCH)
+    X, y = spots.materialize()
+    f = TpuPatchClassifier(n_classes=len(spots.classes),
+                           stages=((64, 1),), stem_patch=8)
+    variables = f.init(jax.random.key(0), jnp.asarray(X[:1]))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def lf(p):
+            logits = f.apply({"params": p}, xb, train=True)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    params = variables["params"]
+    for _ in range(120):
+        idx = rng.integers(0, len(X), 64)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(X[idx]),
+                                       jnp.asarray(y[idx]))
+    assert float(loss) < 0.5, f"teacher failed to train: CE {float(loss)}"
+
+    g = GridNetHex(patch_classifier=f, n_classes=len(spots.classes))
+    gvars = g.init(jax.random.key(1),
+                   jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST,
+                              PATCH, PATCH, 3)))
+    tvars = {"params": {"patch_classifier": params,
+                        "corrector": gvars["params"]["corrector"]},
+             "batch_stats": {"corrector": gvars["batch_stats"]["corrector"]}}
+    out = root / "teacher"
+    write_distilled_model_dir(str(out), {"patch_px": PATCH}, spots.classes,
+                              tvars, {"params": params}, f)
+    return str(out), tvars, spots.classes
+
+
+def test_distill_matches_trained_teacher(cohort, teacher_dir):
+    """Library path: distilled student reproduces teacher argmax on held-out
+    patches and the loss history decreases."""
+    root, sims, srdirs, images, annots = cohort
+    tdir, tvars, classes = teacher_dir
+    from gridnext_tpu.modeldir import image_f_from_meta, load_model_dir
+
+    meta, cls, variables = load_model_dir(tdir)
+    teacher_f, teacher_f_vars = image_f_from_meta(meta, cls, variables)
+
+    spots = create_visium_dataset(srdirs, use_count=False, use_image=True,
+                                  spatial=False, patch_size_px=PATCH)
+    X, _ = spots.materialize()
+
+    def teacher_apply(p):
+        return teacher_f.apply(teacher_f_vars, p, train=False)
+
+    student = TpuPatchClassifier(n_classes=len(cls),
+                                 stages=((128, 1),), stem_patch=8)
+    svars, losses = distill_patch_classifier(
+        teacher_apply, student, X[:-100], steps=300, batch_size=64,
+        verbose=False)
+    assert losses[-1] < losses[0] * 0.5
+
+    agr = patch_agreement(
+        teacher_apply, lambda p: student.apply(svars, p, train=False),
+        X[-100:])
+    assert agr >= 0.98, f"holdout agreement {agr}"
+
+
+@pytest.mark.slow
+def test_cli_distill_end_to_end(cohort, teacher_dir, tmp_path):
+    """CLI flow: distill writes a student model dir with measured agreement
+    recorded; register serves it; full-slide labels match the teacher's."""
+    from PIL import Image
+
+    from gridnext_tpu.cli import main
+    from gridnext_tpu.io import read_positions
+    from gridnext_tpu.modeldir import (image_registrar_from_meta,
+                                       load_model_dir)
+
+    root, sims, srdirs, images, annots = cohort
+    tdir, tvars, classes = teacher_dir
+    sdir = str(tmp_path / "student")
+    main(["distill", "--model", tdir,
+          "--spaceranger", *srdirs, "--images", *images,
+          "--out", sdir, "--steps", "300", "--batch-size", "64",
+          "--student-stages", "128:1", "--student-stem", "8",
+          "--min-agreement", "0.97"])
+
+    with open(os.path.join(sdir, "model.json")) as fh:
+        meta = json.load(fh)
+    assert meta["model"] == "GridNetHex+TpuPatchClassifier"
+    assert meta["distill"]["patch_agreement"] >= 0.97
+    assert meta["distill"]["label_agreement"] >= 0.97
+    assert meta["distilled_from"] == "GridNetHex+TpuPatchClassifier"
+
+    # the student dir registers through the standard path, agreeing with
+    # the teacher registrar on a slide
+    t_meta, t_cls, t_vars = load_model_dir(tdir)
+    s_meta, s_cls, s_vars = load_model_dir(sdir)
+    reg_t = image_registrar_from_meta(t_meta, t_cls, t_vars)
+    reg_s = image_registrar_from_meta(s_meta, s_cls, s_vars)
+    wsi = jnp.asarray(np.asarray(Image.open(images[0])))
+    pos = read_positions(srdirs[0])
+    agr = label_agreement(reg_t(wsi, pos), reg_s(wsi, pos))
+    assert agr >= 0.97, f"label agreement {agr}"
+
+    # CLI register accepts the student dir and writes a Loupe CSV
+    out_csv = tmp_path / "labels.csv"
+    main(["register", "--model", sdir, "--spaceranger", srdirs[0],
+          "--images", images[0], "--out", str(out_csv)])
+    assert out_csv.exists(), "register wrote no CSV from the distilled dir"
+    import pandas as pd
+
+    assert len(pd.read_csv(out_csv)) > 0
+
+
+def test_agreement_helpers():
+    a = np.array([[0, 1, 2], [0, 3, 1]])
+    b = np.array([[0, 1, 1], [0, 3, 1]])
+    assert label_agreement(a, a) == 1.0
+    assert label_agreement(a, b) == pytest.approx(3 / 4)
+    # bg/fg divergence counts as disagreement over the union support
+    c = np.array([[1, 1, 2], [0, 3, 1]])
+    assert label_agreement(a, c) == pytest.approx(4 / 5)
+    with pytest.raises(ValueError, match="foreground"):
+        label_agreement(np.zeros((2, 2)), np.zeros((2, 2)))
+
+    with pytest.raises(ValueError, match="empty"):
+        patch_agreement(lambda p: p, lambda p: p, np.zeros((0, 4, 4, 3)))

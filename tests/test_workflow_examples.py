@@ -376,10 +376,10 @@ def test_scbert_pretrain_fullscale_smoke():
     16,906-token scale runs on the real TPU; ms/step in docs/roadmap.md)."""
     import scbert_pretrain_fullscale
 
-    best = scbert_pretrain_fullscale.main(["--vocab", "256", "--depth", "2",
-                                           "--batch", "2",
-                                           "--timed-steps", "1"])
-    assert best > 0
+    r = scbert_pretrain_fullscale.main(["--vocab", "256", "--depth", "2",
+                                        "--batch", "2",
+                                        "--timed-steps", "1"])
+    assert r["ms_per_step"] > 0 and r["tokens_per_sec"] > 0
 
 
 @pytest.mark.slow
