@@ -88,6 +88,7 @@ def test_grid_dims_auto(hd):
     assert (ds.h_st, ds.w_st) == hd_grid
 
 
+@pytest.mark.slow
 def test_cli_dense_ingest_train_register(tmp_path):
     """train-image --dense-ingest: no patch cache on disk, joint f+g
     training, and register serves the result through the dense path."""

@@ -16,6 +16,7 @@ def test_entry_lowers():
     assert lowered is not None
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process(capsys):
     assert len(jax.devices()) >= 8
     __graft_entry__.dryrun_multichip(8)

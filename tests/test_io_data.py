@@ -361,6 +361,7 @@ def test_cli_hd_square_train_register_end_to_end(tmp_path):
     assert df["Barcode"].str.startswith("s_016um_").all()
 
 
+@pytest.mark.slow
 def test_cli_hd_square_image_train_register_end_to_end(tmp_path):
     """CLI image flow on a square HD lattice: train-image --hd-binning
     --grid-dims auto (Cartesian GridNet g) then register from the slides."""

@@ -166,6 +166,7 @@ def test_cli_end_to_end(tmp_path):
     assert r.returncode != 0 and "prepare" in (r.stderr + r.stdout)
 
 
+@pytest.mark.slow
 def test_cli_evaluate_count(tmp_path):
     """`evaluate`: metrics JSON + figures for a trained count model, and
     the --f-only flag (the reference's utils.py:33-36 switch)."""
@@ -236,6 +237,7 @@ def test_cli_evaluate_count(tmp_path):
             == m["n_foreground_spots"])
 
 
+@pytest.mark.slow
 def test_cli_profile_dir(tmp_path):
     """`--profile-dir` (global flag, before the subcommand) wraps the whole
     command in a jax.profiler trace capture: the xplane protobuf must land
@@ -293,6 +295,7 @@ def test_simulate_custom_gene_names(tmp_path):
     assert [l.split("\t")[1] for l in feats] == custom
 
 
+@pytest.mark.slow
 def test_cli_train_count_mesh(tmp_path):
     """`train-count --mesh data=4,spot=2` runs end to end on the virtual
     8-device mesh through the PUBLIC trainer path (VERDICT r2 #1)."""
@@ -328,6 +331,7 @@ def test_cli_train_count_mesh(tmp_path):
     assert r.returncode == 0, r.stderr
 
 
+@pytest.mark.slow
 def test_cli_resume_matches_straight_run(tmp_path):
     """Kill train-count mid-run, rerun with --resume: the continuation picks
     up from the .latest checkpoints and the final registration output is
@@ -396,6 +400,7 @@ def test_cli_resume_matches_straight_run(tmp_path):
         (out / "m_resumed2.csv").read_text()
 
 
+@pytest.mark.slow
 def test_cli_val_arrays_and_split_seed(tmp_path):
     """--val-arrays holds out whole arrays; --split-seed varies the split."""
     import subprocess, sys, os

@@ -105,6 +105,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_cpu_cluster_matches_single_process(eight_devices):
     """Real multi-controller certification (see module docstring)."""
     from tests._multihost_case import REFERENCE_CASE
