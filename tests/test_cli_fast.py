@@ -126,7 +126,7 @@ def test_cli_mesh_fast(cohort, tmp_path):
     assert meta["classes"]
 
 
-def test_cli_val_arrays_and_split_seed_fast(cohort, tmp_path):
+def test_cli_val_arrays_and_split_seed_fast(cohort, model_dir, tmp_path):
     """--val-arrays pins the validation split by array name; --split-seed
     changes the random split; bad names fail fast."""
     out, dirs, annots = cohort
@@ -136,12 +136,12 @@ def test_cli_val_arrays_and_split_seed_fast(cohort, tmp_path):
     main(base + ["--out", va, "--val-arrays", "a1"])
     assert os.path.exists(os.path.join(va, "g_state.msgpack"))
 
-    s0, s1 = str(tmp_path / "s0"), str(tmp_path / "s1")
-    main(base + ["--out", s0, "--split-seed", "0"])
+    s1 = str(tmp_path / "s1")
     main(base + ["--out", s1, "--split-seed", "3"])
-    # different split -> different training trajectory
+    # different split -> different trajectory than the module model
+    # (trained with the same config at --split-seed 0)
     diff = any((a != b).any() for a, b in
-               zip(_params_flat(s0), _params_flat(s1)))
+               zip(_params_flat(model_dir), _params_flat(s1)))
     assert diff, "split-seed had no effect on the trained parameters"
 
     with pytest.raises(SystemExit, match="val-arrays"):

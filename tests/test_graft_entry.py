@@ -6,6 +6,7 @@ ambient environment pins JAX to fewer devices (the driver's axon env).
 """
 
 import jax
+import pytest
 
 import __graft_entry__
 
