@@ -403,3 +403,14 @@ def test_register_cv_floor():
     assert m["n_folds"] == 3 and m["shape"] == (3, 4)
     # fresh-per-fold training must actually learn: mean val loss drops
     assert m["final_val_mean"] < m["first_val_mean"]
+
+
+@pytest.mark.slow
+def test_distill_serving_example():
+    """The distillation recipe example end to end: distilled student
+    must agree with its teacher on the served slide."""
+    import distill_serving
+
+    r = distill_serving.main(["--steps", "200", "--teacher-steps", "80",
+                              "--arrays", "2"])
+    assert r["agreement"] >= 0.95
