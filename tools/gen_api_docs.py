@@ -31,6 +31,7 @@ MODULES = [
     ("gridnext_tpu.data.dense_ingest", "Visium HD dense ingest (train straight off decoded slides)"),
     ("gridnext_tpu.data.simulate", "Pseudo-Visium simulator (v1/v2/HD layouts)"),
     ("gridnext_tpu.data.graph_data", "Graph datasets (jraph-style hex adjacency)"),
+    ("gridnext_tpu.data.template", "The real Visium v1 slide template (vendored barcode whitelist)"),
     ("gridnext_tpu.models", "Model zoo re-exports"),
     ("gridnext_tpu.models.densenet", "DenseNet-BC (checkpoint-parity image f)"),
     ("gridnext_tpu.models.tpu_f", "TpuPatchClassifier (MXU-shaped image f)"),
@@ -45,6 +46,7 @@ MODULES = [
     ("gridnext_tpu.ops.favor", "FAVOR+ feature maps and linear attention"),
     ("gridnext_tpu.train.loops", "Training loops (spotwise/gridwise/MLM), checkpoints, resume"),
     ("gridnext_tpu.train.preempt", "Preemption handling (SIGTERM -> mid-epoch checkpoint)"),
+    ("gridnext_tpu.train.distill", "Checkpoint-parity fast serving: f distillation into the TPU-shaped student"),
     ("gridnext_tpu.train.async_ckpt", "Off-thread checkpoint writes"),
     ("gridnext_tpu.train.orbax_io", "Orbax sharded checkpoints (mesh states)"),
     ("gridnext_tpu.parallel.mesh", "Device meshes, replication, batch sharding"),
