@@ -47,25 +47,30 @@ import optax
 def make_distill_step(teacher_apply: Callable, student, tx, *,
                       temperature: float = 2.0, kl_weight: float = 0.1,
                       mse_weight: float = 1.0):
-    """Jitted distillation step over a resident patch pool.
+    """Jitted distillation step over resident input pools.
 
-    Returns ``step(params, opt_state, pool, key, n_steps) -> (params,
-    opt_state, mean_loss)``: ``n_steps`` optimizer updates chained in one
-    ``lax.scan`` dispatch, each on a fresh with-replacement minibatch drawn
-    from ``pool`` on device (host stays out of the loop; the pool is
-    gathered per step, so it can be any size that fits memory).
+    Returns ``step(params, opt_state, pool, t_pool, key, batch_size,
+    n_steps) -> (params, opt_state, mean_loss)``: ``n_steps`` optimizer
+    updates chained in one ``lax.scan`` dispatch, each on a fresh
+    with-replacement minibatch drawn on device (host stays out of the
+    loop). ``pool`` feeds the student; ``t_pool`` feeds the teacher at the
+    SAME row indices -- pass the same array for shared inputs (the image
+    case), or a row-aligned transformed view for cross-representation
+    distillation (e.g. an scBERT teacher reading gene2vec-binned tokens
+    while the CountMLP student reads raw log1p counts of the same spots).
 
     The loss is ``mse_weight * MSE(student_logits, teacher_logits) +
     kl_weight * T^2 * KL(softmax(t/T) || softmax(s/T))`` -- MSE drives
     corrector-input fidelity (g consumes raw logits), KL sharpens argmax
-    boundaries.
+    boundaries. The student must be stateless (no BatchNorm collections;
+    use ``CountMLP(batch_norm=False)`` / ``TpuPatchClassifier``).
     """
     batch_axis = 0
 
-    def loss_fn(params, patches):
+    def loss_fn(params, s_in, t_in):
         t_logits = jax.lax.stop_gradient(
-            teacher_apply(patches).astype(jnp.float32))
-        s_logits = student.apply({"params": params}, patches,
+            teacher_apply(t_in).astype(jnp.float32))
+        s_logits = student.apply({"params": params}, s_in,
                                  train=True).astype(jnp.float32)
         mse = jnp.mean((s_logits - t_logits) ** 2)
         T = temperature
@@ -75,13 +80,14 @@ def make_distill_step(teacher_apply: Callable, student, tx, *,
         return mse_weight * mse + kl_weight * (T * T) * kl
 
     @functools.partial(jax.jit, static_argnames=("batch_size", "n_steps"))
-    def run(params, opt_state, pool, key, batch_size, n_steps):
+    def run(params, opt_state, pool, t_pool, key, batch_size, n_steps):
         def body(carry, k):
             params, opt_state = carry
             idx = jax.random.randint(k, (batch_size,), 0,
                                      pool.shape[batch_axis])
-            patches = jnp.take(pool, idx, axis=batch_axis)
-            loss, grads = jax.value_and_grad(loss_fn)(params, patches)
+            s_in = jnp.take(pool, idx, axis=batch_axis)
+            t_in = jnp.take(t_pool, idx, axis=batch_axis)
+            loss, grads = jax.value_and_grad(loss_fn)(params, s_in, t_in)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -100,17 +106,26 @@ def distill_patch_classifier(teacher_apply: Callable, student, patches,
                              kl_weight: float = 0.1,
                              mse_weight: float = 1.0,
                              scan_chunk: int = 100,
+                             teacher_inputs=None,
                              rng=None, student_params=None,
                              verbose: bool = True):
-    """Distill a frozen teacher f into ``student`` over a patch pool.
+    """Distill a frozen teacher f into ``student`` over an input pool.
+
+    Input-shape agnostic: works for image patch pools (the CLI ``distill``
+    path) and for 1-D expression vectors (distilling an scBERT count-f
+    into a ``CountMLP(batch_norm=False)`` student -- the 105 spots/s ->
+    multi-M spots/s count-serving lever, see tests/test_distill.py).
 
     Args:
-      teacher_apply: ``teacher_apply(patches (B,P,P,3) float) -> (B, C)``
-        frozen-teacher logits closure (same preprocessing convention as the
-        pool -- both models see identical inputs).
-      student: a flax module (``TpuPatchClassifier``) mapping the same
-        patches to (B, C) logits.
-      patches: (N, P, P, 3) float pool, host or device resident.
+      teacher_apply: ``teacher_apply(x) -> (B, C)`` frozen-teacher logits
+        closure over the teacher's input representation.
+      student: a stateless flax module mapping student inputs to (B, C)
+        logits.
+      patches: (N, ...) student input pool, host or device resident.
+      teacher_inputs: optional (N, ...) row-aligned TEACHER input pool for
+        cross-representation distillation (e.g. gene2vec-binned tokens for
+        an scBERT teacher while the student reads raw log1p counts of the
+        same spots). Default: the teacher reads ``patches``.
       steps: total optimizer updates (with-replacement minibatches).
       scan_chunk: updates fused per device dispatch.
 
@@ -120,6 +135,11 @@ def distill_patch_classifier(teacher_apply: Callable, student, patches,
     """
     rng = rng if rng is not None else jax.random.key(0)
     pool = jnp.asarray(patches)
+    t_pool = pool if teacher_inputs is None else jnp.asarray(teacher_inputs)
+    if len(t_pool) != len(pool):
+        raise ValueError(f"teacher_inputs has {len(t_pool)} rows vs the "
+                         f"student pool's {len(pool)}; they must be "
+                         "row-aligned views of the same items")
     if student_params is None:
         k_init, rng = jax.random.split(rng)
         student_params = student.init(
@@ -135,8 +155,8 @@ def distill_patch_classifier(teacher_apply: Callable, student, patches,
         n = min(scan_chunk, steps - done)
         rng, k = jax.random.split(rng)
         student_params, opt_state, mean_loss = run(
-            student_params, opt_state, pool, k, batch_size=batch_size,
-            n_steps=n)
+            student_params, opt_state, pool, t_pool, k,
+            batch_size=batch_size, n_steps=n)
         losses.append(float(mean_loss))
         done += n
         if verbose:

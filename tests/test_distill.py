@@ -183,3 +183,74 @@ def test_agreement_helpers():
 
     with pytest.raises(ValueError, match="empty"):
         patch_agreement(lambda p: p, lambda p: p, np.zeros((0, 4, 4, 3)))
+
+
+def test_distill_scbert_count_f_into_mlp():
+    """Cross-representation count distillation: an scBERT count-f teacher
+    (reads binned tokens) distills into a CountMLP student (reads raw
+    log1p counts of the SAME spots) via teacher_inputs= -- the serving
+    lever for the slowest model in the zoo (scBERT serves ~105 spots/s on
+    v5e vs multi-M for the MLP path, docs/roadmap.md)."""
+    import optax
+
+    from gridnext_tpu.models import CountMLP, scBERT
+
+    rng = np.random.default_rng(0)
+    n_genes, C, N = 32, 3, 600
+    # class-structured expression: per-class gamma rates -> poisson counts
+    rates = np.random.default_rng(1).gamma(2.0, 2.0, size=(C, n_genes))
+    y = rng.integers(0, C, N)
+    counts = rng.poisson(rates[y]).astype(np.float32)
+    log1p = np.log1p(counts)
+    binned = np.minimum(np.floor(log1p), 5.0).astype(np.float32)  # teacher view
+
+    teacher = scBERT(n_genes=n_genes, dim=16, depth=1, heads=2,
+                     nb_features=8, n_classes=C, generalized_attention=True)
+    tvars = teacher.init(jax.random.key(0), jnp.asarray(binned[:1]))
+    t_extra = {k: v for k, v in tvars.items() if k != "params"}
+
+    def t_apply_p(params, x):
+        return teacher.apply({"params": params, **t_extra}, x, train=False)
+
+    tx = optax.adam(1e-3)
+    opt = tx.init(tvars["params"])
+
+    @jax.jit
+    def step(params, opt, xb, yb):
+        def lf(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                t_apply_p(p, xb), yb).mean()
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    params = tvars["params"]
+    for i in range(120):
+        idx = rng.integers(0, 500, 64)
+        params, opt, loss = step(params, opt, jnp.asarray(binned[idx]),
+                                 jnp.asarray(y[idx]))
+    assert float(loss) < 0.7, f"scBERT teacher failed to train: {float(loss)}"
+
+    def teacher_apply(x):
+        return t_apply_p(params, x)
+
+    student = CountMLP(n_classes=C, batch_norm=False)
+    svars, losses = distill_patch_classifier(
+        teacher_apply, student, log1p[:500], teacher_inputs=binned[:500],
+        steps=400, batch_size=64, verbose=False)
+    assert losses[-1] < losses[0] * 0.5
+
+    # held-out agreement: student argmax (on raw log1p) vs teacher argmax
+    # (on its binned view) of the SAME spots
+    t_lab = np.asarray(jnp.argmax(teacher_apply(jnp.asarray(binned[500:])), -1))
+    s_lab = np.asarray(jnp.argmax(
+        student.apply(svars, jnp.asarray(log1p[500:]), train=False), -1))
+    agr = float((t_lab == s_lab).mean())
+    assert agr >= 0.95, f"count distill agreement {agr}"
+
+    # row misalignment fails fast
+    with pytest.raises(ValueError, match="row-aligned"):
+        distill_patch_classifier(teacher_apply, student, log1p[:500],
+                                 teacher_inputs=binned[:400], steps=1,
+                                 verbose=False)
