@@ -947,6 +947,122 @@ def _cmd_pretrain_scbert(args):
     print(f"saved pretrained LM to {outfile}")
 
 
+def _distill_count_mm(args, meta, classes, tvars):
+    """`distill` on a multimodal dir with an scBERT count-f: distill the
+    count classifier into a stateless CountMLP student reading raw log1p
+    counts (cross-representation -- the teacher reads gene2vec-binned
+    tokens of the SAME spots), carry the image f + corrector verbatim, and
+    write a standard MM model dir (count_f='mlp'). The count side is the
+    zoo's slowest serving path (~105 spots/s scBERT vs multi-M MLP on
+    v5e, docs/roadmap.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data import create_visium_dataset
+    from gridnext_tpu.models import CountMLP
+    from gridnext_tpu.train import (distill_patch_classifier, label_agreement,
+                                    write_count_distilled_mm_dir)
+
+    for srd in args.spaceranger:
+        _validated_count_cache(srd, meta)
+    grid_dims = meta.get("grid_dims")
+    spots = create_visium_dataset(
+        args.spaceranger, spatial=False, use_count=True, use_image=False,
+        hd_binning=meta.get("hd_binning"),
+        grid_dims=tuple(grid_dims) if grid_dims else None,
+        minimum_detection_rate=None)
+    raw, _ = spots.materialize()
+    transform, _ = _scbert_count_transform(args.spaceranger,
+                                           meta.get("hd_binning"),
+                                           meta["scbert_vocab"])
+    t_pool = transform(raw)
+    s_pool = np.log1p(raw)
+
+    mm = _mm_model_from_meta(meta, classes)
+    scbert_mod = mm.count_classifier
+    f_vars = {"params": tvars["params"]["count_classifier"]}
+    bs = (tvars.get("batch_stats") or {}).get("count_classifier")
+    if bs is not None:
+        f_vars["batch_stats"] = bs
+    for col, sub in tvars.items():
+        if col in ("params", "batch_stats"):
+            continue
+        if "count_classifier" in sub:
+            f_vars[col] = sub["count_classifier"]
+
+    def teacher_apply(x):
+        return scbert_mod.apply(f_vars, x, train=False)
+
+    rng = np.random.default_rng(args.split_seed)
+    order = rng.permutation(len(raw))
+    n_hold = max(1, int(len(raw) * args.holdout))
+    hold_idx, train_idx = order[:n_hold], order[n_hold:]
+    if not len(train_idx):
+        sys.exit("error: no training spots left after the holdout split")
+    print(f"distilling scBERT count-f -> CountMLP on {len(train_idx)} "
+          f"spots ({n_hold} held out), {args.steps} steps x batch "
+          f"{args.batch_size}")
+    student = CountMLP(n_classes=len(classes), batch_norm=False)
+    svars, losses = distill_patch_classifier(
+        teacher_apply, student, s_pool[train_idx],
+        teacher_inputs=t_pool[train_idx], steps=args.steps,
+        batch_size=min(args.batch_size, len(train_idx)),
+        learning_rate=args.lr, temperature=args.temperature,
+        kl_weight=args.kl_weight, verbose=True)
+
+    t_lab = np.asarray(jnp.argmax(
+        teacher_apply(jnp.asarray(t_pool[hold_idx])), -1))
+    s_lab = np.asarray(jnp.argmax(
+        student.apply(svars, jnp.asarray(s_pool[hold_idx]),
+                      train=False), -1))
+    agr_f = float((t_lab == s_lab).mean())
+    print(f"holdout count-f agreement (argmax): {agr_f:.4f}")
+    info = {"count_f_agreement": agr_f, "steps": args.steps,
+            "final_loss": losses[-1]}
+    write_count_distilled_mm_dir(args.out, meta, classes, tvars, svars, info)
+
+    if args.images is not None:
+        # full-MM label agreement over the provided arrays: both models'
+        # forward on the same grids, each with ITS OWN count preprocessing
+        _require_one_image_per_dir(args.images, args.spaceranger)
+        s_meta, s_classes, s_vars = _load_model_dir(args.out)
+        mm_student = _mm_model_from_meta(s_meta, s_classes)
+        grids = create_visium_dataset(
+            args.spaceranger, spatial=True, use_count=True, use_image=True,
+            fullres_image_files=args.images,
+            patch_size_px=meta.get("patch_px", 128),
+            window_size_px=meta.get("window_px"),
+            hd_binning=meta.get("hd_binning"),
+            grid_dims=tuple(grid_dims) if grid_dims else None,
+            minimum_detection_rate=None)
+        agrs = []
+        for i in range(len(args.spaceranger)):
+            (xi, xc), _ = grids[i]
+            fg = xc.sum(-1) > 0
+            lt = np.asarray(jnp.argmax(mm.apply(
+                tvars, (xi[None], transform(xc)[None]), train=False)[0],
+                -1)) + 1
+            ls = np.asarray(jnp.argmax(mm_student.apply(
+                s_vars, (xi[None], np.log1p(xc)[None]), train=False)[0],
+                -1)) + 1
+            agrs.append(label_agreement(np.where(fg, lt, 0),
+                                        np.where(fg, ls, 0)))
+        agr_label = float(np.mean(agrs))
+        print(f"full-MM label agreement (teacher vs student): "
+              f"{agr_label:.4f} over {len(agrs)} arrays")
+        info["label_agreement"] = agr_label
+        write_count_distilled_mm_dir(args.out, meta, classes, tvars, svars,
+                                     info)
+    if (args.min_agreement is not None
+            and info.get("label_agreement",
+                         info["count_f_agreement"]) < args.min_agreement):
+        sys.exit(f"error: agreement below --min-agreement "
+                 f"{args.min_agreement}: {info}")
+    print(f"distilled multimodal model dir written to {args.out} "
+          "(count_f=mlp, image f + corrector carried verbatim)")
+
+
 def _cmd_distill(args):
     """Distill a trained image model's spot classifier into the TPU-shaped
     student (train.distill): the teacher's correction network is carried
@@ -967,6 +1083,12 @@ def _cmd_distill(args):
                                     write_distilled_model_dir)
 
     meta, classes, tvars = _load_model_dir(args.model)
+    if meta.get("model") in ("GridNetHexMM", "GridNetMM"):
+        if meta.get("count_f") != "scbert":
+            sys.exit("error: this multimodal dir's count-f is already an "
+                     "MLP; distillation targets scBERT count classifiers "
+                     "(count_f='scbert') or image models")
+        return _distill_count_mm(args, meta, classes, tvars)
     try:
         teacher_f, teacher_f_vars = image_f_from_meta(meta, classes, tvars)
     except ValueError as e:

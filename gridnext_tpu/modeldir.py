@@ -126,7 +126,10 @@ def mm_model_from_meta(meta, classes):
                          n_classes=len(classes),
                          generalized_attention=True)
     else:
-        f_count = CountMLP(n_classes=len(classes))
+        # count_mlp_bn=False marks a distilled (stateless) CountMLP student
+        # (train.distill.write_count_distilled_mm_dir)
+        f_count = CountMLP(n_classes=len(classes),
+                           batch_norm=meta.get("count_mlp_bn", True))
     if meta.get("image_f") == "tpu":
         from gridnext_tpu.models.tpu_f import tpu_f_arch_kwargs
 
@@ -167,7 +170,8 @@ def grid_model_from_meta(meta, classes):
         f = densenet121(num_classes=len(classes))
         kw = {"patch_chunk": meta.get("patch_chunk", 624)}
     else:
-        f = CountMLP(n_classes=len(classes))
+        f = CountMLP(n_classes=len(classes),
+                     batch_norm=meta.get("count_mlp_bn", True))
         kw = {}
     cls = GridNet if square else GridNetHex
     return cls(patch_classifier=f, n_classes=len(classes), **kw)

@@ -21,6 +21,7 @@ from gridnext_tpu.train.loops import (  # noqa: F401
 )
 from gridnext_tpu.train.distill import (  # noqa: F401
     distill_patch_classifier,
+    write_count_distilled_mm_dir,
     label_agreement,
     patch_agreement,
     write_distilled_model_dir,

@@ -192,6 +192,62 @@ def label_agreement(labels_a, labels_b) -> float:
     return float((a[fg] == b[fg]).sum() / n)
 
 
+def write_count_distilled_mm_dir(out_dir, teacher_meta: dict, classes,
+                                 teacher_variables, student_f_variables,
+                                 distill_info: Optional[dict] = None):
+    """Write a multimodal model dir whose scBERT count-f is replaced by a
+    distilled ``CountMLP(batch_norm=False)`` student.
+
+    The image classifier and correction network (params, batch_stats, any
+    image-side extra collections) are carried VERBATIM; the count side
+    switches to ``count_f='mlp'`` with ``log1p`` preprocessing (the
+    student was distilled on raw log1p counts -- cross-representation,
+    see :func:`distill_patch_classifier`'s ``teacher_inputs``) and the
+    scBERT FAVOR projections are dropped. register/evaluate/serve load
+    the directory unchanged (modeldir contract; ``count_mlp_bn`` marks
+    the stateless student).
+    """
+    from gridnext_tpu.train import save_checkpoint
+    from gridnext_tpu.train.loops import TrainState
+
+    params = dict(teacher_variables["params"])
+    params["count_classifier"] = student_f_variables["params"]
+    batch_stats = teacher_variables.get("batch_stats")
+    if batch_stats is not None:
+        batch_stats = {k: v for k, v in batch_stats.items()
+                       if k != "count_classifier"} or None
+    extra = {}
+    for col, sub in teacher_variables.items():
+        if col in ("params", "batch_stats"):
+            continue
+        kept = {k: v for k, v in sub.items() if k != "count_classifier"}
+        if kept:
+            extra[col] = kept
+
+    meta = dict(teacher_meta)
+    meta.update({
+        "classes": list(classes),
+        "count_f": "mlp",
+        "log1p": True,
+        "count_mlp_bn": False,
+        "count_chunk": None,   # MLP needs no scBERT-sized chunking
+        "count_distilled_from": "scbert",
+    })
+    if distill_info:
+        meta["distill"] = {k: (round(float(v), 6)
+                               if isinstance(v, (int, float)) else v)
+                           for k, v in distill_info.items()}
+    os.makedirs(out_dir, exist_ok=True)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=None, step=jnp.zeros((), jnp.int32),
+                       extra_vars=extra)
+    save_checkpoint(os.path.join(out_dir, "g_state.msgpack"), state,
+                    include_opt_state=False)
+    with open(os.path.join(out_dir, "model.json"), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
 def write_distilled_model_dir(out_dir, teacher_meta: dict, classes,
                               teacher_variables, student_f_variables,
                               student, distill_info: Optional[dict] = None):

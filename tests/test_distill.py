@@ -254,3 +254,122 @@ def test_distill_scbert_count_f_into_mlp():
         distill_patch_classifier(teacher_apply, student, log1p[:500],
                                  teacher_inputs=binned[:400], steps=1,
                                  verbose=False)
+
+
+@pytest.mark.slow
+def test_cli_distill_mm_count_f(tmp_path):
+    """CLI `distill` on a multimodal dir with an scBERT count-f: the count
+    classifier distills into a stateless CountMLP student (reading raw
+    log1p counts), the image f + corrector carry verbatim, agreement is
+    measured at the count-f and full-MM level, and the student dir
+    round-trips through CLI register."""
+    import json
+
+    import optax
+
+    from gridnext_tpu.cli import main
+    from gridnext_tpu.io.unify import read_unified_genes, unified_cache_path
+    from gridnext_tpu.modeldir import scbert_count_transform
+    from gridnext_tpu.models import GridNetHexMM, scBERT
+    from gridnext_tpu.models.scbert import load_gene2vec_names
+    from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+    from gridnext_tpu.train import save_checkpoint
+    from gridnext_tpu.train.loops import TrainState
+
+    g2v = load_gene2vec_names()
+    sims = [simulate_spaceranger_dir(tmp_path / f"a{i}", seed=i, n_genes=15,
+                                     n_classes=3, image=True,
+                                     spot_spacing_px=PATCH,
+                                     gene_names=g2v[:15]) for i in range(2)]
+    dirs = [s["spaceranger_dir"] for s in sims]
+    imgs = [s["image_file"] for s in sims]
+    annots = [s["annot_file"] for s in sims]
+    classes = ["Layer1", "Layer2", "Layer3"]
+
+    # spot count pool + labels (annotations) for teacher training
+    spots = create_visium_dataset(dirs, spatial=False, use_count=True,
+                                  use_image=False, annot_files=annots,
+                                  minimum_detection_rate=None)
+    raw, y = spots.materialize()
+    vocab = 64
+    transform, _ = scbert_count_transform(dirs, None, vocab)
+    tok = transform(raw)
+
+    scb = scBERT(n_genes=vocab, dim=16, depth=1, heads=2, nb_features=8,
+                 n_classes=3, generalized_attention=True)
+    svars0 = scb.init(jax.random.key(0), jnp.asarray(tok[:1]))
+    extra = {k: v for k, v in svars0.items() if k != "params"}
+    tx = optax.adam(1e-3)
+    opt = tx.init(svars0["params"])
+
+    @jax.jit
+    def step(params, opt, xb, yb):
+        def lf(p):
+            logits = scb.apply({"params": p, **extra}, xb, train=False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb).mean()
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    rng = np.random.default_rng(0)
+    params = svars0["params"]
+    for _ in range(120):
+        idx = rng.integers(0, len(tok), 64)
+        params, opt, loss = step(params, opt, jnp.asarray(tok[idx]),
+                                 jnp.asarray(y[idx]))
+    assert float(loss) < 0.8, f"scBERT teacher undertrained: {float(loss)}"
+
+    # assemble the MM teacher dir (tiny TPU image f + hex corrector)
+    f_img = TpuPatchClassifier(n_classes=3, stages=((64, 1),), stem_patch=8)
+    mm = GridNetHexMM(image_classifier=f_img, count_classifier=scb,
+                      n_classes=3)
+    xi0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, PATCH, PATCH, 3))
+    xc0 = jnp.zeros((1, G.VISIUM_H_ST, G.VISIUM_W_ST, vocab))
+    mm_vars = mm.init(jax.random.key(1), (xi0, xc0))
+    mm_params = dict(mm_vars["params"])
+    mm_params["count_classifier"] = params
+    favor = dict(mm_vars.get("favor", {}))
+    favor["count_classifier"] = extra.get("favor", {})
+    tdir = tmp_path / "mm_teacher"
+    tdir.mkdir()
+    genes = read_unified_genes(unified_cache_path(dirs[0]))
+    meta = {"classes": classes, "patch_px": PATCH, "window_px": None,
+            "patch_chunk": 624, "count_chunk": None,
+            "n_genes": len(genes), "genes": list(genes), "log1p": False,
+            "count_f": "scbert", "scbert_vocab": vocab, "scbert_dim": 16,
+            "scbert_depth": 1, "scbert_heads": 2, "scbert_dim_head": 64,
+            "scbert_features": 8, "hd_binning": None, "grid_dims": None,
+            "image_f": "tpu", "tpu_f": tpu_f_arch_meta(f_img),
+            "dense_ingest": False, "model": "GridNetHexMM"}
+    with open(tdir / "model.json", "w") as fh:
+        json.dump(meta, fh)
+    save_checkpoint(
+        tdir / "g_state.msgpack",
+        TrainState(params=mm_params,
+                   batch_stats=mm_vars.get("batch_stats"),
+                   opt_state=None, step=jnp.zeros((), jnp.int32),
+                   extra_vars={"favor": favor}),
+        include_opt_state=False)
+
+    sdir = tmp_path / "mm_student"
+    main(["distill", "--model", str(tdir), "--spaceranger", *dirs,
+          "--images", *imgs, "--out", str(sdir), "--steps", "400",
+          "--batch-size", "64"])
+
+    smeta = json.load(open(sdir / "model.json"))
+    assert smeta["count_f"] == "mlp" and smeta["count_mlp_bn"] is False
+    assert smeta["log1p"] is True
+    assert smeta["count_distilled_from"] == "scbert"
+    assert smeta["distill"]["count_f_agreement"] >= 0.95
+    assert smeta["distill"]["label_agreement"] >= 0.85
+
+    # the student dir registers through the standard MM path
+    out_csv = tmp_path / "mm_labels.csv"
+    main(["register", "--model", str(sdir), "--spaceranger", dirs[0],
+          "--images", imgs[0], "--out", str(out_csv)])
+    assert out_csv.exists()
+    import pandas as pd
+
+    assert len(pd.read_csv(out_csv)) > 0
