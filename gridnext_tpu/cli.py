@@ -85,6 +85,11 @@ def _cmd_simulate(args):
     if args.hd_grid is not None:
         kw.update(spaceranger_version="hd", hd_grid=tuple(args.hd_grid),
                   hd_binning=args.hd_binning)
+    if args.barcodes != "synthetic":
+        if args.hd_grid is not None:
+            sys.exit("error: --barcodes visium_v1 applies to the 78x64 "
+                     "Visium lattice, not HD bin grids")
+        kw["barcodes"] = args.barcodes
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.arrays):
         sim = simulate_spaceranger_dir(
@@ -1932,6 +1937,12 @@ def build_parser():
                    help="name the simulated genes from the vendored "
                         "gene2vec vocabulary (so the cohort feeds the "
                         "scBERT commands)")
+    s.add_argument("--barcodes", choices=("synthetic", "visium_v1"),
+                   default="synthetic",
+                   help="'visium_v1' stamps the REAL vendored slide "
+                        "whitelist onto the lattice (Loupe CSVs re-import "
+                        "against actual barcodes); default: self-"
+                        "describing SYN names")
     s.add_argument("--hd-grid", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="emit square-lattice Visium HD binned outputs on an "

@@ -36,7 +36,8 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
                              image: bool = False, spot_spacing_px: int = 12,
                              spaceranger_version: int = 2,
                              gene_names=None, hd_grid=None,
-                             hd_binning: str = "square_008um"):
+                             hd_binning: str = "square_008um",
+                             barcodes: str = "synthetic"):
     """Create ``dest_dir`` as a fake Spaceranger output directory.
 
     The simulated tissue is an ellipse; annotation classes are concentric
@@ -51,6 +52,12 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     pass ``hd_grid=(h, w)`` for a *true square* HD bin lattice -- direct
     ``array_row``/``array_col`` indices with both column parities per row,
     real-HD barcode names, and a ``(h, w)`` label grid.
+
+    ``barcodes='visium_v1'`` stamps the REAL Visium v1 slide whitelist
+    (the vendored template, :mod:`gridnext_tpu.data.template`) onto the
+    lattice instead of synthetic ``SYN...`` names, so fixture Loupe CSVs
+    re-import against actual slide barcodes (v1/v2 layouts only -- HD
+    barcodes are coordinate-derived by Spaceranger itself).
 
     Returns a dict with paths and the ground-truth label grid.
     """
@@ -81,7 +88,22 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
         xs, ys = col.astype(float), row.astype(float)
     else:
         h_st, w_st = geometry.VISIUM_H_ST, geometry.VISIUM_W_ST
-        barcodes, col, row = lattice_positions()
+        bc_syn, col, row = lattice_positions()
+        if barcodes == "visium_v1":
+            if spaceranger_version == "hd":
+                raise ValueError("barcodes='visium_v1' applies to v1/v2 "
+                                 "layouts (HD barcodes are coordinate-"
+                                 "derived)")
+            from gridnext_tpu.data.template import visium_v1_barcode_grid
+
+            grid_bc = visium_v1_barcode_grid()
+            ox_all, oy_all = geometry.pseudo_hex_to_oddr(col, row)
+            barcodes = grid_bc[oy_all, ox_all].astype(str)
+        elif barcodes == "synthetic":
+            barcodes = bc_syn
+        else:
+            raise ValueError(f"barcodes must be 'synthetic' or "
+                             f"'visium_v1'; got {barcodes!r}")
         xs, ys = geometry.pseudo_to_true_hex(col, row)
 
     # Elliptical tissue mask around the array center.

@@ -152,3 +152,32 @@ def test_pseudo_visium_synthetic_mode(tmp_path):
 
     with pytest.raises(ValueError, match="template"):
         pseudo_visium_from_image(img_path, tmp_path / "p2", template="bogus")
+
+
+def test_simulate_with_real_barcodes(tmp_path):
+    """simulate_spaceranger_dir(barcodes='visium_v1') stamps the vendored
+    whitelist; the fixture flows through the io layer and its annotation
+    barcodes are real slide barcodes at the right lattice cells."""
+    from gridnext_tpu.data import simulate_spaceranger_dir
+    from gridnext_tpu.io import read_positions
+
+    sim = simulate_spaceranger_dir(tmp_path / "arr", seed=0, n_genes=6,
+                                   n_classes=2, barcodes="visium_v1")
+    pos = read_positions(sim["spaceranger_dir"])
+    tmpl = visium_v1_template()
+    assert set(pos.index) == set(tmpl["barcode"])
+    # annotation barcodes must be the whitelist entries of their cells
+    import pandas as pd
+
+    annots = pd.read_csv(sim["annot_file"])
+    bgrid = visium_v1_barcode_grid()
+    assert set(annots["Barcode"]) <= set(tmpl["barcode"])
+    fg = np.argwhere(sim["label_grid"] > 0)
+    whitelist_fg = {bgrid[y, x] for y, x in fg}
+    assert set(annots["Barcode"]) == whitelist_fg
+
+    with pytest.raises(ValueError, match="barcodes"):
+        simulate_spaceranger_dir(tmp_path / "bad", barcodes="nope")
+    with pytest.raises(ValueError, match="coordinate"):
+        simulate_spaceranger_dir(tmp_path / "bad2", barcodes="visium_v1",
+                                 spaceranger_version="hd")
