@@ -1108,8 +1108,18 @@ def _cmd_distill(args):
         window_size_px=meta.get("window_px"),
         hd_binning=meta.get("hd_binning"),
         grid_dims=meta.get("grid_dims"))
-    patches, _ = ds.materialize()
     rng = np.random.default_rng(args.split_seed)
+    if len(ds) > args.max_patches:
+        # cap the resident pool: a full cohort of 128px f32 patches is
+        # ~3.6 GB/array; distillation needs a representative sample, not
+        # every patch. Uniform without replacement across all arrays.
+        pick = np.sort(rng.choice(len(ds), size=args.max_patches,
+                                  replace=False))
+        print(f"sampling {args.max_patches} of {len(ds)} patches "
+              "(--max-patches)")
+        patches = np.stack([ds[int(i)][0] for i in pick])
+    else:
+        patches, _ = ds.materialize()
     order = rng.permutation(len(patches))
     n_hold = max(1, int(len(patches) * args.holdout))
     hold, train = patches[order[:n_hold]], patches[order[n_hold:]]
@@ -2120,6 +2130,10 @@ def build_parser():
     s.add_argument("--kl-weight", type=float, default=0.1)
     s.add_argument("--holdout", type=float, default=0.15,
                    help="patch fraction held out for the agreement report")
+    s.add_argument("--max-patches", type=int, default=50000,
+                   help="cap on the resident distillation pool (uniformly "
+                        "sampled across arrays; a full 128px cohort is "
+                        "~3.6 GB/array in RAM)")
     s.add_argument("--split-seed", type=int, default=0)
     s.add_argument("--f32", action="store_true",
                    help="float32 student (default: bfloat16 compute, the "
