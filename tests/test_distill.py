@@ -140,6 +140,7 @@ def test_cli_distill_end_to_end(cohort, teacher_dir, tmp_path):
           "--spaceranger", *srdirs, "--images", *images,
           "--out", sdir, "--steps", "300", "--batch-size", "64",
           "--student-stages", "128:1", "--student-stem", "8",
+          "--max-patches", "2000",   # exercises the pool-sampling branch
           "--min-agreement", "0.97"])
 
     with open(os.path.join(sdir, "model.json")) as fh:
