@@ -981,7 +981,12 @@ def _distill_count_mm(args, meta, classes, tvars):
     transform, _ = _scbert_count_transform(args.spaceranger,
                                            meta.get("hd_binning"),
                                            meta["scbert_vocab"])
-    t_pool = transform(raw)
+    # bf16 pools: the gene2vec-token pool is the big one ((N, 16907) f32 =
+    # ~4 GB at a 12-array cohort); bins are small ints, exactly
+    # representable in bf16
+    import jax.numpy as _jnp
+
+    t_pool = _jnp.asarray(transform(raw), _jnp.bfloat16)
     s_pool = np.log1p(raw)
 
     mm = _mm_model_from_meta(meta, classes)

@@ -78,6 +78,10 @@ def simulate_spaceranger_dir(dest_dir, *, n_genes: int = 60, n_classes: int = 4,
     if hd_grid is not None and spaceranger_version != "hd":
         raise ValueError("hd_grid requires spaceranger_version='hd'")
     if hd_grid is not None:
+        if barcodes != "synthetic":
+            raise ValueError("barcodes='visium_v1' applies to the Visium "
+                             "pseudo-hex lattice; HD bin barcodes are "
+                             "coordinate-derived")
         # True square HD bin lattice: direct row/col indices, unit spacing.
         h_st, w_st = int(hd_grid[0]), int(hd_grid[1])
         row = np.repeat(np.arange(h_st), w_st)

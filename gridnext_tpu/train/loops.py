@@ -943,10 +943,11 @@ def mlm_token_len(n_tokens: int, mesh=None, mesh_shape=None) -> int:
     """The token-axis length ``train_mlm`` will actually run under a mesh.
 
     Sequence-parallel meshes ('seq' axis) need the token axis divisible by
-    the axis size; ``train_mlm`` pads indivisible corpora with ``-1``
-    columns (ignored by the masked loss). Size length-sensitive model
-    fields (``PerformerLM.max_seq_len``) with this so the padded batch
-    passes the model's bounds check.
+    the axis size; ``train_mlm`` pads indivisible ARRAY corpora with ``-1``
+    columns (ignored by the masked loss; map-style datasets pass through
+    unpadded and fall back to token replication with a warning). Size
+    length-sensitive model fields (``PerformerLM.max_seq_len``) with this
+    so the padded batch passes the model's bounds check.
     """
     mesh = _resolve_mesh(mesh, mesh_shape)
     if mesh is None or "seq" not in mesh.axis_names:
