@@ -125,7 +125,6 @@ def main(argv=None):
           flush=True)
     return {"ms_per_step": best * 1e3, "seq_per_sec": args.batch / best,
             "tokens_per_sec": args.batch * args.vocab / best}
-    return best
 
 
 if __name__ == "__main__":

@@ -978,33 +978,41 @@ def _distill_count_mm(args, meta, classes, tvars):
         grid_dims=tuple(grid_dims) if grid_dims else None,
         minimum_detection_rate=None)
     raw, _ = spots.materialize()
+    rng = np.random.default_rng(args.split_seed)
+    if len(raw) > args.max_patches:
+        # cap the resident pool like the image path: the gene2vec token
+        # view is (N, 16907) f32 -- ~4 GB at a 12-array full-vocab cohort.
+        # Stays f32: transform() emits CONTINUOUS depth-normalized
+        # log2(1+x) values that scBERT floors into bins internally, so a
+        # bf16 pool would flip ~0.4% of bins vs the f32 serving path and
+        # the recorded agreement would describe a teacher nobody serves.
+        pick = np.sort(rng.choice(len(raw), size=args.max_patches,
+                                  replace=False))
+        print(f"sampling {args.max_patches} of {len(raw)} spots "
+              "(--max-patches)")
+        raw = raw[pick]
     transform, _ = _scbert_count_transform(args.spaceranger,
                                            meta.get("hd_binning"),
                                            meta["scbert_vocab"])
-    # bf16 pools: the gene2vec-token pool is the big one ((N, 16907) f32 =
-    # ~4 GB at a 12-array cohort); bins are small ints, exactly
-    # representable in bf16
-    import jax.numpy as _jnp
-
-    t_pool = _jnp.asarray(transform(raw), _jnp.bfloat16)
+    t_pool = transform(raw)
     s_pool = np.log1p(raw)
 
     mm = _mm_model_from_meta(meta, classes)
     scbert_mod = mm.count_classifier
-    f_vars = {"params": tvars["params"]["count_classifier"]}
-    bs = (tvars.get("batch_stats") or {}).get("count_classifier")
-    if bs is not None:
-        f_vars["batch_stats"] = bs
-    for col, sub in tvars.items():
-        if col in ("params", "batch_stats"):
-            continue
-        if "count_classifier" in sub:
-            f_vars[col] = sub["count_classifier"]
+    from gridnext_tpu.modeldir import submodule_variables
+
+    f_vars = submodule_variables(tvars, "count_classifier")
 
     def teacher_apply(x):
         return scbert_mod.apply(f_vars, x, train=False)
 
-    rng = np.random.default_rng(args.split_seed)
+    def teacher_logits_chunked(x, chunk=512):
+        # full-vocab scBERT activations at 9k-sequence holdouts exceed
+        # HBM in one apply; evaluate in bounded batches
+        outs = [np.asarray(teacher_apply(jnp.asarray(x[i:i + chunk])))
+                for i in range(0, len(x), chunk)]
+        return np.concatenate(outs)
+
     order = rng.permutation(len(raw))
     n_hold = max(1, int(len(raw) * args.holdout))
     hold_idx, train_idx = order[:n_hold], order[n_hold:]
@@ -1021,8 +1029,7 @@ def _distill_count_mm(args, meta, classes, tvars):
         learning_rate=args.lr, temperature=args.temperature,
         kl_weight=args.kl_weight, verbose=True)
 
-    t_lab = np.asarray(jnp.argmax(
-        teacher_apply(jnp.asarray(t_pool[hold_idx])), -1))
+    t_lab = np.argmax(teacher_logits_chunked(t_pool[hold_idx]), -1)
     s_lab = np.asarray(jnp.argmax(
         student.apply(svars, jnp.asarray(s_pool[hold_idx]),
                       train=False), -1))
@@ -2135,10 +2142,12 @@ def build_parser():
     s.add_argument("--kl-weight", type=float, default=0.1)
     s.add_argument("--holdout", type=float, default=0.15,
                    help="patch fraction held out for the agreement report")
-    s.add_argument("--max-patches", type=int, default=50000,
+    s.add_argument("--max-patches", type=int, default=20000,
                    help="cap on the resident distillation pool (uniformly "
-                        "sampled across arrays; a full 128px cohort is "
-                        "~3.6 GB/array in RAM)")
+                        "sampled across arrays). The pool lives in device "
+                        "HBM during distillation: 20k 128px f32 patches "
+                        "are ~3.9 GB of a v5e's 16 GB; count pools are "
+                        "(N, 16907) f32 in the gene2vec view")
     s.add_argument("--split-seed", type=int, default=0)
     s.add_argument("--f32", action="store_true",
                    help="float32 student (default: bfloat16 compute, the "
@@ -2308,11 +2317,11 @@ def _init_multihost(spec):
           "devices", file=sys.stderr)
 
 
-# Subcommands with a multihost-aware path: the trainers gate file writes to
-# the primary process and shard work globally. Everything else (register,
-# evaluate, export, serve*, simulate, prepare) is single-controller -- under
-# a pod launch every host would race to write IDENTICAL output paths, so
-# reject the flags up front instead of corrupting outputs (ADVICE r3).
+# The trainer subcommands, by handler-name prefix. They are (a) the only
+# multihost-aware commands (writers gated to the primary process; everything
+# else would race on identical output paths under a pod launch, ADVICE r3)
+# and (b) the commands that install the SIGTERM preemption handler -- both
+# gates in main() key off this one constant.
 _MULTIHOST_CMDS = ("_cmd_train", "_cmd_pretrain")
 
 
@@ -2328,7 +2337,7 @@ def main(argv=None):
                 f"'{args.fn.__name__.removeprefix('_cmd_').replace('_', '-')}'"
                 " single-controller (it uses every local device via --mesh)")
         _init_multihost(args.coordinator)
-    if args.fn.__name__.startswith(("_cmd_train", "_cmd_pretrain")):
+    if args.fn.__name__.startswith(_MULTIHOST_CMDS):
         # SIGTERM (spot/queued TPU preemption) -> batch-boundary '.latest'
         # checkpoint -> exit 75 (EX_TEMPFAIL: "transient, retry me"); rerun
         # the same command with --resume to continue bit-identically

@@ -19,7 +19,27 @@ import os
 
 __all__ = ["load_model_dir", "image_registrar_from_meta",
            "image_f_from_meta", "mm_model_from_meta", "grid_model_from_meta",
-           "scbert_count_transform"]
+           "scbert_count_transform", "submodule_variables"]
+
+
+def submodule_variables(variables, key: str):
+    """Extract one submodule's variables dict from a composed model's tree.
+
+    ``variables`` is a full variables dict ({'params': ..., optional
+    'batch_stats', extra collections like scBERT's FAVOR 'favor'});
+    ``key`` is the submodule's param-collection name (e.g.
+    'patch_classifier', 'count_classifier'). Every collection that carries
+    the submodule travels -- the one extraction rule shared by
+    ``image_f_from_meta`` and the count-distill path, so neither can
+    silently drop a collection the other keeps.
+    """
+    out = {"params": variables["params"][key]}
+    for col, sub in variables.items():
+        if col == "params" or sub is None:
+            continue
+        if key in sub:
+            out[col] = sub[key]
+    return out
 
 
 def image_f_from_meta(meta, classes, variables):
@@ -46,11 +66,7 @@ def image_f_from_meta(meta, classes, variables):
             f"not an image model dir (model={model_name!r}); the f "
             "extractor needs a GridNet[Hex]+DenseNet121 or "
             "+TpuPatchClassifier directory")
-    f_vars = {"params": variables["params"]["patch_classifier"]}
-    bs = (variables.get("batch_stats") or {}).get("patch_classifier")
-    if bs is not None:
-        f_vars["batch_stats"] = bs
-    return f, f_vars
+    return f, submodule_variables(variables, "patch_classifier")
 
 
 def load_model_dir(model_dir):

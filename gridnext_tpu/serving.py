@@ -747,13 +747,21 @@ class SlideRegistrar:
         Returns:
           (h_st, w_st) int label grid, 0 background / 1..C foreground.
         """
+        wsi, orig_hw, oy, ox, y_px, x_px = self._prepared_inputs(
+            wsi, positions, pad_offset)
+        labels = self._jitted(wsi, oy, ox, y_px, x_px, orig_hw=orig_hw)
+        return np.asarray(labels)
+
+    def _prepared_inputs(self, wsi, positions, pad_offset: int):
+        """Shared single-slide preamble of :meth:`__call__` and
+        :meth:`register_logits`: unpack (PackedWSI-aware), compute spot
+        arrays, and bucket-pad the spot axis so near-equal in-tissue
+        counts share ONE compiled program (parked spots are dropped by the
+        scatters) -- foreground counts are essentially unique per slide,
+        and without this every count retraces + recompiles."""
         wsi, orig_hw = self._unpack(wsi)
         shape = orig_hw if orig_hw is not None else wsi.shape
         oy, ox, y_px, x_px = self._spot_arrays(shape, positions, pad_offset)
-        # bucket-pad the spot axis (parked spots are dropped by the
-        # scatters) so slides with near-equal in-tissue counts share ONE
-        # compiled program -- foreground counts are essentially unique per
-        # slide, and without this every count retraces + recompiles
         k = len(oy)
         s_pad = -(-max(k, 1) // _SPOT_BUCKET) * _SPOT_BUCKET
         if s_pad != k:
@@ -761,10 +769,8 @@ class SlideRegistrar:
             poy, pox, py, px_ = _parked_spots(s_pad, self.h_st, p2)
             poy[:k], pox[:k], py[:k], px_[:k] = oy, ox, y_px, x_px
             oy, ox, y_px, x_px = poy, pox, py, px_
-        labels = self._jitted(wsi, jnp.asarray(oy), jnp.asarray(ox),
-                              jnp.asarray(y_px), jnp.asarray(x_px),
-                              orig_hw=orig_hw)
-        return np.asarray(labels)
+        return (wsi, orig_hw, jnp.asarray(oy), jnp.asarray(ox),
+                jnp.asarray(y_px), jnp.asarray(x_px))
 
     def register_logits(self, wsi, positions, pad_offset: int = 0):
         """Register one slide, returning class logits instead of labels.
@@ -775,19 +781,10 @@ class SlideRegistrar:
         Use for calibrated/score-aware consumers and for
         :func:`label_parity_report`'s margin analysis.
         """
-        wsi, orig_hw = self._unpack(wsi)
-        shape = orig_hw if orig_hw is not None else wsi.shape
-        oy, ox, y_px, x_px = self._spot_arrays(shape, positions, pad_offset)
-        k = len(oy)
-        s_pad = -(-max(k, 1) // _SPOT_BUCKET) * _SPOT_BUCKET
-        if s_pad != k:
-            p2 = self.window_size // 2
-            poy, pox, py, px_ = _parked_spots(s_pad, self.h_st, p2)
-            poy[:k], pox[:k], py[:k], px_[:k] = oy, ox, y_px, x_px
-            oy, ox, y_px, x_px = poy, pox, py, px_
-        logits, fg = self._jitted_logits(
-            wsi, jnp.asarray(oy), jnp.asarray(ox), jnp.asarray(y_px),
-            jnp.asarray(x_px), orig_hw=orig_hw)
+        wsi, orig_hw, oy, ox, y_px, x_px = self._prepared_inputs(
+            wsi, positions, pad_offset)
+        logits, fg = self._jitted_logits(wsi, oy, ox, y_px, x_px,
+                                         orig_hw=orig_hw)
         return np.asarray(logits), np.asarray(fg)
 
     def _unpack(self, wsi):

@@ -1014,6 +1014,11 @@ def train_mlm(model: nn.Module, dataloaders: Mapping, *, mask_id: int,
             # Params are unchanged (pos_emb 'none' is length-independent),
             # so padded-pretrain checkpoints load at any n_genes.
             pad = (-tokens.shape[1]) % seq_n
+            if tokens.dtype.kind == "u":
+                # -1 pads would wrap to huge valid-looking token ids in an
+                # unsigned corpus and silently become real MLM targets
+                # (the y >= 0 pad guards never fire); widen to signed
+                tokens = tokens.astype(np.int32)
             tokens = np.concatenate(
                 [tokens, np.full((len(tokens), pad), -1, tokens.dtype)],
                 axis=1)

@@ -338,3 +338,30 @@ def test_train_mlm_seq_axis_pads_indivisible_tokens():
                     jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_train_mlm_seq_pad_unsigned_corpus():
+    """Unsigned corpora widen to signed before -1 padding: a uint8 corpus
+    with an indivisible token axis must train identically to the same
+    corpus as int32 (previously the -1 pads wrapped to 255 and became real
+    MLM targets)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gridnext_tpu.train import mlm_token_len
+
+    tokens_i32 = _corpus(n=12, seq=30)
+    tokens_u8 = tokens_i32.astype(np.uint8)
+
+    def run(corpus):
+        model = _tiny_lm(mlm_token_len(
+            corpus.shape[1], mesh_shape={"data": 2, "seq": 4}) - 1)
+        tx = optax.sgd(1e-2)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(tokens_i32[:1]), tx)
+        return train_mlm(model, {"train": corpus}, mask_id=MASK_ID,
+                         state=state, tx=tx, num_epochs=1, batch_size=6,
+                         verbose=False, mesh_shape={"data": 2, "seq": 4})
+
+    _, _, th_i = run(tokens_i32)
+    _, _, th_u = run(tokens_u8)
+    np.testing.assert_allclose(th_i, th_u, rtol=1e-6, atol=1e-7)
