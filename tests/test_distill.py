@@ -374,3 +374,23 @@ def test_cli_distill_mm_count_f(tmp_path):
     import pandas as pd
 
     assert len(pd.read_csv(out_csv)) > 0
+
+
+def test_submodule_variables_extraction():
+    """modeldir.submodule_variables: the ONE extraction rule -- params,
+    batch_stats, and any extra collections that carry the submodule travel;
+    collections without it are dropped."""
+    from gridnext_tpu.modeldir import submodule_variables
+
+    variables = {
+        "params": {"patch_classifier": {"w": 1}, "corrector": {"w": 2}},
+        "batch_stats": {"corrector": {"mean": 0}},
+        "favor": {"patch_classifier": {"proj": 3}},
+    }
+    f = submodule_variables(variables, "patch_classifier")
+    assert f == {"params": {"w": 1}, "favor": {"proj": 3}}
+    c = submodule_variables(variables, "corrector")
+    assert c == {"params": {"w": 2}, "batch_stats": {"mean": 0}}
+    # None collections (a stateless model's batch_stats slot) are skipped
+    v2 = {"params": {"x": {"w": 1}}, "batch_stats": None}
+    assert submodule_variables(v2, "x") == {"params": {"w": 1}}
