@@ -8,6 +8,7 @@ package is torch-free.
 from gridnext_tpu.compat.torch_convert import (  # noqa: F401
     count_mlp_from_torch,
     densenet_from_torch,
+    gridnet_from_torch,
     gridnethex_from_torch,
     gridnethexmm_from_torch,
     hex_kernel_from_hexagdly,

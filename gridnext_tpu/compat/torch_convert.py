@@ -127,6 +127,43 @@ def count_mlp_from_torch(sd: Mapping):
     return {"params": params, "batch_stats": stats}
 
 
+def gridnet_from_torch(sd: Mapping, f_variables: Mapping, use_bn: bool = True):
+    """Convert a trained reference *Cartesian* GridNet state_dict to ours.
+
+    The reference square-lattice corrector is an ``nn.Sequential`` of plain
+    Conv2d 3/5/5/3 + BN + ReLU (gridnet_models.py:51-66): with BN the module
+    indices are Conv 0,3,6,9 / BN 1,4,7; without BN, Conv 0,2,4,6. Our
+    ``models.gridnet.GridNet`` holds the same topology as
+    ``corrector.Conv_0..3`` / ``BatchNorm_0..2``.
+
+    ``f_variables``: the patch classifier's flax variables, converted
+    separately (densenet_from_torch / count_mlp_from_torch / ...).
+    """
+    conv_idx = (0, 3, 6, 9) if use_bn else (0, 2, 4, 6)
+    corr_p: dict = {}
+    corr_s: dict = {}
+    for i, mi in enumerate(conv_idx):
+        corr_p[f"Conv_{i}"] = {
+            "kernel": _conv_w(sd[f"corrector.{mi}.weight"]),
+            "bias": _np(sd[f"corrector.{mi}.bias"]),
+        }
+    if use_bn:
+        for j, mi in enumerate((1, 4, 7)):
+            p, s = _bn(sd, f"corrector.{mi}")
+            corr_p[f"BatchNorm_{j}"] = p
+            corr_s[f"BatchNorm_{j}"] = s
+    variables = {"params": {"patch_classifier": dict(f_variables["params"]),
+                            "corrector": corr_p}}
+    bs: dict = {}
+    if "batch_stats" in f_variables:
+        bs["patch_classifier"] = dict(f_variables["batch_stats"])
+    if corr_s:
+        bs["corrector"] = corr_s
+    if bs:
+        variables["batch_stats"] = bs
+    return variables
+
+
 def hex_kernel_from_hexagdly(kernel0, kernel1):
     """hexagdly sub-kernels -> (7, C_in, C_out) tap weights (HEX_TAPS_R1 order).
 
