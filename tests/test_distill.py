@@ -394,3 +394,82 @@ def test_submodule_variables_extraction():
     # None collections (a stateless model's batch_stats slot) are skipped
     v2 = {"params": {"x": {"w": 1}}, "batch_stats": None}
     assert submodule_variables(v2, "x") == {"params": {"w": 1}}
+
+
+@pytest.mark.slow
+def test_distill_from_converted_torch_teacher(cohort):
+    """The measured distillation-parity claim must span the torch->flax
+    CONVERSION boundary, not just flax-trained teachers (VERDICT r4 #3):
+    briefly train the reference's own torch DenseNet (densenet.py:78) on
+    CPU, convert it with compat.densenet_from_torch, distill the converted
+    teacher into a TpuPatchClassifier student, and pin held-out label
+    agreement >= 0.99."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from gridnext.densenet import DenseNet as TorchDenseNet
+
+    from gridnext_tpu.compat import densenet_from_torch
+    from gridnext_tpu.models import DenseNet
+
+    root, sims, srdirs, images, annots = cohort
+    spots = create_visium_dataset(srdirs, use_count=False, use_image=True,
+                                  spatial=False, annot_files=annots,
+                                  fullres_image_files=images,
+                                  patch_size_px=PATCH)
+    X, y = spots.materialize()
+    n_classes = len(spots.classes)
+    n_hold = 256
+    X_tr, y_tr = X[:-n_hold], y[:-n_hold]
+    X_ho = X[-n_hold:]
+
+    # --- 1) train the reference torch DenseNet briefly on CPU -------------
+    torch.manual_seed(0)
+    tm = TorchDenseNet(growth_rate=4, block_config=(2, 2), compression=0.5,
+                       num_init_features=8, bn_size=4, drop_rate=0,
+                       num_classes=n_classes, small_inputs=True,
+                       efficient=False)
+    opt = torch.optim.Adam(tm.parameters(), lr=1e-3)
+    lossf = torch.nn.CrossEntropyLoss()
+    rng = np.random.default_rng(0)
+    tm.train()
+    for _ in range(250):
+        idx = rng.integers(0, len(X_tr), 64)
+        xb = torch.from_numpy(X_tr[idx].transpose(0, 3, 1, 2).copy())
+        yb = torch.from_numpy(y_tr[idx]).long()
+        opt.zero_grad()
+        loss = lossf(tm(xb), yb)
+        loss.backward()
+        opt.step()
+    assert float(loss) < 0.7, f"torch teacher failed to train: {float(loss)}"
+    tm.eval()
+
+    # --- 2) convert; pin the conversion boundary itself --------------------
+    tvars = densenet_from_torch(tm.state_dict(), block_config=(2, 2),
+                                small_inputs=True)
+    teacher = DenseNet(growth_rate=4, block_config=(2, 2),
+                       num_init_features=8, bn_size=4, num_classes=n_classes,
+                       small_inputs=True)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(
+            X_ho[:32].transpose(0, 3, 1, 2).copy())).numpy()
+    got = np.asarray(teacher.apply(tvars, jnp.asarray(X_ho[:32]),
+                                   train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # --- 3) distill the CONVERTED teacher into the TPU-shaped student -----
+    def teacher_apply(p):
+        return teacher.apply(tvars, p, train=False)
+
+    student = TpuPatchClassifier(n_classes=n_classes, stages=((128, 1),),
+                                 stem_patch=8)
+    svars, losses = distill_patch_classifier(
+        teacher_apply, student, X_tr, steps=600, batch_size=128,
+        verbose=False)
+    assert losses[-1] < losses[0] * 0.5
+
+    # --- 4) held-out label agreement across conversion + distillation -----
+    agr = patch_agreement(
+        teacher_apply, lambda p: student.apply(svars, p, train=False), X_ho)
+    assert agr >= 0.99, f"holdout agreement {agr} (claim bound is 0.99)"
