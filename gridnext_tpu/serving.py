@@ -615,9 +615,8 @@ class SlideRegistrar:
                               (0, 0)))
         return grid.reshape(self.h_st * self.w_st, -1)
 
-    def _register_dense_resampled(self, wsi, y0, x0, py, px_, fg, *,
-                                  h_band, ey, ex):
-        """Fractional-pitch dense lattice: banded lattice resampling.
+    def _resampled_patches(self, wsi, y0, x0, py, px_, *, h_band, ey, ex):
+        """Banded lattice resample -> raw (ey*ex, P, P, C) float32 patches.
 
         Real Spaceranger HD positions step at 16um / microns-per-pixel --
         generally a NON-integer fullres pixel pitch, so integer tiling would
@@ -626,8 +625,11 @@ class SlideRegistrar:
         scale, sampling the exact fractional bin extents; a lax.map over
         bands keeps peak memory at one band, and the band stack IS the
         patch tensor (no gather, no per-bin resize). ``(ey, ex)``: the
-        in-tissue bin extent (static); bands cover only it, features pad to
-        (h_st, w_st).
+        in-tissue bin extent (static); bands cover only it.
+
+        Numerics are pinned against a float64 host oracle of the exact
+        per-bin extents in tests/test_serving.py (fractional-pitch oracle
+        test): agreement is f32-rounding-tight, not approximate.
         """
         p = self.patch_size
         c = wsi.shape[-1]
@@ -649,7 +651,13 @@ class SlideRegistrar:
 
         bands = jax.lax.map(band, jnp.arange(ey))  # (ey, P, ex*P, C)
         patches = bands.reshape(ey, p, ex, p, c).transpose(0, 2, 1, 3, 4)
-        patches = self._normalize(patches.reshape(ey * ex, p, p, c))
+        return patches.reshape(ey * ex, p, p, c)
+
+    def _register_dense_resampled(self, wsi, y0, x0, py, px_, fg, *,
+                                  h_band, ey, ex):
+        """Fractional-pitch dense serving: banded resample -> f -> labels."""
+        patches = self._normalize(self._resampled_patches(
+            wsi, y0, x0, py, px_, h_band=h_band, ey=ey, ex=ex))
         feats = self._apply_f_sharded(patches)
         return self._dense_feats_to_labels(self._pad_extent(feats, ey, ex),
                                            fg)
