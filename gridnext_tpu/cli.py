@@ -6,6 +6,7 @@ this thin layer scripts the common flows end to end:
   simulate     fabricate pseudo-Visium Spaceranger dirs (fixtures/demos)
   prepare      generate unified count files (+ optional patch caches)
   train-count  train CountMLP f (spotwise) then GridNetHex g on count grids
+  train-graph  train the HexGCN node classifier over the cohort hex graph
   train-image  train DenseNet-121 f then GridNetHex g on patch caches
   train-mm     train multimodal GridNetHexMM (count-f + image-f, concat;
                --count-f scbert swaps in a gene2vec-space scBERT count-f)
@@ -444,6 +445,81 @@ def _cmd_train_count(args):
                "model": ("GridNet+CountMLP" if square
                          else "GridNetHex+CountMLP")},
               transform=np.log1p, corrector="square" if square else "hex")
+
+
+def _cmd_train_graph(args):
+    """Node-classification training over the cohort hex graph (HexGCN).
+
+    The graph tier's training surface: the reference ships only
+    torch_geometric containers (graph_datasets.py:18-179) with no model or
+    training loop; here the cohort's arrays become ONE node-offset hex
+    graph (data.graph_data.visium_to_graphdata: spots as nodes, O(N) hex
+    adjacency), padded to a jit-static shape, and the segment-sum HexGCN
+    trains full-batch for --steps updates. The saved dir round-trips
+    through ``register`` and ``evaluate`` like every other model dir."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gridnext_tpu.data.graph_data import (feature_axis_signature,
+                                              pad_graph, visium_to_graphdata)
+    from gridnext_tpu.models import HexGCN, graph_node_loss
+    from gridnext_tpu.train import TrainState, save_checkpoint
+
+    if len(args.annots) != len(args.spaceranger):
+        sys.exit("error: need one --annots file per --spaceranger dir")
+    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots)
+    classes = [str(c) for c in gd["classes"]]
+    n_real = gd["nodes"].shape[0]
+    # pad to a static shape (jit compiles once; padding edges self-loop on
+    # a padding node, so real nodes never receive padding messages)
+    gd = pad_graph(gd, ((n_real + 127) // 128) * 128 + 128)
+    print(f"{n_real} annotated spots across {len(args.spaceranger)} arrays, "
+          f"{gd['edges'].shape[1]} edges, classes: {classes}")
+
+    nodes = jnp.asarray(np.log1p(gd["nodes"]))
+    edges = jnp.asarray(gd["edges"])
+    y = jnp.asarray(gd["y"])
+    mask = jnp.asarray(gd["node_mask"])
+
+    model = HexGCN(n_classes=len(classes), hidden=args.hidden,
+                   depth=args.depth)
+    params = model.init(jax.random.key(args.seed), nodes, edges)["params"]
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def lf(p):
+            loss, corr, n = graph_node_loss(
+                model.apply({"params": p}, nodes, edges), y, mask)
+            return loss, (corr, n)
+
+        (loss, (corr, n)), grads = jax.value_and_grad(lf, has_aux=True)(
+            params)
+        upd, opt = tx.update(grads, opt, params)
+        return (optax.apply_updates(params, upd), opt, loss,
+                corr / jnp.maximum(n, 1))
+
+    for i in range(args.steps):
+        params, opt, loss, acc = step(params, opt)
+        if i % 50 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f} "
+                  f"node acc {float(acc):.3f}")
+
+    os.makedirs(args.out, exist_ok=True)
+    state = TrainState(params=params, batch_stats=None, opt_state=opt,
+                       step=jnp.asarray(args.steps, jnp.int32),
+                       extra_vars={})
+    save_checkpoint(os.path.join(args.out, "g_state.msgpack"), state)
+    with open(os.path.join(args.out, "model.json"), "w") as fh:
+        json.dump({"classes": classes, "model": "HexGCN",
+                   "hidden": args.hidden, "depth": args.depth,
+                   "log1p": True, "n_genes": int(nodes.shape[1]),
+                   "feature_axis":
+                       feature_axis_signature(args.spaceranger[0])}, fh)
+    print(f"saved model to {args.out}")
 
 
 def _check_image_args(args):
@@ -1533,13 +1609,42 @@ def _cmd_register(args):
                          hex_coords=grid_dims is None, index=i)
         return
 
+    if model_name == "HexGCN":
+        # graph model: each array becomes its own hex graph; node argmax
+        # labels scatter back onto the odd-right lattice for Loupe export
+        import jax.numpy as jnp
+
+        from gridnext_tpu.data.graph_data import visium_to_graphdata
+        from gridnext_tpu.geometry import (VISIUM_H_ST, VISIUM_W_ST,
+                                           pseudo_hex_to_oddr)
+        from gridnext_tpu.modeldir import (graph_model_from_meta,
+                                           validate_graph_feature_axis)
+
+        model = graph_model_from_meta(meta, classes)
+        for i, srd in enumerate(args.spaceranger):
+            try:
+                validate_graph_feature_axis(meta, srd)
+            except ValueError as e:
+                sys.exit(f"error: {e}")
+            gd = visium_to_graphdata([srd])
+            x = np.log1p(gd["nodes"]) if meta.get("log1p") else gd["nodes"]
+            logits = model.apply(variables, jnp.asarray(x),
+                                 jnp.asarray(gd["edges"]))
+            labels = np.asarray(jnp.argmax(logits, -1)) + 1
+            label_grid = np.zeros((VISIUM_H_ST, VISIUM_W_ST), np.int64)
+            ox, oy = pseudo_hex_to_oddr(gd["pos"][:, 0], gd["pos"][:, 1])
+            label_grid[oy, ox] = labels
+            _write_loupe(label_grid, srd, args, classes, index=i)
+        return
+
     if not model_name.endswith("CountMLP"):
         # an unexpected/missing model.json "model" must not silently fall
         # through to the count path (it would die deep in flax apply);
         # mirror export's explicit refusal
         sys.exit(f"error: don't know how to register model "
                  f"{model_name or '<missing>'!r} (expected GridNet[Hex]"
-                 f"[MM]+CountMLP / *DenseNet121 / *TpuPatchClassifier)")
+                 f"[MM]+CountMLP / *DenseNet121 / *TpuPatchClassifier / "
+                 f"HexGCN)")
     grid_dims = meta.get("grid_dims")  # square HD lattices (GridNet g)
     f = CountMLP(n_classes=len(classes))
     if grid_dims is not None:
@@ -1567,6 +1672,70 @@ def _cmd_register(args):
                      hex_coords=grid_dims is None, index=i)
 
 
+def _evaluate_graph(meta, classes, variables, args):
+    """Graph-tier evaluate: the annotated cohort as one hex graph through
+    HexGCN, emitting the same (y_true, y_pred, smax, extras) contract as
+    the grid models -- including per-array label/softmax grids for
+    --maps (node outputs scatter back onto the odd-right lattice)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridnext_tpu.data.graph_data import visium_to_graphdata
+    from gridnext_tpu.geometry import (VISIUM_H_ST, VISIUM_W_ST,
+                                       pseudo_hex_to_oddr)
+    from gridnext_tpu.modeldir import (graph_model_from_meta,
+                                       validate_graph_feature_axis)
+
+    if args.f_only:
+        sys.exit("error: --f-only does not apply to graph models (HexGCN "
+                 "has no separate spot classifier f)")
+    if getattr(args, "tta", False):
+        sys.exit("error: --tta applies to image-patch models only")
+    if len(args.annots) != len(args.spaceranger):
+        sys.exit("error: need one --annots file per --spaceranger dir")
+    for srd in args.spaceranger:
+        try:
+            validate_graph_feature_axis(meta, srd)
+        except ValueError as e:
+            sys.exit(f"error: {e}")
+    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots)
+    ds_classes = [str(c) for c in gd["classes"]]
+    unseen = [c for c in ds_classes if c not in classes]
+    if unseen:
+        sys.exit(f"error: annotations contain classes the model never "
+                 f"trained on: {unseen} (model classes: {classes})")
+    remap = np.asarray([classes.index(c) for c in ds_classes])
+
+    model = graph_model_from_meta(meta, classes)
+    x = np.log1p(gd["nodes"]) if meta.get("log1p") else gd["nodes"]
+    logits = model.apply(variables, jnp.asarray(x), jnp.asarray(gd["edges"]))
+    smax = np.asarray(jax.nn.softmax(logits, -1))
+    y_true = remap[np.asarray(gd["y"])]
+    y_pred = np.argmax(smax, -1)
+
+    from gridnext_tpu.io.unify import array_name
+
+    names = [array_name(s) for s in args.spaceranger]
+    if len(set(names)) < len(names):
+        names = [f"{i:02d}_{n}" for i, n in enumerate(names)]
+    grids = []
+    if getattr(args, "maps", None):
+        off = 0
+        for n in gd["n_node"]:
+            n = int(n)
+            pos = gd["pos"][off:off + n]
+            ox, oy = pseudo_hex_to_oddr(pos[:, 0], pos[:, 1])
+            tg = np.zeros((VISIUM_H_ST, VISIUM_W_ST), np.int64)
+            sg = np.zeros((VISIUM_H_ST, VISIUM_W_ST, len(classes)))
+            tg[oy, ox] = y_true[off:off + n] + 1
+            sg[oy, ox] = smax[off:off + n]
+            grids.append((tg, sg))
+            off += n
+    return ("HexGCN", classes, len(args.spaceranger), y_true, y_pred, smax,
+            {"grids": grids, "names": names, "hex": True})
+
+
 def _evaluate_one(model_dir, args):
     """Foreground predictions of one trained model dir over the annotated
     arrays: (model_name, classes, n_arrays, y_true, y_pred, smax)."""
@@ -1577,6 +1746,8 @@ def _evaluate_one(model_dir, args):
 
     meta, classes, variables = _load_model_dir(model_dir)
     model_name = meta.get("model", "")
+    if model_name == "HexGCN":
+        return _evaluate_graph(meta, classes, variables, args)
     hd_binning = meta.get("hd_binning")
     grid_dims = meta.get("grid_dims")
     mm = model_name in ("GridNetHexMM", "GridNetMM")
@@ -2000,6 +2171,22 @@ def build_parser():
                    help="gene detection-rate filter (default 0.02)")
     _add_mesh_args(s)
     s.set_defaults(fn=_cmd_train_count)
+
+    s = sub.add_parser("train-graph",
+                       help="train the HexGCN node classifier over the "
+                            "cohort hex graph")
+    s.add_argument("--spaceranger", nargs="+", required=True)
+    s.add_argument("--annots", nargs="+", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--steps", type=int, default=200,
+                   help="full-batch optimizer updates over the cohort graph")
+    s.add_argument("--lr", type=float, default=5e-3)
+    s.add_argument("--hidden", type=int, default=64,
+                   help="graph-conv hidden width")
+    s.add_argument("--depth", type=int, default=3,
+                   help="message-passing layers")
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=_cmd_train_graph)
 
     s = sub.add_parser("train-image", help="train DenseNet-121 f + GridNetHex g")
     _add_image_train_args(s)

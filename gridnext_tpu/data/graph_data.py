@@ -61,6 +61,21 @@ def _feature_ids(spaceranger_dir) -> list:
         return [line.split("\t", 1)[0] for line in fh]
 
 
+def feature_axis_signature(spaceranger_dir) -> dict:
+    """Compact identity of an array's MEX gene axis: count + content hash.
+
+    Graph model dirs record this at training time so ``register``/
+    ``evaluate`` can refuse arrays whose transcriptome ordering differs from
+    the one the node features were trained on (the count tier's analog is
+    the unified-cache gene list validation, io.unify)."""
+    import hashlib
+
+    ids = _feature_ids(spaceranger_dir)
+    return {"n_genes": len(ids),
+            "sha256": hashlib.sha256(
+                "\n".join(ids).encode()).hexdigest()[:16]}
+
+
 def read_visium_graph(spaceranger_dir, annot_file=None):
     """One array -> (x, edges, arr_coords, y) (graph_datasets.py:84-159).
 

@@ -193,6 +193,31 @@ def grid_model_from_meta(meta, classes):
     return cls(patch_classifier=f, n_classes=len(classes), **kw)
 
 
+def graph_model_from_meta(meta, classes):
+    """HexGCN node classifier from a trained graph model dir's metadata
+    (CLI ``train-graph``; width/depth come from model.json)."""
+    from gridnext_tpu.models import HexGCN
+
+    return HexGCN(n_classes=len(classes),
+                  hidden=int(meta.get("hidden", 128)),
+                  depth=int(meta.get("depth", 3)))
+
+
+def validate_graph_feature_axis(meta, spaceranger_dir):
+    """Refuse an array whose MEX gene axis differs from the trained one."""
+    from gridnext_tpu.data.graph_data import feature_axis_signature
+
+    want = meta.get("feature_axis")
+    if not want:
+        return
+    got = feature_axis_signature(spaceranger_dir)
+    if got != want:
+        raise ValueError(
+            f"{spaceranger_dir}: feature axis {got} does not match the "
+            f"model's training axis {want}; graph node features need the "
+            "exact transcriptome ordering the model trained on")
+
+
 def scbert_count_transform(spaceranger_dirs, hd_binning, vocab: int):
     """gene2vec-space count preprocessing for a scBERT count-f.
 

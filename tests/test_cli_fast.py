@@ -146,3 +146,35 @@ def test_cli_val_arrays_and_split_seed_fast(cohort, model_dir, tmp_path):
 
     with pytest.raises(SystemExit, match="val-arrays"):
         main(base + ["--out", str(tmp_path / "x"), "--val-arrays", "nope"])
+
+
+def test_cli_train_graph_round_trip(cohort):
+    """train-graph -> model dir -> register (Loupe CSV) -> evaluate
+    (metrics + maps): the graph tier through the framework's standard
+    model-dir conventions (the reference ships only torch_geometric
+    containers, graph_datasets.py:18-179, with no model/loop/CLI)."""
+    out, dirs, annots = cohort
+    mdir = str(out / "m_graph")
+    main(["train-graph", "--spaceranger", *dirs, "--annots", *annots,
+          "--out", mdir, "--steps", "150"])
+    meta = json.loads((out / "m_graph" / "model.json").read_text())
+    assert meta["model"] == "HexGCN"
+    assert meta["feature_axis"]["n_genes"] == 12
+
+    csv = out / "graph_labels.csv"
+    main(["register", "--model", mdir, "--spaceranger", dirs[0],
+          "--out", str(csv)])
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == "Barcode,AARs"
+    assert len(lines) > 1
+    assert {ln.split(",")[1] for ln in lines[1:]} <= set(meta["classes"])
+
+    m_json = out / "graph_metrics.json"
+    main(["evaluate", "--spaceranger", *dirs, "--annots", *annots,
+          "--model", mdir, "--out", str(m_json),
+          "--maps", str(out / "graph_maps")])
+    m = json.loads(m_json.read_text())
+    assert m["model"] == "HexGCN"
+    # trained full-batch on these same arrays: well above chance
+    assert m["accuracy"] >= 0.5, m["accuracy"]
+    assert len(os.listdir(out / "graph_maps")) == 6  # 2 arrays x 3 figures
