@@ -181,3 +181,51 @@ def test_bench_retry_attempts_clamped(monkeypatch):
 
     monkeypatch.setenv("GNX_BENCH_ATTEMPTS", "0")
     assert _retry(lambda: 42) == 42  # clamps to one attempt, still runs
+
+
+def test_bench_tree_cache_roundtrip(tmp_path):
+    """bench's distill-artifact cache: pytrees round-trip by flattened leaf
+    order, f16-stored leaves restore to the template dtype, template-less
+    names load as float32 lists."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _tree_load, _tree_save
+
+    tree = {"a": {"k": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+            "b": jnp.full((4,), 2.5, jnp.float32)}
+    lst = [np.full((2, 2), 3.0, np.float32), np.full((3,), 7.0, np.float32)]
+    p = str(tmp_path / "cache.npz")
+    _tree_save(p, {"t": tree, "k": lst, "__f16__": ("t",)})
+    out = _tree_load(p, {"t": jax.eval_shape(lambda: tree), "k": None})
+    assert out["t"]["a"]["k"].dtype == jnp.float32  # f16 storage, f32 restore
+    np.testing.assert_allclose(out["t"]["a"]["k"], tree["a"]["k"])
+    np.testing.assert_allclose(out["t"]["b"], 2.5)
+    np.testing.assert_allclose(out["k"][1], 7.0)
+
+
+def test_bench_regression_gate_maps_legacy_value(capsys, tmp_path,
+                                                 monkeypatch):
+    """_compare_to_prior maps a pre-r5 artifact's `value` (the exact-
+    DenseNet route) onto exact_densenet121_spots_per_sec and flags >10%
+    drops route-to-route."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    prior = {"n": 1, "parsed": {"value": 20000.0,
+                                "scbert_pretrain_ms_per_step": 150.0}}
+    (tmp_path / "BENCH_r01.json").write_text(_json.dumps(prior))
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path))
+    bench._compare_to_prior({"exact_densenet121_spots_per_sec": 15000.0,
+                             "value": 190000.0,
+                             "scbert_pretrain_ms_per_step": 180.0})
+    err = capsys.readouterr().err
+    assert "exact_densenet121_spots_per_sec: 20000 -> 15000" in err
+    assert err.count("REGRESSION >10%") == 2  # exact -25%, scbert +20%
