@@ -896,6 +896,12 @@ def _retry(fn, attempts=None, wait_s=None):
             transient = any(m in msg for m in _TRANSIENT_MARKERS)
             if a + 1 == attempts or not transient:
                 raise
+            if _remaining() < wait_s + 600:
+                # budget-aware: a retry whose wait + re-run cannot fit the
+                # remaining budget only delays the partial-JSON emission
+                log(f"retry abandoned: {_remaining():.0f}s budget left "
+                    f"< wait {wait_s:.0f}s + 600s re-run floor")
+                raise
             time.sleep(wait_s)
 
 
