@@ -469,14 +469,23 @@ def _cmd_train_graph(args):
 
     if len(args.annots) != len(args.spaceranger):
         sys.exit("error: need one --annots file per --spaceranger dir")
-    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots)
+    # keep_unannotated: train on the FULL in-tissue lattice with unlabeled
+    # nodes masked from the loss (graph_node_loss y=-1), so the trained
+    # message-passing sees the same adjacency that unannotated serving
+    # (`register`) runs on -- annotated-only graphs have sparser
+    # neighborhoods whenever annotation coverage is partial
+    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots,
+                             keep_unannotated=True)
     classes = [str(c) for c in gd["classes"]]
     n_real = gd["nodes"].shape[0]
+    n_labeled = int((gd["y"] >= 0).sum())
+    n_real_edges = gd["edges"].shape[1]
     # pad to a static shape (jit compiles once; padding edges self-loop on
     # a padding node, so real nodes never receive padding messages)
     gd = pad_graph(gd, ((n_real + 127) // 128) * 128 + 128)
-    print(f"{n_real} annotated spots across {len(args.spaceranger)} arrays, "
-          f"{gd['edges'].shape[1]} edges, classes: {classes}")
+    print(f"{n_labeled} annotated of {n_real} in-tissue spots across "
+          f"{len(args.spaceranger)} arrays, {n_real_edges} edges, "
+          f"classes: {classes}")
 
     nodes = jnp.asarray(np.log1p(gd["nodes"]))
     edges = jnp.asarray(gd["edges"])
@@ -1672,6 +1681,18 @@ def _cmd_register(args):
                      hex_coords=grid_dims is None, index=i)
 
 
+def _array_names(spaceranger_dirs):
+    """Per-array output names for map/CSV files; standard Spaceranger
+    layouts often name every dir 'outs', so colliding basenames get an
+    index prefix (shared by every evaluate path)."""
+    from gridnext_tpu.io.unify import array_name
+
+    names = [array_name(s) for s in spaceranger_dirs]
+    if len(set(names)) < len(names):
+        names = [f"{i:02d}_{n}" for i, n in enumerate(names)]
+    return names
+
+
 def _evaluate_graph(meta, classes, variables, args):
     """Graph-tier evaluate: the annotated cohort as one hex graph through
     HexGCN, emitting the same (y_true, y_pred, smax, extras) contract as
@@ -1699,7 +1720,11 @@ def _evaluate_graph(meta, classes, variables, args):
             validate_graph_feature_axis(meta, srd)
         except ValueError as e:
             sys.exit(f"error: {e}")
-    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots)
+    # keep_unannotated: evaluate message passing over the SAME full
+    # in-tissue lattice training and serving use; metrics cover the
+    # labeled nodes only
+    gd = visium_to_graphdata(args.spaceranger, annot_files=args.annots,
+                             keep_unannotated=True)
     ds_classes = [str(c) for c in gd["classes"]]
     unseen = [c for c in ds_classes if c not in classes]
     if unseen:
@@ -1710,26 +1735,28 @@ def _evaluate_graph(meta, classes, variables, args):
     model = graph_model_from_meta(meta, classes)
     x = np.log1p(gd["nodes"]) if meta.get("log1p") else gd["nodes"]
     logits = model.apply(variables, jnp.asarray(x), jnp.asarray(gd["edges"]))
-    smax = np.asarray(jax.nn.softmax(logits, -1))
-    y_true = remap[np.asarray(gd["y"])]
+    smax_all = np.asarray(jax.nn.softmax(logits, -1))
+    y_enc = np.asarray(gd["y"])
+    labeled = y_enc >= 0
+    if not labeled.any():
+        sys.exit("error: no annotated spots to evaluate")
+    y_true = remap[y_enc[labeled]]
+    smax = smax_all[labeled]
     y_pred = np.argmax(smax, -1)
 
-    from gridnext_tpu.io.unify import array_name
-
-    names = [array_name(s) for s in args.spaceranger]
-    if len(set(names)) < len(names):
-        names = [f"{i:02d}_{n}" for i, n in enumerate(names)]
+    names = _array_names(args.spaceranger)
     grids = []
     if getattr(args, "maps", None):
         off = 0
         for n in gd["n_node"]:
             n = int(n)
             pos = gd["pos"][off:off + n]
+            lab = labeled[off:off + n]
             ox, oy = pseudo_hex_to_oddr(pos[:, 0], pos[:, 1])
             tg = np.zeros((VISIUM_H_ST, VISIUM_W_ST), np.int64)
             sg = np.zeros((VISIUM_H_ST, VISIUM_W_ST, len(classes)))
-            tg[oy, ox] = y_true[off:off + n] + 1
-            sg[oy, ox] = smax[off:off + n]
+            tg[oy[lab], ox[lab]] = remap[y_enc[off:off + n][lab]] + 1
+            sg[oy, ox] = smax_all[off:off + n]
             grids.append((tg, sg))
             off += n
     return ("HexGCN", classes, len(args.spaceranger), y_true, y_pred, smax,
@@ -1845,15 +1872,9 @@ def _evaluate_one(model_dir, args):
     smax = np.concatenate(smaxes)
     if not len(y_true):
         sys.exit("error: no annotated foreground spots to evaluate")
-    from gridnext_tpu.io.unify import array_name
-
-    names = [array_name(s) for s in args.spaceranger]
-    if len(set(names)) < len(names):
-        # standard Spaceranger layouts often name every dir 'outs' --
-        # index-prefix so per-array map files can't overwrite each other
-        names = [f"{i:02d}_{n}" for i, n in enumerate(names)]
     return (model_name, classes, len(ds), y_true, y_pred, smax,
-            {"grids": grids, "names": names, "hex": grid_dims is None})
+            {"grids": grids, "names": _array_names(args.spaceranger),
+             "hex": grid_dims is None})
 
 
 def _fgd_metrics(model_name, classes, n_arrays, y_true, y_pred, smax,
@@ -1972,6 +1993,17 @@ def _cmd_evaluate(args):
             _save_eval_maps(args.maps, extra["names"], extra["grids"],
                             classes, extra["hex"])
     else:
+        families = {"graph" if pm[0] == "HexGCN" else "grid"
+                    for pm in per_model}
+        if len(families) > 1:
+            # graph models flatten foreground in positions-file node order,
+            # grid models in raster-scan order: same spots, different
+            # ordering -- a consensus mean would average softmax rows of
+            # DIFFERENT physical spots even when the truth-vector guard
+            # below happens to pass by coincidence
+            sys.exit("error: consensus cannot mix graph (HexGCN) and grid "
+                     "models -- their foreground orderings differ; "
+                     "evaluate them separately")
         base = per_model[0]
         for other in per_model[1:]:
             if list(other[1]) != list(base[1]):

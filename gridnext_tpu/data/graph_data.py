@@ -76,11 +76,19 @@ def feature_axis_signature(spaceranger_dir) -> dict:
                 "\n".join(ids).encode()).hexdigest()[:16]}
 
 
-def read_visium_graph(spaceranger_dir, annot_file=None):
+def read_visium_graph(spaceranger_dir, annot_file=None,
+                      keep_unannotated: bool = False):
     """One array -> (x, edges, arr_coords, y) (graph_datasets.py:84-159).
 
     x: (spots, genes) counts over in-tissue spots; edges: (2, E); arr_coords:
     (spots, 2) pseudo-hex (col, row); y: str annotations or None.
+
+    ``keep_unannotated=False`` (reference semantics) restricts the graph to
+    annotated spots. ``True`` keeps EVERY in-tissue spot -- unannotated ones
+    get ``y=''`` -- so a semi-supervised trainer sees the same full-lattice
+    adjacency that unannotated serving (``register``) will run on; with the
+    reference behavior the served graph has denser neighborhoods than the
+    trained one whenever annotation coverage is partial.
     """
     import pandas as pd
 
@@ -98,10 +106,14 @@ def read_visium_graph(spaceranger_dir, annot_file=None):
         # default NA handling, which already covers empty strings)
         first = df_annot.iloc[:, 0]
         df_annot = df_annot[first.notna()]
-        shared = df_annot.index.intersection(df_pos.index)
-        df_counts = df_counts.loc[shared]
-        df_pos = df_pos.loc[shared]
-        y = df_annot.loc[shared].iloc[:, 0].astype(str).values
+        if keep_unannotated:
+            lab = df_annot.iloc[:, 0].astype(str)
+            y = pd.Series(df_pos.index.map(lab)).fillna("").astype(str).values
+        else:
+            shared = df_annot.index.intersection(df_pos.index)
+            df_counts = df_counts.loc[shared]
+            df_pos = df_pos.loc[shared]
+            y = df_annot.loc[shared].iloc[:, 0].astype(str).values
 
     arr_coords = df_pos[["array_col", "array_row"]].values.astype(np.int64)
     edges = hex_adjacency(arr_coords)
@@ -109,13 +121,18 @@ def read_visium_graph(spaceranger_dir, annot_file=None):
 
 
 def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
-                        pad_to: Optional[int] = None) -> dict:
+                        pad_to: Optional[int] = None,
+                        keep_unannotated: bool = False) -> dict:
     """Multi-array graph batch with node-index offsetting
     (graph_datasets.py:18-80 semantics, dict-of-arrays container).
 
     Label encoding matches the reference: graph labels (``array_lbls``)
     supersede node annotations; classes sort alphanumerically. ``pad_to``
     optionally pads nodes/edges to a static size for jit.
+    ``keep_unannotated`` (see :func:`read_visium_graph`) keeps unannotated
+    in-tissue spots as ``y=-1`` nodes (masked by :func:`models.graph.
+    graph_node_loss`), aligning the training graph with unannotated
+    serving.
     """
     if isinstance(spaceranger_dirs, str):
         spaceranger_dirs = [spaceranger_dirs]
@@ -140,7 +157,8 @@ def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
                 f"feature axes differ between {first_srd} "
                 f"({len(feature_ids)} genes) and {srd} ({len(ids)} genes); "
                 "graph node features need one shared gene ordering")
-        x, e, pos, y = read_visium_graph(srd, afile)
+        x, e, pos, y = read_visium_graph(srd, afile,
+                                         keep_unannotated=keep_unannotated)
         xs.append(x)
         es.append(e + offset)
         ps.append(pos)
@@ -166,8 +184,10 @@ def visium_to_graphdata(spaceranger_dirs, annot_files=None, array_lbls=None,
                 "labels need an annotation file per array (or use "
                 "array_lbls for graph-level labels)")
         y_all = np.concatenate(ys)
-        classes = np.unique(y_all)
-        y_enc = np.searchsorted(classes, y_all).astype(np.int64)
+        labeled = y_all != ""          # '' = kept-but-unannotated nodes
+        classes = np.unique(y_all[labeled])
+        y_enc = np.full(len(y_all), -1, np.int64)
+        y_enc[labeled] = np.searchsorted(classes, y_all[labeled])
     else:
         y_enc = None
 

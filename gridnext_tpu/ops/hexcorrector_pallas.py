@@ -28,6 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 from gridnext_tpu.geometry import HEX_TAPS_R1
 
 
+# ReLU placement of the 5-layer _HexCorrector (after layers 1 and 3) --
+# the single source of truth shared by fold_corrector_params and any
+# caller replaying folded kernels from a cache (bench.py)
+CORRECTOR_RELU_FLAGS = (False, True, False, True, False)
+
+
 def fold_corrector_params(params: dict, batch_stats=None, eps: float = 1e-5):
     """Fold eval-mode BN into the hex-conv weights of a _HexCorrector.
 
@@ -55,8 +61,7 @@ def fold_corrector_params(params: dict, batch_stats=None, eps: float = 1e-5):
         biases[layer] = (biases[layer] - np.asarray(bn_s["mean"])) * s \
             + np.asarray(bn_p["bias"])
 
-    relu_flags = (False, True, False, True, False)
-    return kernels, biases, relu_flags
+    return kernels, biases, CORRECTOR_RELU_FLAGS
 
 
 def _corrector_kernel(x_ref, *refs, h, w, relu_flags, n_layers,

@@ -178,3 +178,45 @@ def test_cli_train_graph_round_trip(cohort):
     # trained full-batch on these same arrays: well above chance
     assert m["accuracy"] >= 0.5, m["accuracy"]
     assert len(os.listdir(out / "graph_maps")) == 6  # 2 arrays x 3 figures
+
+
+def test_cli_train_graph_partial_annotations(cohort, tmp_path):
+    """Semi-supervised graph tier: with PARTIAL annotation coverage the
+    training/eval graph keeps every in-tissue spot (unlabeled nodes are
+    loss-masked), so message passing sees the same full lattice that
+    unannotated `register` serves -- and metrics cover labeled spots only."""
+    out, dirs, annots = cohort
+    partial = []
+    for i, a in enumerate(annots):
+        lines = open(a).read().splitlines()
+        kept = [lines[0]] + [ln for j, ln in enumerate(lines[1:])
+                             if j % 3 != 0]  # drop a third of the labels
+        p = tmp_path / f"partial{i}.csv"
+        p.write_text("\n".join(kept) + "\n")
+        partial.append(str(p))
+    n_dropped = sum(len(open(a).read().splitlines())
+                    - len(open(p).read().splitlines())
+                    for a, p in zip(annots, partial))
+    assert n_dropped > 0
+
+    mdir = str(tmp_path / "m_graph_partial")
+    main(["train-graph", "--spaceranger", *dirs, "--annots", *partial,
+          "--out", mdir, "--steps", "120"])
+
+    m_json = tmp_path / "metrics.json"
+    main(["evaluate", "--spaceranger", *dirs, "--annots", *partial,
+          "--model", mdir, "--out", str(m_json)])
+    m = json.loads(m_json.read_text())
+    # metrics cover exactly the labeled spots, not the full lattice
+    n_total_lines = sum(len(open(p).read().splitlines()) - 1
+                        for p in partial)
+    assert m["n_foreground_spots"] == n_total_lines
+    assert m["accuracy"] >= 0.5, m["accuracy"]
+
+    # register labels EVERY in-tissue spot (the full lattice the model saw)
+    csv = tmp_path / "labels.csv"
+    main(["register", "--model", mdir, "--spaceranger", dirs[0],
+          "--out", str(csv)])
+    n_served = len(csv.read_text().strip().splitlines()) - 1
+    n_annotated0 = len(open(partial[0]).read().splitlines()) - 1
+    assert n_served > n_annotated0
