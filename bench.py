@@ -95,9 +95,11 @@ def _tree_save(path, trees):
     else keeps its dtype. Atomic via temp-file + rename."""
     import jax
 
-    f16_names = set(trees.pop("__f16__", ()))
+    f16_names = set(trees.get("__f16__", ()))
     flat = {}
     for name, tree in trees.items():
+        if name == "__f16__":
+            continue
         for i, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
             arr = np.asarray(leaf)
             if name in f16_names and arr.dtype == np.float32:
@@ -130,8 +132,18 @@ def _tree_load(path, templates):
         else:
             treedef = jax.tree_util.tree_structure(template)
             tleaves = jax.tree_util.tree_leaves(template)
-            leaves = [jnp.asarray(data[k], dtype=tl.dtype)
-                      for k, tl in zip(keys, tleaves)]
+            if len(keys) != len(tleaves):
+                raise ValueError(
+                    f"cache {path}: '{name}' holds {len(keys)} leaves but "
+                    f"the current model expects {len(tleaves)} -- stale "
+                    "cache for a changed architecture")
+            leaves = []
+            for k, tl in zip(keys, tleaves):
+                if tuple(data[k].shape) != tuple(tl.shape):
+                    raise ValueError(
+                        f"cache {path}: leaf {k} shape {data[k].shape} != "
+                        f"expected {tuple(tl.shape)} -- stale cache")
+                leaves.append(jnp.asarray(data[k], dtype=tl.dtype))
             out[name] = jax.tree_util.tree_unflatten(treedef, leaves)
     return out
 
@@ -288,11 +300,25 @@ def _distill_cache_path(teacher_steps: int = 300, distill_steps: int = 600,
     """Config-keyed distill-artifact cache path; defaults MUST mirror
     bench_distilled_parity's so main()'s budget estimate checks the exact
     file the bench will use (not just any distill_*.npz)."""
-    cache_cfg = dict(v=1, teacher_steps=teacher_steps,
+    import jax.numpy as jnp
+
+    from gridnext_tpu.models import TpuPatchClassifier
+    from gridnext_tpu.models.tpu_f import tpu_f_arch_meta
+    from gridnext_tpu.ops.hexcorrector_pallas import CORRECTOR_RELU_FLAGS
+
+    cache_cfg = dict(v=2, teacher_steps=teacher_steps,
                      distill_steps=distill_steps, teacher_batch=teacher_batch,
                      distill_batch=distill_batch, patch=PATCH,
                      n_classes=N_CLASSES, grid=[H_ST, W_ST],
-                     corrector_steps=200, offs=[0.0, 0.05])
+                     corrector_steps=200, offs=[0.0, 0.05],
+                     # architecture identity: a model/corrector change must
+                     # MISS the cache, not silently replay stale weights
+                     teacher_arch="densenet121-bf16",
+                     student_arch=tpu_f_arch_meta(
+                         TpuPatchClassifier(n_classes=N_CLASSES,
+                                            dtype=jnp.bfloat16)),
+                     corrector_arch=["hex5", 32, "bn",
+                                     list(CORRECTOR_RELU_FLAGS)])
     cache_key = hashlib.sha256(
         json.dumps(cache_cfg, sort_keys=True).encode()).hexdigest()[:16]
     return os.path.join(CACHE_DIR, f"distill_{cache_key}.npz")
@@ -397,9 +423,15 @@ def bench_distilled_parity(student_rate=None, teacher_steps: int = 300,
             "agreement re-measured fresh below")
         tshape = jax.eval_shape(teacher.init, jax.random.key(0), dummy)
         sshape = jax.eval_shape(student.init, jax.random.key(2), dummy)
-        loaded = _tree_load(cache_path, {
-            "t_params": tshape["params"], "t_bs": tshape["batch_stats"],
-            "s_params": sshape["params"], "kernels": None, "biases": None})
+        try:
+            loaded = _tree_load(cache_path, {
+                "t_params": tshape["params"], "t_bs": tshape["batch_stats"],
+                "s_params": sshape["params"], "kernels": None,
+                "biases": None})
+        except Exception as e:
+            log(f"distill bench: cache unusable ({e}); retraining")
+            use_cache = False
+    if use_cache:
         t_params, t_bs = loaded["t_params"], loaded["t_bs"]
         s_params = loaded["s_params"]
         kernels, biases = loaded["kernels"], loaded["biases"]
@@ -943,9 +975,12 @@ def _compare_to_prior(result):
         prior["exact_densenet121_spots_per_sec"] = prior.pop("value")
     log(f"--- regression gate vs {os.path.basename(prior_path)} ---")
     for k, old in sorted(prior.items()):
+        if not isinstance(old, (int, float)) or isinstance(old, bool) \
+                or not old:
+            continue
         new = result.get(k)
-        if (not isinstance(old, (int, float)) or isinstance(old, bool)
-                or not isinstance(new, (int, float)) or not old):
+        if not isinstance(new, (int, float)):
+            log(f"  {k}: {old:g} -> MISSING this run  ** metric vanished **")
             continue
         delta = (new - old) / abs(old)
         lower_is_better = "ms_per_step" in k
@@ -998,6 +1033,9 @@ def _main():
         cpu_rate = 42.1  # BASELINE.md measured single-thread figure
         log(f"torch-cpu baseline failed ({e}); falling back to the "
             f"BASELINE.md measured {cpu_rate} spots/s")
+        # the artifact itself must say the ratio denominator was not
+        # measured THIS run (stderr alone doesn't survive into `parsed`)
+        RESULT["cpu_baseline_source"] = "fallback: BASELINE.md r1 figure"
 
     # Honest baseline: this container pins torch to ONE thread. A production
     # CPU host runs the torch pipeline multi-core; assume ideal scaling over
