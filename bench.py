@@ -1058,22 +1058,28 @@ def _main():
     RESULT["vs_baseline_note"] = note_tail
     log(f"[headline inputs done; {_remaining():.0f}s budget left]")
 
-    # --- secondaries, cheapest first (VERDICT r4 #1) -------------------
-    # est_s values calibrated from round 4/5 stderr stage timings; tail_s =
-    # sum of the est_s of everything mandatory still to come.
-    distill_est = 480 if os.path.exists(_distill_cache_path()) else 1500
-    _sec("ingest", None, bench_ingest_secondary,
-         90, 150 + 150 + 260 + 420 + 420 + distill_est)
-    _sec("count-serve", "count_spots_per_sec", bench_count_secondary,
-         150, 150 + 260 + 420 + 420 + distill_est)
-    _sec("count-train", "count_train_spots_per_sec",
-         bench_count_training_secondary, 150, 260 + 420 + 420 + distill_est)
-    _sec("scbert-pretrain", "scbert_pretrain_ms_per_step",
-         bench_scbert_pretrain_secondary, 260, 420 + 420 + distill_est)
+    # --- secondaries (VERDICT r4 #1) -----------------------------------
+    # est_s calibrated from measured round-5 stage timings (ingest 5-7s,
+    # count 34-37, count-train 57-68, scbert 76-78, tpu-f 46-53, hd 26-35,
+    # distill warm 138-343 / cold 343-1000) with ~2x congestion margin --
+    # OVER-estimates make the gate drop cheap stages exactly when the relay
+    # runs slow (observed: a congested headline compile gated off tpu-f,
+    # costing the distilled headline its parity rate). tail_s = est_s sum
+    # of everything mandatory still to come. image-tpu-f runs FIRST: it is
+    # the distilled route's serving rate, the headline input.
+    distill_est = 300 if os.path.exists(_distill_cache_path()) else 900
     _sec("image-tpu-f", "tpu_f_spots_per_sec", bench_tpu_image_alt,
-         420, 420 + distill_est)
+         90, 20 + 60 + 90 + 120 + 60 + distill_est)
+    _sec("ingest", None, bench_ingest_secondary,
+         20, 60 + 90 + 120 + 60 + distill_est)
+    _sec("count-serve", "count_spots_per_sec", bench_count_secondary,
+         60, 90 + 120 + 60 + distill_est)
+    _sec("count-train", "count_train_spots_per_sec",
+         bench_count_training_secondary, 90, 120 + 60 + distill_est)
+    _sec("scbert-pretrain", "scbert_pretrain_ms_per_step",
+         bench_scbert_pretrain_secondary, 120, 60 + distill_est)
     _sec("image-hd", "hd_bins_per_sec", bench_tpu_image_hd,
-         420, distill_est)
+         60, distill_est)
     # distilled checkpoint-parity serving: agreement measured on a held-out
     # slide; the parity rate is the measured TpuPatchClassifier serving rate
     # (identical arch/pipeline/batch as the image-tpu-f bench above)
