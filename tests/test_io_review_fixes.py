@@ -229,3 +229,35 @@ def test_bench_regression_gate_maps_legacy_value(capsys, tmp_path,
     err = capsys.readouterr().err
     assert "exact_densenet121_spots_per_sec: 20000 -> 15000" in err
     assert err.count("REGRESSION >10%") == 2  # exact -25%, scbert +20%
+
+
+def test_bench_emits_partial_json_on_exception(monkeypatch, capsys):
+    """The one-JSON-line contract survives an uncaught exception: a fatal
+    error in the headline bench still emits the (partial) artifact before
+    the process dies (bench main's try/finally)."""
+    import json as _json
+    import signal
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    saved = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
+    monkeypatch.setattr(bench, "_EMITTED", False)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic fatal headline failure")
+
+    monkeypatch.setattr(bench, "bench_tpu_image", boom)
+    try:
+        with pytest.raises(RuntimeError):
+            bench.main()
+    finally:
+        signal.signal(signal.SIGTERM, saved[0])
+        signal.signal(signal.SIGINT, saved[1])
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    d = _json.loads(line)
+    assert d["metric"] == ("full_slide_registration_spots_per_sec"
+                           "_image_f_plus_g")
+    assert "value" in d and "vs_baseline" in d
