@@ -281,18 +281,20 @@ def bench_tpu_image_alt():
 
     TpuPatchClassifier is the recommended f for NEW training (DenseNet-121
     is architecture-bound on the MXU; models/tpu_f.py). Same patch
-    extraction + corrector; only f differs. Measured round 3 (v5e, the
-    wide16+rms default): 127,448 spots/s single-slide, 141,207 at batch=4;
-    late-round sweep: 184,197 batch=4 / 192,728 batch=8 (batch=12 exceeds
-    the remote-compile limits), so batch=8 is the served configuration.
+    extraction + corrector; only f differs. Slide-batch sweeps (v5e, the
+    wide16+rms default): 141,207 spots/s batch=4 (r3) -> 192,728 batch=8
+    (late r3) -> 195,523 batch=10 (r5); batch=12 exceeded the relay's
+    remote-compile limits in r3 and again in r5, so batch=10 is the served
+    configuration.
     """
     import jax.numpy as jnp
 
     from gridnext_tpu.models import TpuPatchClassifier
 
     f = TpuPatchClassifier(n_classes=N_CLASSES, dtype=jnp.bfloat16)
-    return bench_tpu_image(f=f, slide_batch=8,
-                           label="tpu image pipeline [TpuPatchClassifier f, batch=8]")
+    return bench_tpu_image(f=f, slide_batch=10,
+                           label="tpu image pipeline "
+                                 "[TpuPatchClassifier f, batch=10]")
 
 
 def _distill_cache_path(teacher_steps: int = 300, distill_steps: int = 600,
